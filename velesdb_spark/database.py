@@ -1,0 +1,284 @@
+"""Database / Collection — the programmatic API surface.
+
+Mirrors the reference's Python bindings (crates/velesdb-python/src/
+collection.rs:81-582: upsert, upsert_bulk, search, search_with_filter,
+text_search, hybrid_search, batch_search, multi_query_search, query,
+query_ids, create_property_index, create_range_index) and the graph CRUD API
+(collection/core/graph_api.rs:40-299), re-expressed over DataFrames.
+
+Storage model: a collection is a DataFrame (id, vector, payload columns...)
+plus an optional edges DataFrame — persisted as Parquet when the Database has
+a path (the reference's mmap/log stores are storage/mmap.rs,
+storage/log_payload.rs; Parquet + partition pruning replaces both). Upsert is
+last-writer-wins by id (MERGE semantics — crud.rs:19-118).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions.bm25 import Bm25Index
+from velesdb_spark.functions.distance import higher_is_better
+from velesdb_spark.operators import graph as graph_ops
+from velesdb_spark.operators import topk as topk_ops
+from velesdb_spark.velesql.translator import Catalog, Translator, translate
+from velesdb_spark.velesql.parser import parse
+
+
+class Collection:
+    def __init__(self, spark: SparkSession, name: str, dimension: Optional[int] = None,
+                 metric: str = "cosine", df: Optional[DataFrame] = None,
+                 id_col: str = "id", vector_col: str = "vector",
+                 text_col: Optional[str] = None,
+                 edges: Optional[DataFrame] = None, path: Optional[str] = None):
+        self.spark = spark
+        self.name = name
+        self.dimension = dimension
+        self.metric = metric.lower()
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.text_col = text_col
+        self.path = path
+        self._df = df
+        self._edges = edges
+        self._bm25: Optional[Bm25Index] = None
+
+    # ------------------------------------------------------------ data
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            raise ValueError(f"collection {self.name} is empty")
+        return self._df
+
+    @property
+    def edges(self) -> DataFrame:
+        if self._edges is None:
+            raise ValueError(f"collection {self.name} has no edges")
+        return self._edges
+
+    def upsert(self, points: DataFrame | Sequence[dict]) -> "Collection":
+        """Insert-or-replace by id (crud.rs:19-118 → MERGE semantics)."""
+        new = points if isinstance(points, DataFrame) else \
+            self.spark.createDataFrame(points)
+        if self.dimension is not None and self.vector_col in new.columns:
+            bad = new.filter(
+                F.col(self.vector_col).isNotNull()
+                & (F.size(self.vector_col) != self.dimension)).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"vector dimension mismatch (expected {self.dimension})")
+        if self._df is None:
+            self._df = new
+        else:
+            # last-writer-wins by id: new batch shadows old rows
+            old = self._df.join(new.select(self.id_col), on=self.id_col, how="left_anti")
+            self._df = old.unionByName(new, allowMissingColumns=True)
+        self._bm25 = None
+        return self
+
+    upsert_bulk = upsert
+
+    def delete(self, ids: Sequence[int]) -> "Collection":
+        self._df = self.df.filter(~F.col(self.id_col).isin([int(i) for i in ids]))
+        self._bm25 = None
+        return self
+
+    def get(self, point_id: int) -> Optional[dict]:
+        rows = self.df.filter(F.col(self.id_col) == int(point_id)).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def flush(self) -> "Collection":
+        if self.path:
+            self.df.write.mode("overwrite").parquet(os.path.join(self.path, "points"))
+            if self._edges is not None:
+                self._edges.write.mode("overwrite").parquet(os.path.join(self.path, "edges"))
+        return self
+
+    # ------------------------------------------------------------ search
+    def search(self, vector: Sequence[float], k: int = 10, **_ignored) -> DataFrame:
+        """Exact k-NN (reference: HNSW ANN, search/vector.rs:18-59; quality
+        profiles / ef_search accepted and ignored — exact is 'Perfect')."""
+        return topk_ops.knn(self.df, vector, k, self.metric,
+                            self.vector_col, self.id_col)
+
+    def search_with_filter(self, vector: Sequence[float], filter_cond, k: int = 10) -> DataFrame:
+        """Filtered k-NN — filter BEFORE top-k (exact; no 4× over-fetch)."""
+        return topk_ops.knn(self.df, vector, k, self.metric,
+                            self.vector_col, self.id_col, filter_cond=filter_cond)
+
+    def search_ids(self, vector: Sequence[float], k: int = 10) -> DataFrame:
+        return self.search(vector, k).select(self.id_col, "score")
+
+    def batch_search(self, vectors: Iterable[Sequence[float]], k: int = 10) -> DataFrame:
+        queries = [(i, v) for i, v in enumerate(vectors)]
+        return topk_ops.knn_batch(self.df, queries, k, self.metric,
+                                  self.vector_col, self.id_col)
+
+    def multi_query_search(self, vectors: Iterable[Sequence[float]], k: int = 10,
+                           strategy: str = "rrf", **params) -> DataFrame:
+        """Fused multi-query search (batch.rs:231-352, fusion/strategy.rs)."""
+        from velesdb_spark.functions import fusion as fusion_mod
+
+        vlist = list(vectors)
+        per_query = topk_ops.knn_batch(self.df, list(enumerate(vlist)),
+                                       max(k * 2, k), self.metric,
+                                       self.vector_col, self.id_col)
+        fused = fusion_mod.fuse(strategy, per_query, params,
+                                total_queries=len(vlist), qid_col="qid",
+                                id_col=self.id_col, score_col="score",
+                                higher_is_better=higher_is_better(self.metric))
+        return fused.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
+
+    # ------------------------------------------------------------ text
+    def _bm25_index(self) -> Bm25Index:
+        if self._bm25 is None:
+            text_col = self.text_col
+            if text_col is None:
+                strings = [f.name for f in self.df.schema.fields
+                           if f.dataType.simpleString() == "string"]
+                if not strings:
+                    raise ValueError("no string column for text search")
+                text_col = strings[0]
+            self._bm25 = Bm25Index(self.df, id_col=self.id_col, text_col=text_col,
+                                   cache=True)
+        return self._bm25
+
+    def text_search(self, query: str, k: int = 10) -> DataFrame:
+        """BM25 top-k (collection/search/text.rs:21-91)."""
+        scores = self._bm25_index().search(query, k)
+        return self.df.join(scores, on=self.id_col, how="inner") \
+            .withColumnRenamed("_bm25_score", "score") \
+            .orderBy(F.desc("score"), F.asc(self.id_col))
+
+    def hybrid_search(self, query: str, vector: Sequence[float], k: int = 10,
+                      weight: float = 1.0, text_weight: float = 1.0) -> DataFrame:
+        """Vector ∪ BM25 with RRF weight/(rank+60) (text.rs:113-203)."""
+        vres = self.search(vector, k * 2).select(
+            F.lit("v").alias("qid"), F.col(self.id_col).alias("id"), "score")
+        tres = self._bm25_index().search(query, k * 2).select(
+            F.lit("t").alias("qid"), F.col(self.id_col).alias("id"),
+            F.col("_bm25_score").alias("score"))
+        from velesdb_spark.functions.fusion import fuse_hybrid_rrf
+
+        fused = fuse_hybrid_rrf(vres.union(tres), {"v": weight, "t": text_weight})
+        return fused.withColumnRenamed("id", self.id_col) \
+            .orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
+
+    # ------------------------------------------------------------ graph
+    def add_edges(self, edges: DataFrame | Sequence[dict]) -> "Collection":
+        new = edges if isinstance(edges, DataFrame) else self.spark.createDataFrame(edges)
+        self._edges = new if self._edges is None else \
+            self._edges.unionByName(new, allowMissingColumns=True)
+        return self
+
+    def get_outgoing(self, node_id: int, label: Optional[str] = None) -> DataFrame:
+        e = self.edges.filter(F.col("src") == int(node_id))
+        return e.filter(F.col("label") == label) if label else e
+
+    def get_incoming(self, node_id: int, label: Optional[str] = None) -> DataFrame:
+        e = self.edges.filter(F.col("dst") == int(node_id))
+        return e.filter(F.col("label") == label) if label else e
+
+    def get_edges_by_label(self, label: str) -> DataFrame:
+        return self.edges.filter(F.col("label") == label)
+
+    def remove_edge(self, edge_id: int) -> "Collection":
+        self._edges = self.edges.filter(F.col("id") != int(edge_id))
+        return self
+
+    def node_degree(self, node_id: int, direction: str = "both") -> int:
+        deg = graph_ops.node_degree(self.edges, direction) \
+            .filter(F.col("node_id") == int(node_id)).collect()
+        return deg[0]["degree"] if deg else 0
+
+    def traverse_bfs(self, start_id: int, max_depth: int = 3,
+                     rel_types: Sequence[str] = (), direction: str = "out") -> DataFrame:
+        return graph_ops.bfs(self.edges, [start_id], 1, max_depth, rel_types, direction)
+
+    # ------------------------------------------------------------ VelesQL
+    def _catalog(self) -> Catalog:
+        cat = Catalog()
+        cat.register(self.name, self.df, metric=self.metric,
+                     vector_col=self.vector_col, id_col=self.id_col,
+                     text_col=self.text_col)
+        # graph convention: MATCH resolves 'nodes'/'edges'
+        if self._df is not None:
+            cat.register("nodes", self._df, id_col=self.id_col)
+        if self._edges is not None:
+            cat.register("edges", self._edges)
+        return cat
+
+    def query(self, sql: str, params: Optional[dict] = None) -> DataFrame:
+        """Execute VelesQL (SELECT or MATCH) against this collection."""
+        return translate(sql, self._catalog(), params)
+
+    def query_ids(self, sql: str, params: Optional[dict] = None) -> DataFrame:
+        out = self.query(sql, params)
+        cols = [self.id_col] + (["score"] if "score" in out.columns else [])
+        return out.select(*cols)
+
+    def explain(self, sql: str, params: Optional[dict] = None) -> str:
+        """Translation-level plan + Catalyst plan (velesql/explain.rs analog)."""
+        q = parse(sql)
+        df = translate(q, self._catalog(), params)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        return f"-- VelesQL AST --\n{q}\n\n-- Catalyst plan --\n{plan}"
+
+    # index hints are no-ops: Parquet column stats + predicate pushdown play
+    # the role of property/range indexes (graph/property_index.rs,
+    # range_index.rs)
+    def create_property_index(self, *_a, **_k) -> "Collection":
+        return self
+
+    def create_range_index(self, *_a, **_k) -> "Collection":
+        return self
+
+
+class Database:
+    """Directory of collections (lib.rs:228-236)."""
+
+    def __init__(self, spark: SparkSession, path: Optional[str] = None):
+        self.spark = spark
+        self.path = path
+        self.collections: dict[str, Collection] = {}
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: Optional[str] = None) -> "Database":
+        db = cls(spark, path)
+        if path and os.path.isdir(path):
+            for name in os.listdir(path):
+                pdir = os.path.join(path, name, "points")
+                if os.path.isdir(pdir):
+                    df = spark.read.parquet(pdir)
+                    edir = os.path.join(path, name, "edges")
+                    edges = spark.read.parquet(edir) if os.path.isdir(edir) else None
+                    db.collections[name] = Collection(
+                        spark, name, df=df, edges=edges,
+                        path=os.path.join(path, name))
+        return db
+
+    def create_collection(self, name: str, dimension: Optional[int] = None,
+                          metric: str = "cosine", **kwargs) -> Collection:
+        if name in self.collections:
+            raise ValueError(f"collection {name} already exists")
+        path = os.path.join(self.path, name) if self.path else None
+        col = Collection(self.spark, name, dimension, metric, path=path, **kwargs)
+        self.collections[name] = col
+        return col
+
+    def get_collection(self, name: str) -> Collection:
+        return self.collections[name]
+
+    def list_collections(self) -> list[str]:
+        return sorted(self.collections)
+
+    def drop_collection(self, name: str) -> None:
+        self.collections.pop(name, None)

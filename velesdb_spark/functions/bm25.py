@@ -1,0 +1,140 @@
+"""BM25 full-text scoring as DataFrame programs.
+
+Reference: crates/velesdb-core/src/index/bm25.rs —
+score(D,Q) = Σ_q IDF(q) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+IDF(q) = ln((N − df + 0.5)/(df + 0.5) + 1), k1=1.2, b=0.75 (bm25.rs:10-20,
+idf bm25.rs:298-303). Tokenizer: lowercase, split on non-alphanumeric, drop
+tokens of byte-length ≤ 1 (bm25.rs:114-120 — note the reference's `s.len()`
+is BYTES, so single multi-byte chars survive; we use octet_length for parity).
+Duplicate query terms score multiply (scoring loop iterates the query bag,
+bm25.rs:348-360).
+
+Scale design: the corpus statistics (postings tf, per-term df, doc lengths,
+N/avgdl) are DataFrames produced by explode + groupBy — the classic
+distributed inverted-index build, one shuffle each, all map-side combinable.
+A query is a tiny (terms × multiplicity) DataFrame broadcast against the
+postings; per-doc score is one partial aggregation. Nothing is collected to
+the driver except the optional top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+# Unicode-aware split (Rust char::is_alphanumeric ≈ \p{L} | \p{N})
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def tokenize(col: Column) -> Column:
+    """lowercase → split non-alphanumeric → drop byte-length ≤ 1 tokens
+    (bm25.rs:114-120)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE),
+        lambda t: F.octet_length(t) > 1,
+    )
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Driver-side tokenizer (for query strings) — must match tokenize()."""
+    import re
+
+    # [\W_]+ = non-alphanumeric incl. underscore (Rust '_'.is_alphanumeric()
+    # is false, so '_' separates tokens)
+    out = []
+    for tok in re.split(r"[\W_]+", text.lower(), flags=re.UNICODE):
+        if len(tok.encode("utf-8")) > 1:
+            out.append(tok)
+    return out
+
+
+class Bm25Index:
+    """Corpus statistics for BM25 over (id, text) — all lazy DataFrames.
+
+    Mirrors Bm25Index in the reference (index/bm25.rs): ``add``-time work
+    becomes the postings build; ``search`` becomes a score join.
+    """
+
+    def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text",
+                 cache: bool = False):
+        self.id_col = id_col
+        spark = docs.sparkSession
+        tokens = docs.select(
+            F.col(id_col).alias("_doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        # Per-doc length; empty docs are NOT indexed (bm25.rs:146-148)
+        self.doc_lengths = tokens.groupBy("_doc_id").agg(F.count("*").alias("dl"))
+        # Postings: term frequency per (term, doc)
+        self.postings = tokens.groupBy("term", "_doc_id").agg(F.count("*").alias("tf"))
+        # Document frequency per term
+        self.term_df = self.postings.groupBy("term").agg(F.count("*").alias("df"))
+        # Corpus stats: N and avgdl (1-row DataFrame, broadcastable)
+        self.stats = self.doc_lengths.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        self.spark = spark
+        if cache:
+            self.postings = self.postings.cache()
+            self.doc_lengths = self.doc_lengths.cache()
+            self.term_df = self.term_df.cache()
+            self.stats = self.stats.cache()
+
+    def query_terms_df(self, query: str) -> DataFrame:
+        """Query token bag with multiplicities (duplicate terms multiply)."""
+        terms = tokenize_py(query)
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        rows = [(t, c) for t, c in counts.items()] or []
+        return self.spark.createDataFrame(rows, "term string, qtf int") if rows else \
+            self.spark.createDataFrame([], "term string, qtf int")
+
+    def scores(self, query: str) -> DataFrame:
+        """Per-document BM25 scores for ``query`` → (id, _bm25_score).
+
+        Docs containing none of the query terms are absent (score join is
+        inner); score > 0 filter matches the reference (bm25.rs:321-327).
+        """
+        qterms = F.broadcast(
+            self.query_terms_df(query)
+            .join(self.term_df, "term", "inner")  # df per present term
+        )
+        scored = (
+            self.postings.join(qterms, "term", "inner")
+            .join(self.doc_lengths, "_doc_id")
+            .crossJoin(F.broadcast(self.stats))
+            .withColumn(
+                "_idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .withColumn(
+                "_term_score",
+                F.col("qtf")
+                * F.col("_idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .groupBy("_doc_id")
+            .agg(F.sum("_term_score").alias("_bm25_score"))
+            .filter(F.col("_bm25_score") > 0.0)
+        )
+        return scored.select(F.col("_doc_id").alias(self.id_col), "_bm25_score")
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Top-k by BM25 score descending (TakeOrderedAndProject — no full
+        sort at scale)."""
+        return self.scores(query).orderBy(F.desc("_bm25_score"), F.asc(self.id_col)).limit(k)
+
+
+def bm25_score_df(docs: DataFrame, query: str, id_col: str = "id",
+                  text_col: str = "text") -> DataFrame:
+    """One-shot convenience: build stats + score in a single lazy plan."""
+    return Bm25Index(docs, id_col=id_col, text_col=text_col).scores(query)

@@ -1,0 +1,155 @@
+"""Distance metrics as native Spark Column expressions.
+
+Reference semantics: crates/velesdb-core/src/distance.rs —
+five metrics (Cosine, Euclidean, DotProduct, Hamming, Jaccard), with
+``higher_is_better`` true for Cosine/Dot/Jaccard and false for
+Euclidean/Hamming (distance.rs:76-81); result ordering and similarity-
+threshold comparisons flip accordingly (distance.rs:95-103,
+collection/search/query/mod.rs:396-416).
+
+Implementation notes (scale): everything here is built-in array arithmetic
+(``aggregate``/``zip_with``/higher-order functions), which runs inside the JVM
+per-row with no shuffle and no Python serialization — it survives whole-stage
+codegen boundaries and scales linearly with partitions. Computations are done
+in DOUBLE precision regardless of the stored ARRAY<FLOAT> so scores are stable
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+METRICS = ("cosine", "euclidean", "dot", "hamming", "jaccard")
+
+# distance.rs:76-81
+HIGHER_IS_BETTER = {
+    "cosine": True,
+    "dot": True,
+    "jaccard": True,
+    "euclidean": False,
+    "hamming": False,
+}
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate (no UDF)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm (the reference
+    returns 0 for degenerate inputs rather than NaN — distance.rs cosine)."""
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot_product(a, b) / (na * nb)
+    )
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Count of differing positions (vectors treated element-wise; the
+    reference packs bits, semantics are the same count — distance.rs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double")
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Binary Jaccard over f32 vectors: element > 0 means 'set bit'
+    (distance.rs jaccard on binarized vectors). 1.0 for two empty sets."""
+    both = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when((x > 0) & (y > 0), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    either = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when((x > 0) | (y > 0), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(either == 0, F.lit(1.0)).otherwise(
+        both.cast("double") / either.cast("double")
+    )
+
+
+def metric_score(a: Column, b: Column, metric: str) -> Column:
+    """Score column for any of the five metrics (distance.rs:64-72)."""
+    metric = metric.lower()
+    if metric == "cosine":
+        return cosine_similarity(a, b)
+    if metric in ("dot", "dotproduct", "dot_product"):
+        return dot_product(a, b)
+    if metric in ("euclidean", "l2"):
+        return euclidean_distance(a, b)
+    if metric == "hamming":
+        return hamming_distance(a, b)
+    if metric == "jaccard":
+        return jaccard_similarity(a, b)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def higher_is_better(metric: str) -> bool:
+    metric = metric.lower()
+    if metric in ("dotproduct", "dot_product"):
+        metric = "dot"
+    if metric == "l2":
+        metric = "euclidean"
+    if metric not in HIGHER_IS_BETTER:
+        raise ValueError(f"unknown metric: {metric}")
+    return HIGHER_IS_BETTER[metric]
+
+
+def score_order(score: Column, metric: str) -> Column:
+    """Sort expression with the metric's natural 'best first' direction
+    (distance.rs:95-103)."""
+    return score.desc() if higher_is_better(metric) else score.asc()
+
+
+def similarity_passes(score: Column, op: str, threshold: float, metric: str) -> Column:
+    """similarity(field, $v) op t — for distance metrics the comparison is
+    inverted (query/mod.rs:396-416): 'similarity > t' means 'distance < t'
+    never literally; the reference flips > and < for lower-is-better metrics.
+    """
+    if not higher_is_better(metric):
+        flip = {">": "<", ">=": "<=", "<": ">", "<=": ">="}
+        op = flip.get(op, op)
+    if op == ">":
+        return score > threshold
+    if op == ">=":
+        return score >= threshold
+    if op == "<":
+        return score < threshold
+    if op == "<=":
+        return score <= threshold
+    # Eq/NotEq use epsilon 0.001 in the reference (query/mod.rs:404-405)
+    if op == "=":
+        return F.abs(score - threshold) < 0.001
+    if op in ("!=", "<>"):
+        return F.abs(score - threshold) >= 0.001
+    raise ValueError(f"unknown comparison operator: {op}")

@@ -1,0 +1,150 @@
+"""Score fusion as DataFrame aggregations.
+
+Reference formulations (they differ — both are reproduced):
+- Hybrid search RRF (collection/search/text.rs:150-162):
+  score = weight/(rank + 60) with 0-based ranks over each ranked list.
+- fuse_rrf (velesql/hybrid.rs:112-149) and multi-query RRF
+  (fusion/strategy.rs:223-250): score = Σ 1/(k + rank+1), 0-based rank,
+  k default 60.
+- Multi-query strategies (fusion/strategy.rs:150-300): Average (per-query
+  best, then mean), Maximum, Weighted (avg_w·avg + max_w·max + hit_w·hits/Q).
+
+Scale design: inputs are long-format DataFrames (qid, id, score); ranks are
+window functions partitioned by qid (one shuffle on qid — small, since these
+are per-query top-k lists); fusion itself is a groupBy(id) partial-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K = 60
+
+
+def with_rank(results: DataFrame, qid_col: str = "qid", id_col: str = "id",
+              score_col: str = "score", higher_is_better: bool = True) -> DataFrame:
+    """0-based rank per query list, score-ordered, id tie-break (deterministic
+    stand-in for the reference's insertion order)."""
+    order = [F.desc(score_col) if higher_is_better else F.asc(score_col), F.asc(id_col)]
+    w = Window.partitionBy(qid_col).orderBy(*order)
+    return results.withColumn("_rank", F.row_number().over(w) - 1)
+
+
+def fuse_rrf(results: DataFrame, k: int = RRF_K, qid_col: str = "qid",
+             id_col: str = "id", score_col: str = "score",
+             higher_is_better: bool = True) -> DataFrame:
+    """Multi-list RRF: Σ 1/(k + rank+1) (strategy.rs:223-250, hybrid.rs:112-149)."""
+    ranked = with_rank(results, qid_col, id_col, score_col, higher_is_better)
+    return (
+        ranked.groupBy(id_col)
+        .agg(F.sum(1.0 / (F.lit(float(k)) + F.col("_rank") + 1.0)).alias("score"))
+    )
+
+
+def fuse_hybrid_rrf(results: DataFrame, weights: dict | None = None,
+                    qid_col: str = "qid", id_col: str = "id",
+                    score_col: str = "score") -> DataFrame:
+    """Hybrid-search RRF: Σ weight_q/(rank + 60), 0-based rank
+    (text.rs:150-162). ``weights`` maps qid → weight (default 1.0)."""
+    ranked = with_rank(results, qid_col, id_col, score_col, True)
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        wcol = F.coalesce(wmap[F.col(qid_col)], F.lit(1.0))
+    else:
+        wcol = F.lit(1.0)
+    return (
+        ranked.withColumn("_rrf", wcol / (F.col("_rank") + float(RRF_K)))
+        .groupBy(id_col)
+        .agg(F.sum("_rrf").alias("score"))
+    )
+
+
+def fuse_average(results: DataFrame, qid_col: str = "qid", id_col: str = "id",
+                 score_col: str = "score") -> DataFrame:
+    """Per-query best score, then mean across queries (strategy.rs:169-202)."""
+    best = results.groupBy(qid_col, id_col).agg(F.max(score_col).alias("_s"))
+    return best.groupBy(id_col).agg(F.avg("_s").alias("score"))
+
+
+def fuse_maximum(results: DataFrame, qid_col: str = "qid", id_col: str = "id",
+                 score_col: str = "score") -> DataFrame:
+    """Best score anywhere (strategy.rs:204-221)."""
+    return results.groupBy(id_col).agg(F.max(score_col).alias("score"))
+
+
+def fuse_weighted(results: DataFrame, avg_weight: float, max_weight: float,
+                  hit_weight: float, total_queries: int, qid_col: str = "qid",
+                  id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """avg_w·avg + max_w·max + hit_w·(hits/Q) (strategy.rs:252-300)."""
+    s = avg_weight + max_weight + hit_weight
+    if avg_weight < 0 or max_weight < 0 or hit_weight < 0 or abs(s - 1.0) > 0.001:
+        raise ValueError("fusion weights must be non-negative and sum to 1.0")
+    best = results.groupBy(qid_col, id_col).agg(F.max(score_col).alias("_s"))
+    return best.groupBy(id_col).agg(
+        (
+            avg_weight * F.avg("_s")
+            + max_weight * F.max("_s")
+            + hit_weight * (F.count("*") / float(total_queries))
+        ).alias("score")
+    )
+
+
+def fuse_minmax_weighted(vector_results: DataFrame, other_results: DataFrame,
+                         alpha: float, id_col: str = "id",
+                         score_col: str = "score") -> DataFrame:
+    """Min-max normalize each list to [0,1], blend α·v + (1−α)·o
+    (velesql/hybrid.rs fuse_weighted). Missing side contributes 0."""
+
+    def _norm(df: DataFrame, out: str) -> DataFrame:
+        stats = df.agg(F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx"))
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(
+                out,
+                F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+                    (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+                ),
+            )
+            .select(id_col, out)
+        )
+
+    v = _norm(vector_results, "_vs")
+    o = _norm(other_results, "_os")
+    return (
+        v.join(o, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                alpha * F.coalesce(F.col("_vs"), F.lit(0.0))
+                + (1.0 - alpha) * F.coalesce(F.col("_os"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+
+def fuse(strategy: str, results: DataFrame, params: dict | None = None,
+         total_queries: int | None = None, qid_col: str = "qid",
+         id_col: str = "id", score_col: str = "score",
+         higher_is_better: bool = True) -> DataFrame:
+    """Dispatch by strategy name (average|maximum|max|rrf|weighted)."""
+    params = params or {}
+    strategy = strategy.lower()
+    if strategy == "average":
+        return fuse_average(results, qid_col, id_col, score_col)
+    if strategy in ("maximum", "max"):
+        return fuse_maximum(results, qid_col, id_col, score_col)
+    if strategy == "rrf":
+        return fuse_rrf(results, int(params.get("k", RRF_K)), qid_col, id_col,
+                        score_col, higher_is_better)
+    if strategy == "weighted":
+        if total_queries is None:
+            raise ValueError("weighted fusion requires total_queries")
+        return fuse_weighted(
+            results,
+            float(params.get("avg_weight", 0.4)),
+            float(params.get("max_weight", 0.4)),
+            float(params.get("hit_weight", 0.2)),
+            total_queries, qid_col, id_col, score_col,
+        )
+    raise ValueError(f"unknown fusion strategy: {strategy}")

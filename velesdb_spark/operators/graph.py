@@ -1,0 +1,327 @@
+"""Graph operators: bounded BFS traversal and Cypher-like MATCH as iterative
+DataFrame joins.
+
+Reference semantics (collection/graph/traversal.rs, streaming.rs,
+collection/search/query/match_exec.rs):
+- Graph = nodes table (id, labels ARRAY<STRING>, properties...) + edges table
+  (id, src, dst, label, properties...) — edge.rs:36-48, labels convention
+  '_labels' (match_exec.rs:240-252).
+- BFS from a start node: visited-set semantics — each reachable node is
+  emitted ONCE at its minimum depth (streaming.rs:115-117 seeds visited with
+  the start node; start itself is never emitted); depth range [min,max],
+  default max 3, safety cap 100 (traversal.rs:17-28); optional rel-type
+  filter; directions out/in/both.
+- MATCH: start nodes from first node pattern (labels via array_contains +
+  property equality), traversal, WHERE on bindings, RETURN projection of
+  alias.prop, default limit 100 (match_exec.rs:110).
+
+Spark mapping: frontier expansion is a join per depth level
+(frontier ⋈ edges), all-pairs per start node, deduped with a groupBy min
+depth — each level is cluster-parallel; the reference's per-start-node rayon
+loop (parallel_traversal.rs) becomes partition parallelism for free. Where
+the reference's BFS ignores intermediate node patterns in multi-hop chains
+(match_exec.rs treats the pattern as start-filter + rel-type union + max
+depth), we implement proper per-hop pattern matching — a strict superset that
+agrees on the reference's test patterns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from velesdb_spark.velesql import ast
+
+DEFAULT_MAX_DEPTH = 3
+SAFETY_DEPTH_CAP = 100  # traversal.rs safety cap
+DEFAULT_MATCH_LIMIT = 100  # match_exec.rs:110
+
+
+def _step(frontier: DataFrame, edges: DataFrame, direction: str,
+          rel_types: Sequence[str], cur: str = "_cur") -> DataFrame:
+    """One hop: frontier(_cur, ...) ⋈ edges → next nodes in ``_next``."""
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("label").isin(list(rel_types)))
+    outs = []
+    if direction in ("out", "both"):
+        outs.append(
+            frontier.join(e.select(F.col("src").alias(cur), F.col("dst").alias("_next")),
+                          on=cur, how="inner"))
+    if direction in ("in", "both"):
+        outs.append(
+            frontier.join(e.select(F.col("dst").alias(cur), F.col("src").alias("_next")),
+                          on=cur, how="inner"))
+    nxt = outs[0]
+    for o in outs[1:]:
+        nxt = nxt.union(o)
+    return nxt
+
+
+def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
+        min_depth: int = 1, max_depth: int = DEFAULT_MAX_DEPTH,
+        rel_types: Sequence[str] = (), direction: str = "out") -> DataFrame:
+    """Multi-source BFS → (start_id, node_id, depth).
+
+    Visited-set semantics per start: each node appears once, at its minimum
+    depth; start nodes excluded (streaming.rs BfsIterator). ``start_ids`` may
+    be a DataFrame with column ``start_id`` or a Python sequence.
+    """
+    max_depth = min(max_depth, SAFETY_DEPTH_CAP)
+    if isinstance(start_ids, DataFrame):
+        starts = start_ids.select(F.col("start_id").cast("long"))
+    else:
+        spark = edges.sparkSession
+        starts = spark.createDataFrame([(int(i),) for i in start_ids], "start_id bigint")
+
+    frontier = starts.select("start_id", F.col("start_id").alias("_cur"))
+    # reached: (start_id, node_id, depth) at first encounter
+    reached: Optional[DataFrame] = None
+    visited = starts.select("start_id", F.col("start_id").alias("_node"))
+    for depth in range(1, max_depth + 1):
+        nxt = _step(frontier, edges, direction, rel_types).select(
+            "start_id", F.col("_next").alias("_node")).distinct()
+        # drop already-visited (per start)
+        nxt = nxt.join(visited, on=["start_id", "_node"], how="left_anti")
+        if depth >= 3:
+            nxt = nxt.localCheckpoint(eager=False)  # cut lineage on deep walks
+        level = nxt.withColumn("depth", F.lit(depth))
+        reached = level if reached is None else reached.union(level)
+        visited = visited.union(nxt)
+        frontier = nxt.select("start_id", F.col("_node").alias("_cur"))
+    assert reached is not None
+    return (
+        reached.filter(F.col("depth") >= min_depth)
+        .select("start_id", F.col("_node").alias("node_id"), "depth")
+    )
+
+
+def node_degree(edges: DataFrame, direction: str = "both") -> DataFrame:
+    """(node_id, degree) — graph_api.rs node degree."""
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(edges.select(F.col("src").alias("node_id")))
+    if direction in ("in", "both"):
+        parts.append(edges.select(F.col("dst").alias("node_id")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return u.groupBy("node_id").agg(F.count("*").alias("degree"))
+
+
+# --------------------------------------------------------------- MATCH
+
+
+def _node_filter(nodes: DataFrame, pat: ast.NodePattern, value_of) -> DataFrame:
+    out = nodes
+    for lbl in pat.labels:
+        out = out.filter(F.array_contains(F.col("labels"), lbl))
+    for name, val in pat.properties:
+        v = value_of(val)
+        if v is None:
+            out = out.filter(F.col(name).isNull())
+        else:
+            out = out.filter(F.col(name).eqNullSafe(F.lit(v)))
+    return out
+
+
+def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None) -> DataFrame:
+    """Execute a MATCH query against catalog tables ``nodes`` and ``edges``."""
+    from velesdb_spark.velesql.translator import TranslationError, Translator
+
+    tr = Translator(catalog, params)
+    nodes = catalog.resolve("nodes").df
+    edges = catalog.resolve("edges").df
+    id_col = catalog.resolve("nodes").id_col
+
+    # Bindings: one column per node alias (its node id). Anonymous patterns
+    # get positional internal names.
+    aliases = []
+    for i, np in enumerate(q.nodes):
+        aliases.append(np.alias or f"_anon{i}")
+
+    start = _node_filter(nodes, q.nodes[0], tr.value)
+    cur = start.select(F.col(id_col).alias(f"_b_{aliases[0]}"))
+
+    for i, rel in enumerate(q.rels):
+        target_pat = q.nodes[i + 1]
+        target_alias = aliases[i + 1]
+        prev_alias = aliases[i]
+        e = edges
+        if rel.types:
+            e = e.filter(F.col("label").isin(list(rel.types)))
+        for name, val in rel.properties:
+            e = e.filter(F.col(name).eqNullSafe(F.lit(tr.value(val))))
+
+        max_d = min(rel.max_depth, SAFETY_DEPTH_CAP)
+        if rel.min_depth == 1 and max_d == 1:
+            # single hop — one join
+            hop = _rel_join(cur, e, f"_b_{prev_alias}", f"_b_{target_alias}", rel.direction)
+        else:
+            # variable-length: iterate, keep first-encounter depth per binding
+            frontier = cur.withColumn("_cur", F.col(f"_b_{prev_alias}"))
+            seen = frontier.select(*cur.columns, F.col("_cur").alias("_node")).distinct()
+            levels = None
+            for depth in range(1, max_d + 1):
+                nxt = _step(frontier.select(*cur.columns, "_cur"), e, rel.direction, ())
+                nxt = nxt.select(*cur.columns, F.col("_next").alias("_node")).distinct()
+                nxt = nxt.join(seen, on=[*cur.columns, "_node"], how="left_anti")
+                if depth >= 3:
+                    nxt = nxt.localCheckpoint(eager=False)
+                lvl = nxt.withColumn("_depth", F.lit(depth))
+                levels = lvl if levels is None else levels.union(lvl)
+                seen = seen.union(nxt)
+                frontier = nxt.withColumn("_cur", F.col("_node"))
+            hop = levels.filter(F.col("_depth") >= rel.min_depth) \
+                        .select(*cur.columns, F.col("_node").alias(f"_b_{target_alias}"))
+        # target node pattern filter
+        tgt = _node_filter(nodes, target_pat, tr.value).select(
+            F.col(id_col).alias(f"_b_{target_alias}"))
+        cur = hop.join(tgt, on=f"_b_{target_alias}", how="inner") \
+                 .select(*[f"_b_{a}" for a in aliases[: i + 2]]).distinct()
+
+    bound = [a for a in aliases]
+    target_alias = aliases[-1]
+
+    # Join node properties for every alias referenced in WHERE / RETURN
+    needed = _referenced_aliases(q, bound, target_alias)
+    out = cur
+    for a in needed:
+        props = nodes.select(
+            F.col(id_col).alias(f"_b_{a}"),
+            *[F.col(c).alias(f"{a}__{c}") for c in nodes.columns if c != id_col],
+        )
+        out = out.join(props, on=f"_b_{a}", how="left")
+
+    def resolve(name: str) -> Column:
+        if "." in name:
+            a, p = name.split(".", 1)
+            if a in bound:
+                return F.col(f"{a}__{p}")
+        if name in bound:
+            return F.col(f"_b_{name}")
+        return F.col(f"{target_alias}__{name}")  # bare prop → target node
+
+    if q.where is not None:
+        out = out.filter(_match_where(q.where, resolve, tr))
+
+    # RETURN projection
+    exprs = []
+    for item in q.returns:
+        if item.expr == "*":
+            for a in bound:
+                exprs.append(F.col(f"_b_{a}").alias(a))
+            continue
+        if item.expr == "similarity()":
+            exprs.append(F.col("_vql_sim").alias(item.alias or "similarity"))
+            continue
+        name = item.alias or item.expr
+        exprs.append(resolve(item.expr).alias(name))
+    result = out.select(*exprs)
+
+    if q.order_by:
+        oexprs = []
+        for ob in q.order_by:
+            c = F.col(ob.expr.replace(".", "__")) if isinstance(ob.expr, str) else None
+            if c is None:
+                raise TranslationError("MATCH ORDER BY supports column refs")
+            # ordered on projected names when available
+            name = ob.expr
+            if name in result.columns:
+                c = F.col(name)
+            oexprs.append(c.asc() if ob.ascending else c.desc())
+        result = result.orderBy(*oexprs)
+    return result.limit(q.limit if q.limit is not None else DEFAULT_MATCH_LIMIT)
+
+
+def _rel_join(cur: DataFrame, e: DataFrame, src_col: str, dst_col: str,
+              direction: str) -> DataFrame:
+    outs = []
+    if direction in ("out", "both"):
+        outs.append(cur.join(
+            e.select(F.col("src").alias(src_col), F.col("dst").alias(dst_col)),
+            on=src_col, how="inner"))
+    if direction in ("in", "both"):
+        outs.append(cur.join(
+            e.select(F.col("dst").alias(src_col), F.col("src").alias(dst_col)),
+            on=src_col, how="inner"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.distinct()
+
+
+def _referenced_aliases(q: ast.MatchQuery, bound: list[str], target: str) -> list[str]:
+    refs: set[str] = set()
+
+    def add_name(name: str):
+        if "." in name:
+            a = name.split(".", 1)[0]
+            refs.add(a if a in bound else target)
+        elif name not in bound:
+            refs.add(target)
+
+    def walk(c):
+        if c is None:
+            return
+        if isinstance(c, (ast.And, ast.Or)):
+            for x in c.conditions:
+                walk(x)
+        elif isinstance(c, ast.Not):
+            walk(c.condition)
+        elif isinstance(c, (ast.Compare, ast.In, ast.Between, ast.Like, ast.IsNull)):
+            add_name(c.column)
+        elif isinstance(c, ast.Similarity):
+            add_name(c.field_name)
+
+    walk(q.where)
+    for item in q.returns:
+        if item.expr not in ("*", "similarity()"):
+            add_name(item.expr)
+    for ob in q.order_by:
+        if isinstance(ob.expr, str):
+            add_name(ob.expr)
+    return sorted(refs)
+
+
+def _match_where(cond, resolve, tr) -> Column:
+    """WHERE over MATCH bindings (subset of the relational predicate set,
+    plus similarity() on node embedding columns)."""
+    from velesdb_spark.functions.distance import metric_score, similarity_passes
+
+    if isinstance(cond, ast.And):
+        out = _match_where(cond.conditions[0], resolve, tr)
+        for c in cond.conditions[1:]:
+            out = out & _match_where(c, resolve, tr)
+        return out
+    if isinstance(cond, ast.Or):
+        out = _match_where(cond.conditions[0], resolve, tr)
+        for c in cond.conditions[1:]:
+            out = out | _match_where(c, resolve, tr)
+        return out
+    if isinstance(cond, ast.Not):
+        return ~_match_where(cond.condition, resolve, tr)
+    if isinstance(cond, ast.Compare):
+        return tr._compare_col(resolve(cond.column), cond.op, tr.value(cond.value))
+    if isinstance(cond, ast.In):
+        return F.coalesce(resolve(cond.column).isin([tr.value(v) for v in cond.values]),
+                          F.lit(False))
+    if isinstance(cond, ast.Between):
+        return F.coalesce(
+            resolve(cond.column).between(F.lit(tr.value(cond.low)), F.lit(tr.value(cond.high))),
+            F.lit(False))
+    if isinstance(cond, ast.Like):
+        c = resolve(cond.column)
+        m = c.ilike(cond.pattern) if cond.case_insensitive else c.like(cond.pattern)
+        return F.coalesce(m, F.lit(False))
+    if isinstance(cond, ast.IsNull):
+        c = resolve(cond.column)
+        return c.isNotNull() if cond.negated else c.isNull()
+    if isinstance(cond, ast.Similarity):
+        vec = tr.value(cond.vector)
+        score = metric_score(resolve(cond.field_name),
+                             F.array(*[F.lit(float(x)) for x in vec]), "cosine")
+        return similarity_passes(score, cond.op, cond.threshold, "cosine")
+    raise ValueError(f"unsupported MATCH WHERE condition: {cond!r}")

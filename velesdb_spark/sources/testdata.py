@@ -1,0 +1,50 @@
+"""Loader for the driver's testdata parquet tables.
+
+The driver's parquet files use INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+by default; we read them as longs (spark.sql.legacy.parquet.nanosAsLong) and
+convert to proper TimestampType so SQL semantics (and DuckDB comparisons)
+line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velesdb_spark.velesql.translator import Catalog
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# nano-timestamp columns per table
+_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+# Catalog config for the non-relational tables
+_TABLE_CFG = {
+    "embeddings": dict(vector_col="embedding", id_col="vec_id"),
+    "documents": dict(id_col="doc_id", text_col="text"),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def make_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    cat = Catalog()
+    for t, df in load_tables(spark, sf_dir).items():
+        cat.register(t, df, **_TABLE_CFG.get(t, {}))
+    return cat

@@ -1,0 +1,531 @@
+"""VelesQL AST → Spark DataFrame translation.
+
+Replaces the reference's planner-in-a-match-statement
+(collection/search/query/mod.rs:78-352): instead of dispatching on
+(vector_search, similarity, filter) into over-fetch strategies, every special
+predicate becomes a score COLUMN on the base DataFrame and the WHERE tree
+becomes one boolean expression — Catalyst then orders filters, pushes
+predicates into the scan, and picks join strategies. Exact semantics, no
+over-fetch.
+
+Null semantics follow filter/matching.rs:9-43: leaf predicates evaluate to
+definite booleans (missing/null never yields SQL UNKNOWN): Eq/Gt/../Like/In
+are false on null, Neq is TRUE on null, NOT is pure negation.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions import fusion as fusion_mod
+from velesdb_spark.functions.bm25 import Bm25Index
+from velesdb_spark.functions.distance import (
+    higher_is_better,
+    metric_score,
+    similarity_passes,
+)
+from velesdb_spark.velesql import ast
+from velesdb_spark.velesql.parser import DEFAULT_LIMIT, MAX_LIMIT, parse
+
+
+class TranslationError(ValueError):
+    pass
+
+
+@dataclass
+class TableInfo:
+    """Per-collection config (the reference fixes metric at collection
+    creation — collection/types.rs:32-61)."""
+
+    df: DataFrame
+    metric: str = "cosine"
+    vector_col: str = "vector"
+    id_col: str = "id"
+    text_col: Optional[str] = None  # BM25 target; None → first string column
+
+
+@dataclass
+class Catalog:
+    tables: dict = dc_field(default_factory=dict)
+
+    def register(self, name: str, df: DataFrame, **cfg) -> "Catalog":
+        self.tables[name] = TableInfo(df=df, **cfg)
+        return self
+
+    def resolve(self, name: str) -> TableInfo:
+        if name not in self.tables:
+            raise TranslationError(f"unknown table: {name}")
+        return self.tables[name]
+
+
+def _col(name: str) -> Column:
+    # items[0].sku JSON-path indexing needs expr; plain dotted paths work in col()
+    if "[" in name:
+        return F.expr(name)
+    return F.col(name)
+
+
+def _never_null(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+class Translator:
+    def __init__(self, catalog: Catalog, params: Optional[dict] = None):
+        self.catalog = catalog
+        self.params = params or {}
+
+    # ------------------------------------------------------------ values
+    def value(self, v):
+        if isinstance(v, ast.Param):
+            if v.name not in self.params:
+                raise TranslationError(f"missing parameter: ${v.name}")
+            return self.params[v.name]
+        if isinstance(v, ast.Now):
+            return int(time.time())
+        if isinstance(v, ast.Interval):
+            return v.seconds
+        if isinstance(v, ast.TemporalArith):
+            left = self.value(v.left)
+            right = self.value(v.right)
+            return left + right if v.op == "+" else left - right
+        if isinstance(v, ast.Subquery):
+            sub = self.select(v.stmt, apply_default_limit=False)
+            rows = sub.limit(2).collect()
+            if not rows:
+                return None
+            if len(rows[0]) != 1:
+                raise TranslationError("scalar subquery must return one column")
+            return rows[0][0]
+        return v
+
+    # ------------------------------------------------------------ entry
+    def query(self, q: ast.Query) -> DataFrame:
+        if isinstance(q, ast.Compound):
+            left = self.select(q.left)
+            right = self.select(q.right)
+            if q.op == "union_all":
+                return left.union(right)
+            if q.op == "union":
+                return left.union(right).distinct()
+            if q.op == "intersect":
+                return left.intersect(right)
+            if q.op == "except":
+                return left.exceptAll(right).distinct()
+            raise TranslationError(f"unknown set op: {q.op}")
+        if isinstance(q, ast.MatchQuery):
+            from velesdb_spark.operators.graph import translate_match
+
+            return translate_match(q, self.catalog, self.params)
+        return self.select(q)
+
+    # ------------------------------------------------------------ SELECT
+    def select(self, s: ast.Select, apply_default_limit: bool = True) -> DataFrame:
+        info = self.catalog.resolve(s.table)
+        base = info.df
+        base_alias = s.table_alias or s.table
+        if s.joins:
+            base = base.alias(base_alias)
+            for j in s.joins:
+                rinfo = self.catalog.resolve(j.table)
+                right = rinfo.df.alias(j.alias or j.table)
+                how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[j.how]
+                if j.using:
+                    base = base.join(right, on=list(j.using), how=how)
+                else:
+                    cond = F.col(j.left_col) == F.col(j.right_col)
+                    base = base.join(right, on=cond, how=how)
+
+        # --- special predicates → score columns
+        st = _SearchState(self, info)
+        pred = None
+        if s.where is not None:
+            base, pred = st.prepare(base, s.where)
+
+        limit = s.limit
+        if limit is not None:
+            limit = min(limit, MAX_LIMIT)
+
+        has_agg = any(isinstance(c, ast.Aggregate) for c in s.columns) or s.group_by
+        if s.having is not None and not s.group_by:
+            # aggregation.rs:144-149 — HAVING requires GROUP BY
+            raise TranslationError("HAVING requires GROUP BY")
+
+        if pred is not None:
+            base = base.filter(pred)
+
+        if has_agg:
+            return self._aggregate(base, s, limit)
+
+        score_order = st.final_order()
+        search_present = score_order is not None
+
+        # ORDER BY (select-list aliases resolve to their source expressions,
+        # since ordering happens pre-projection)
+        alias_map = {c.alias: c.name for c in s.columns
+                     if isinstance(c, ast.Column) and c.alias}
+        order_exprs = self._order_exprs(s.order_by, st, alias_map)
+        if not order_exprs and score_order is not None:
+            order_exprs = score_order
+
+        if s.distinct:
+            out = self._project(base, s.columns, st, search_present)
+            out = out.dropDuplicates()
+            if order_exprs:
+                out = out.orderBy(*order_exprs)
+        else:
+            if order_exprs:
+                base = base.orderBy(*order_exprs)
+            out = self._project(base, s.columns, st, search_present)
+
+        if limit is None and apply_default_limit and search_present:
+            # default limit 10 for search queries (query/mod.rs:84-87)
+            limit = DEFAULT_LIMIT
+        if s.offset:
+            out = out.offset(s.offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def _project(self, df: DataFrame, columns, st: "_SearchState",
+                 search_present: bool) -> DataFrame:
+        if not columns:  # SELECT *
+            drop = [c for c in df.columns if c.startswith("_vql_") and c != st.score_output]
+            out = df.drop(*drop)
+            if st.score_output and st.score_output in out.columns:
+                out = out.withColumnRenamed(st.score_output, "score")
+            return out
+        exprs = []
+        for c in columns:
+            name = c.alias or c.name
+            exprs.append(_col(c.name).alias(name))
+        return df.select(*exprs)
+
+    def _order_exprs(self, order_by, st: "_SearchState", alias_map=None):
+        alias_map = alias_map or {}
+        exprs = []
+        for item in order_by:
+            if isinstance(item.expr, ast.OrderBySimilarity):
+                vec = self.value(item.expr.vector)
+                score = metric_score(
+                    _col(st.info.vector_col if item.expr.field_name == "vector"
+                         else item.expr.field_name),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                    st.info.metric,
+                )
+                # direction: ASC request means "best first" → metric-aware
+                # inversion (ordering.rs:89-101, distance.rs:95-103)
+                best_desc = higher_is_better(st.info.metric)
+                effective_desc = best_desc if item.ascending else not best_desc
+                exprs.append(score.desc() if effective_desc else score.asc())
+            elif isinstance(item.expr, ast.Aggregate):
+                c = F.col(item.expr.output_name)
+                exprs.append(c.asc() if item.ascending else c.desc())
+            else:
+                c = _col(alias_map.get(item.expr, item.expr))
+                exprs.append(c.asc() if item.ascending else c.desc())
+        return exprs
+
+    # ------------------------------------------------------------ aggregates
+    def _aggregate(self, base: DataFrame, s: ast.Select, limit) -> DataFrame:
+        group_cols = list(s.group_by)
+        agg_items = [c for c in s.columns if isinstance(c, ast.Aggregate)]
+        plain_cols = [c for c in s.columns if isinstance(c, ast.Column)]
+        for c in plain_cols:
+            if group_cols and c.name not in group_cols:
+                raise TranslationError(
+                    f"column {c.name} must appear in GROUP BY or an aggregate")
+
+        def agg_expr(a: ast.Aggregate) -> Column:
+            if a.func == "count":
+                e = F.count(F.lit(1)) if a.arg == "*" else F.count(_col(a.arg))
+            else:
+                fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[a.func]
+                e = fn(_col(a.arg))
+            return e.alias(a.output_name)
+
+        aggs = [agg_expr(a) for a in agg_items]
+        seen = {a.output_name for a in agg_items}
+        having_extra = []
+        having_terms = []
+        if s.having:
+            for t in s.having.terms:
+                name = t.agg.output_name
+                if name not in seen:
+                    internal = f"_vql_h_{len(having_extra)}"
+                    having_extra.append(agg_expr(ast.Aggregate(t.agg.func, t.agg.arg, internal)))
+                    having_terms.append((internal, t.op, self.value(t.value)))
+                else:
+                    having_terms.append((name, t.op, self.value(t.value)))
+
+        if group_cols:
+            keys = [_col(g).alias(g) for g in group_cols]
+            grouped = base.groupBy(*keys).agg(*(aggs + having_extra)) if aggs or having_extra \
+                else base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_vql_cnt")).drop("_vql_cnt")
+            if s.with_options.get("max_groups"):
+                maxg = int(s.with_options["max_groups"])
+                n = grouped.count()
+                if n > maxg:
+                    raise TranslationError(
+                        f"GROUP BY produced {n} groups, exceeding max_groups={maxg}")
+        else:
+            if plain_cols:
+                raise TranslationError("mixed select requires GROUP BY")
+            grouped = base.agg(*(aggs + having_extra))
+
+        if s.having:
+            cond = None
+            conds = []
+            for name, op, val in having_terms:
+                conds.append(self._compare_col(F.col(name), op, val))
+            cond = conds[0]
+            for op_kw, c in zip(s.having.ops, conds[1:]):
+                cond = (cond & c) if op_kw == "AND" else (cond | c)
+            grouped = grouped.filter(cond)
+        grouped = grouped.drop(*[f"_vql_h_{i}" for i in range(len(having_extra))])
+
+        order_exprs = []
+        for item in s.order_by:
+            if isinstance(item.expr, ast.Aggregate):
+                c = F.col(item.expr.output_name)
+            else:
+                c = F.col(item.expr)
+            order_exprs.append(c.asc() if item.ascending else c.desc())
+        if order_exprs:
+            grouped = grouped.orderBy(*order_exprs)
+
+        # project in select-list order
+        out_cols = []
+        for c in s.columns:
+            if isinstance(c, ast.Aggregate):
+                out_cols.append(F.col(c.output_name))
+            else:
+                out_cols.append(F.col(c.alias or c.name))
+        if out_cols:
+            grouped = grouped.select(*out_cols)
+        if s.offset:
+            grouped = grouped.offset(s.offset)
+        if limit is not None:
+            grouped = grouped.limit(limit)
+        return grouped
+
+    # ------------------------------------------------------------ predicates
+    def _compare_col(self, c: Column, op: str, val) -> Column:
+        if isinstance(val, ast.ColumnRef):
+            other = _col(val.name)
+            if op == "=":
+                return c.eqNullSafe(other)
+            if op in ("!=", "<>"):
+                return ~c.eqNullSafe(other)
+            cmp = {">": c > other, ">=": c >= other, "<": c < other, "<=": c <= other}[op]
+            return _never_null(cmp)
+        if val is None:
+            if op == "=":
+                return c.isNull()
+            if op in ("!=", "<>"):
+                return c.isNotNull()
+            raise TranslationError(f"cannot compare with NULL using {op}")
+        lit = F.lit(val)
+        if op == "=":
+            return c.eqNullSafe(lit)
+        if op in ("!=", "<>"):
+            return ~c.eqNullSafe(lit)  # Neq matches missing (matching.rs:14-16)
+        cmp = {">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit}[op]
+        return _never_null(cmp)
+
+
+class _SearchState:
+    """Collects NEAR / NEAR_FUSED / similarity() / MATCH predicates from the
+    WHERE tree (the reference's extraction.rs:25-120), turns each into a score
+    column on the base DataFrame, and exposes the final implicit ordering."""
+
+    def __init__(self, tr: Translator, info: TableInfo):
+        self.tr = tr
+        self.info = info
+        self.counter = 0
+        self.near_score: Optional[str] = None
+        self.text_score: Optional[str] = None
+        self.sim_scores: list[str] = []
+        self.score_output: Optional[str] = None
+
+    def prepare(self, base: DataFrame, cond) -> tuple[DataFrame, Column]:
+        base, pred = self._walk(base, cond)
+        # Hybrid NEAR + MATCH → RRF-fused score (query/mod.rs:294-305,
+        # text.rs:113-203): rank each component, weight/(rank+60).
+        if self.near_score and self.text_score:
+            hib = higher_is_better(self.info.metric)
+            idc = self.info.id_col
+            wv = Window.orderBy(
+                F.desc(self.near_score) if hib else F.asc(self.near_score), F.asc(idc))
+            wt = Window.orderBy(F.desc(self.text_score), F.asc(idc))
+            base = base.withColumn("_vql_rank_v", F.row_number().over(wv) - 1)
+            base = base.withColumn("_vql_rank_t", F.row_number().over(wt) - 1)
+            base = base.withColumn(
+                "_vql_fused",
+                1.0 / (F.col("_vql_rank_v") + 60.0)
+                + F.when(F.col(self.text_score).isNotNull(),
+                         1.0 / (F.col("_vql_rank_t") + 60.0)).otherwise(0.0),
+            )
+            self.score_output = "_vql_fused"
+        elif self.near_score:
+            self.score_output = self.near_score
+        elif self.text_score:
+            self.score_output = self.text_score
+        elif self.sim_scores:
+            # cascade: last similarity filter's score wins (query/mod.rs:421-426)
+            self.score_output = self.sim_scores[-1]
+        return base, pred
+
+    def final_order(self):
+        if self.score_output is None:
+            return None
+        raw_metric_score = (
+            self.score_output in self.sim_scores
+            or (self.score_output == self.near_score
+                and self.score_output != "_vql_fusedv")
+        )
+        if raw_metric_score:
+            hib = higher_is_better(self.info.metric)
+            first = F.desc(self.score_output) if hib else F.asc(self.score_output)
+        else:
+            # fused / BM25 scores are always higher-is-better
+            first = F.desc_nulls_last(self.score_output)
+        return [first, F.asc(self.info.id_col)]
+
+    # -- tree walk: returns (augmented base, boolean Column)
+    def _walk(self, base: DataFrame, cond) -> tuple[DataFrame, Column]:
+        tr = self.tr
+        if isinstance(cond, ast.And):
+            preds = []
+            for c in cond.conditions:
+                base, p = self._walk(base, c)
+                preds.append(p)
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return base, out
+        if isinstance(cond, ast.Or):
+            preds = []
+            for c in cond.conditions:
+                base, p = self._walk(base, c)
+                preds.append(p)
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return base, out
+        if isinstance(cond, ast.Not):
+            base, p = self._walk(base, cond.condition)
+            return base, ~p  # pure negation (matching.rs:37)
+        if isinstance(cond, ast.Compare):
+            return base, tr._compare_col(_col(cond.column), cond.op, tr.value(cond.value))
+        if isinstance(cond, ast.In):
+            vals = [tr.value(v) for v in cond.values]
+            return base, _never_null(_col(cond.column).isin(vals))
+        if isinstance(cond, ast.Between):
+            lo, hi = tr.value(cond.low), tr.value(cond.high)
+            return base, _never_null(_col(cond.column).between(F.lit(lo), F.lit(hi)))
+        if isinstance(cond, ast.Like):
+            c = _col(cond.column)
+            m = c.ilike(cond.pattern) if cond.case_insensitive else c.like(cond.pattern)
+            return base, _never_null(m)
+        if isinstance(cond, ast.IsNull):
+            c = _col(cond.column)
+            return base, c.isNotNull() if cond.negated else c.isNull()
+        if isinstance(cond, ast.Similarity):
+            vec = tr.value(cond.vector)
+            name = self._next("sim")
+            field = self.info.vector_col if cond.field_name == "vector" else cond.field_name
+            base = base.withColumn(
+                name,
+                metric_score(_col(field), F.array(*[F.lit(float(x)) for x in vec]),
+                             self.info.metric),
+            )
+            self.sim_scores.append(name)
+            return base, similarity_passes(F.col(name), cond.op, cond.threshold,
+                                           self.info.metric)
+        if isinstance(cond, ast.VectorSearch):
+            vec = tr.value(cond.vector)
+            name = self._next("near")
+            base = base.withColumn(
+                name,
+                metric_score(_col(self.info.vector_col),
+                             F.array(*[F.lit(float(x)) for x in vec]), self.info.metric),
+            )
+            self.near_score = name
+            return base, F.lit(True)
+        if isinstance(cond, ast.VectorFusedSearch):
+            return self._fused(base, cond)
+        if isinstance(cond, ast.MatchText):
+            return self._match_text(base, cond)
+        raise TranslationError(f"unsupported condition: {cond!r}")
+
+    def _fused(self, base: DataFrame, cond: ast.VectorFusedSearch):
+        tr = self.tr
+        info = self.info
+        spec = cond.fusion or ast.FusionSpec()
+        hib = higher_is_better(info.metric)
+        names = []
+        for v in cond.vectors:
+            vec = tr.value(v)
+            name = self._next("fv")
+            base = base.withColumn(
+                name,
+                metric_score(_col(info.vector_col),
+                             F.array(*[F.lit(float(x)) for x in vec]), info.metric),
+            )
+            names.append(name)
+        strategy = spec.strategy
+        if strategy in ("average", "maximum", "max"):
+            arr = F.array(*[F.col(n) for n in names])
+            fusedc = (F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / len(names)
+                      if strategy == "average"
+                      else F.array_max(arr))
+            base = base.withColumn("_vql_fusedv", fusedc)
+        elif strategy == "rrf":
+            k = float(spec.params.get("k", fusion_mod.RRF_K))
+            rrf = None
+            for n in names:
+                w = Window.orderBy(F.desc(n) if hib else F.asc(n), F.asc(info.id_col))
+                base = base.withColumn(n + "_rk", F.row_number().over(w))
+                term = 1.0 / (F.lit(k) + F.col(n + "_rk"))
+                rrf = term if rrf is None else rrf + term
+            base = base.withColumn("_vql_fusedv", rrf)
+        elif strategy == "weighted":
+            aw = float(spec.params.get("avg_weight", 0.4))
+            mw = float(spec.params.get("max_weight", 0.4))
+            hw = float(spec.params.get("hit_weight", 0.2))
+            arr = F.array(*[F.col(n) for n in names])
+            avg = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / len(names)
+            base = base.withColumn(
+                "_vql_fusedv", aw * avg + mw * F.array_max(arr) + hw * F.lit(1.0))
+        else:
+            raise TranslationError(f"unknown fusion strategy: {strategy}")
+        self.near_score = "_vql_fusedv"
+        # fused scores are always higher-is-better; flag via text-style order
+        self._fused_present = True
+        return base, F.lit(True)
+
+    def _match_text(self, base: DataFrame, cond: ast.MatchText):
+        info = self.info
+        text_col = cond.column if cond.column in base.columns else (
+            info.text_col or cond.column)
+        idx = Bm25Index(info.df, id_col=info.id_col, text_col=text_col)
+        name = self._next("bm25")
+        scores = idx.scores(cond.query).withColumnRenamed("_bm25_score", name)
+        base = base.join(scores, on=info.id_col, how="left")
+        self.text_score = name
+        return base, F.col(name).isNotNull()
+
+    def _next(self, tag: str) -> str:
+        self.counter += 1
+        return f"_vql_{tag}_{self.counter}"
+
+
+def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> DataFrame:
+    """Parse (if needed) and translate a VelesQL query to a DataFrame."""
+    q = parse(sql_or_ast) if isinstance(sql_or_ast, str) else sql_or_ast
+    return Translator(catalog, params).query(q)
