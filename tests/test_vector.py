@@ -1,0 +1,185 @@
+"""Vector search correctness — NumPy brute-force oracle (FIXTURES.md §6) and
+DuckDB list functions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from velesdb_spark.operators import topk
+from velesdb_spark.velesql.translator import translate
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def qvec(seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randn(DIM).round(3).tolist()
+
+
+def np_topk(ids, mat, q, k, metric):
+    q = np.asarray(q)
+    if metric == "cosine":
+        qn = np.linalg.norm(q)
+        mn = np.linalg.norm(mat, axis=1)
+        scores = np.where((mn == 0) | (qn == 0), 0.0, mat @ q / (mn * qn + 1e-300))
+        order = np.lexsort((ids, -scores))
+    elif metric == "dot":
+        scores = mat @ q
+        order = np.lexsort((ids, -scores))
+    elif metric == "euclidean":
+        scores = np.linalg.norm(mat - q, axis=1)
+        order = np.lexsort((ids, scores))
+    else:
+        raise ValueError(metric)
+    return [(int(ids[i]), float(scores[i])) for i in order[:k]]
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_knn_matches_numpy(catalog, emb_np, metric):
+    ids, mat = emb_np
+    q = qvec()
+    df = catalog.resolve("embeddings").df
+    got = topk.knn(df, q, 10, metric, "embedding", "vec_id").select("vec_id", "score").collect()
+    want = np_topk(ids, mat, q, 10, metric)
+    assert [r.vec_id for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r.score - w[1]) < 1e-9
+
+
+def test_knn_batch(catalog, emb_np):
+    ids, mat = emb_np
+    df = catalog.resolve("embeddings").df
+    queries = [(0, qvec(1)), (1, qvec(2)), (2, qvec(3))]
+    got = topk.knn_batch(df, queries, 5, "cosine", "embedding", "vec_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.score))
+    for qid, q in queries:
+        want = np_topk(ids, mat, q, 5, "cosine")
+        assert [x[0] for x in by_q[qid]] == [w[0] for w in want]
+
+
+def test_near_velesql(catalog, emb_np):
+    ids, mat = emb_np
+    q = qvec(11)
+    vec_str = ", ".join(f"{x}" for x in q)
+    out = translate(
+        f"SELECT vec_id, label FROM embeddings WHERE vector NEAR [{vec_str}] LIMIT 7",
+        catalog)
+    got = out.collect()
+    want = np_topk(ids, mat, q, 7, "cosine")
+    assert [r.vec_id for r in got] == [w[0] for w in want]
+
+
+def test_near_default_limit(catalog):
+    q = qvec(12)
+    out = translate("SELECT * FROM embeddings WHERE vector NEAR $v", catalog,
+                    {"v": q})
+    assert out.count() == 10  # default limit 10 (query/mod.rs:84-87)
+    assert "score" in out.columns
+
+
+def test_similarity_threshold(catalog, emb_np):
+    ids, mat = emb_np
+    q = qvec(13)
+    out = translate(
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $v) > 0.2 "
+        "ORDER BY vec_id LIMIT 100000", catalog, {"v": q})
+    got = [r.vec_id for r in out.collect()]
+    qn = np.linalg.norm(q)
+    mn = np.linalg.norm(mat, axis=1)
+    scores = mat @ np.asarray(q) / (mn * qn)
+    want = sorted(int(i) for i, s in zip(ids, scores) if s > 0.2)
+    assert got == want
+
+
+def test_similarity_euclidean_inversion(spark):
+    """similarity > t means distance < t for distance metrics
+    (query/mod.rs:396-416)."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [10.0, 0.0])],
+        "id bigint, vector array<float>")
+    cat = Catalog()
+    cat.register("t", df, metric="euclidean")
+    out = translate("SELECT id FROM t WHERE similarity(vector, $v) > 6.0 "
+                    "ORDER BY id", cat, {"v": [0.0, 0.0]})
+    assert [r.id for r in out.collect()] == [1, 2]  # distance < 6
+
+
+def test_order_by_similarity(catalog, emb_np):
+    ids, mat = emb_np
+    q = qvec(14)
+    out = translate(
+        "SELECT vec_id FROM embeddings ORDER BY similarity(vector, $v) DESC "
+        "LIMIT 5", catalog, {"v": q})
+    want = np_topk(ids, mat, q, 5, "cosine")
+    assert [r.vec_id for r in out.collect()] == [w[0] for w in want]
+
+
+def test_near_fused_average(catalog, emb_np):
+    ids, mat = emb_np
+    q1, q2 = qvec(21), qvec(22)
+    out = translate(
+        "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
+        "USING FUSION 'average' LIMIT 5", catalog, {"a": q1, "b": q2})
+    qn1, qn2 = np.linalg.norm(q1), np.linalg.norm(q2)
+    mn = np.linalg.norm(mat, axis=1)
+    s1 = mat @ np.asarray(q1) / (mn * qn1)
+    s2 = mat @ np.asarray(q2) / (mn * qn2)
+    avg = (s1 + s2) / 2
+    order = np.lexsort((ids, -avg))
+    assert [r.vec_id for r in out.collect()] == [int(ids[i]) for i in order[:5]]
+
+
+def test_hamming_jaccard(spark):
+    from velesdb_spark.functions.distance import metric_score
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 1.0], [1.0, 1.0, 0.0, 1.0])],
+        "id bigint, a array<float>, b array<float>")
+    row = df.select(
+        metric_score(F.col("a"), F.col("b"), "hamming").alias("h"),
+        metric_score(F.col("a"), F.col("b"), "jaccard").alias("j"),
+    ).collect()[0]
+    assert row.h == 2.0
+    assert abs(row.j - 0.5) < 1e-12  # intersection {0,3}=2, union {0,1,2,3}=4
+
+
+def test_zero_vector_cosine(spark):
+    from velesdb_spark.functions.distance import metric_score
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id bigint, v array<float>")
+    row = df.select(
+        metric_score(F.col("v"), F.array(F.lit(1.0), F.lit(0.0)), "cosine").alias("s")
+    ).collect()[0]
+    assert row.s == 0.0  # simd_explicit.rs:184
+
+
+def test_knn_vs_duckdb(catalog, duck):
+    q = qvec(31)
+    vec_sql = "[" + ", ".join(str(x) for x in q) + "]::DOUBLE[]"
+    df = catalog.resolve("embeddings").df
+    sdf = (
+        topk.knn(df, q, 10, "cosine", "embedding", "vec_id")
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+    assert_matches_oracle(sdf, duck, f"""
+        SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {vec_sql}), 6) AS score
+        FROM embeddings ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_sql}) DESC, vec_id
+        LIMIT 10""")

@@ -217,10 +217,12 @@ class Translator:
                     F.array(*[F.lit(float(x)) for x in vec]),
                     st.info.metric,
                 )
-                # direction: ASC request means "best first" → metric-aware
-                # inversion (ordering.rs:89-101, distance.rs:95-103)
-                best_desc = higher_is_better(st.info.metric)
-                effective_desc = best_desc if item.ascending else not best_desc
+                # Direction is metric-aware (ordering.rs:146-163): for
+                # similarity metrics DESC = score desc; for distance metrics
+                # the comparison inverts (DESC = distance asc = most similar
+                # first).
+                hib = higher_is_better(st.info.metric)
+                effective_desc = (not item.ascending) if hib else item.ascending
                 exprs.append(score.desc() if effective_desc else score.asc())
             elif isinstance(item.expr, ast.Aggregate):
                 c = F.col(item.expr.output_name)
