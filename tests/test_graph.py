@@ -1,0 +1,147 @@
+"""Graph BFS + MATCH correctness — hand-computed oracles with the reference's
+visited-set semantics (streaming.rs BfsIterator: each node once, at min depth,
+start excluded; traversal.rs depth bounds)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from velesdb_spark.operators.graph import bfs, node_degree
+from velesdb_spark.velesql.translator import Catalog, translate
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    # 1→2→3→4→5 chain; 3→1 back-cycle; hub 10 → 11..15; 20 isolated
+    # labels: odd=Person, even=Doc; 1 also Author
+    nodes = spark.createDataFrame(
+        [
+            (1, ["Person", "Author"], "alice", 30),
+            (2, ["Doc"], "d2", None),
+            (3, ["Person"], "carol", 40),
+            (4, ["Doc"], "d4", None),
+            (5, ["Person"], "eve", 25),
+            (10, ["Person"], "hub", 50),
+            (11, ["Doc"], "d11", None),
+            (12, ["Doc"], "d12", None),
+            (13, ["Doc"], "d13", None),
+            (20, ["Person"], "lone", 99),
+        ],
+        "id bigint, labels array<string>, name string, age bigint",
+    )
+    edges = spark.createDataFrame(
+        [
+            (100, 1, 2, "KNOWS", 1.0),
+            (101, 2, 3, "KNOWS", 1.0),
+            (102, 3, 4, "CITES", 0.5),
+            (103, 4, 5, "KNOWS", 1.0),
+            (104, 3, 1, "KNOWS", 1.0),  # cycle
+            (105, 10, 11, "WROTE", 1.0),
+            (106, 10, 12, "WROTE", 1.0),
+            (107, 10, 13, "CITES", 1.0),
+        ],
+        "id bigint, src bigint, dst bigint, label string, weight double",
+    )
+    cat = Catalog()
+    cat.register("nodes", nodes)
+    cat.register("edges", edges)
+    return cat, nodes, edges
+
+
+def test_bfs_min_depth_semantics(g):
+    _, _, edges = g
+    out = {(r.node_id, r.depth) for r in bfs(edges, [1], 1, 3).collect()}
+    # 1→2(d1)→3(d2)→{4,1}(d3); 1 is start → excluded
+    assert out == {(2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_depth_range(g):
+    _, _, edges = g
+    out = {(r.node_id, r.depth) for r in bfs(edges, [1], 2, 4).collect()}
+    assert out == {(3, 2), (4, 3), (5, 4)}
+
+
+def test_bfs_rel_types_direction(g):
+    _, _, edges = g
+    out = {r.node_id for r in bfs(edges, [3], 1, 2, rel_types=["KNOWS"]).collect()}
+    assert out == {1, 2}  # 3→1 (KNOWS), 1→2
+    rev = {r.node_id for r in bfs(edges, [3], 1, 1, direction="in").collect()}
+    assert rev == {2}
+    both = {r.node_id for r in bfs(edges, [3], 1, 1, direction="both").collect()}
+    assert both == {1, 2, 4}
+
+
+def test_bfs_multi_source(g):
+    _, _, edges = g
+    out = bfs(edges, [1, 10], 1, 1).collect()
+    d = {}
+    for r in out:
+        d.setdefault(r.start_id, set()).add(r.node_id)
+    assert d == {1: {2}, 10: {11, 12, 13}}
+
+
+def test_node_degree(g):
+    _, _, edges = g
+    deg = {r.node_id: r.degree for r in node_degree(edges).collect()}
+    assert deg[10] == 3 and deg[3] == 3 and deg[1] == 2
+
+
+def test_match_single_hop(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a:Person {name: 'alice'})-[:KNOWS]->(b) RETURN b.name AS name",
+        cat)
+    assert [r.name for r in out.collect()] == ["d2"]
+
+
+def test_match_var_length(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a {name: 'alice'})-[*1..3]->(b) RETURN b.name AS name", cat)
+    assert sorted(r.name for r in out.collect()) == ["carol", "d2", "d4"]
+
+
+def test_match_rel_alternation(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a {name: 'hub'})-[:WROTE|CITES]->(b:Doc) RETURN b.name AS name",
+        cat)
+    assert sorted(r.name for r in out.collect()) == ["d11", "d12", "d13"]
+
+
+def test_match_where_and_order(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a:Person)-[*1..2]->(b:Person) WHERE b.age > 20 "
+        "RETURN a.name AS src, b.name AS dst ORDER BY src, dst", cat)
+    rows = [(r.src, r.dst) for r in out.collect()]
+    # alice→(d2)→carol; carol→alice (d1 via KNOWS); eve: none; hub: none
+    assert ("alice", "carol") in rows and ("carol", "alice") in rows
+
+
+def test_match_incoming(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a:Doc)<-[:WROTE]-(b) RETURN a.name AS doc, b.name AS who "
+        "ORDER BY doc", cat)
+    rows = [(r.doc, r.who) for r in out.collect()]
+    assert rows == [("d11", "hub"), ("d12", "hub")]
+
+
+def test_match_multi_label_and_no_rel(g):
+    cat, _, _ = g
+    out = translate("MATCH (a:Person:Author) RETURN a.name AS name", cat)
+    assert [r.name for r in out.collect()] == ["alice"]
+
+
+def test_match_two_hop_chain_pattern(g):
+    cat, _, _ = g
+    out = translate(
+        "MATCH (a {name: 'alice'})-[:KNOWS]->(b)-[:KNOWS]->(c) "
+        "RETURN c.name AS name", cat)
+    assert [r.name for r in out.collect()] == ["carol"]
+
+
+def test_match_default_limit(g):
+    cat, _, _ = g
+    out = translate("MATCH (a) RETURN a.name AS name", cat)
+    assert out.count() == 10  # all nodes, under default limit 100
