@@ -1,0 +1,138 @@
+"""Dedup + text-analysis operators: self-consistency and Spark↔DuckDB hash
+parity (the md5-based fingerprints must be identical in both engines — this
+is what makes the driver's oracle checks possible)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from velesdb_spark.functions import dedup, text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(catalog):
+    return catalog.resolve("documents").df
+
+
+def test_fingerprint_parity(docs, duck):
+    sdf = docs.select("doc_id", dedup.content_fingerprint(F.col("text")).alias("fp")) \
+        .orderBy("doc_id").limit(50)
+    assert_matches_oracle(sdf, duck, r"""
+        SELECT doc_id, CAST(('0x' || substr(md5(
+            trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+                 '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+        FROM documents ORDER BY doc_id LIMIT 50""")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World!"), (2, "hello world"), (3, "different text")],
+        "id bigint, text string")
+    out = {r.id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 normalize identically
+
+
+def test_minhash_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+        (3, "completely unrelated content about spark and databases"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in got
+    assert (1, 2) in got or (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in pairs
+    # shingles(1) = {abg, bgd, gde}; shingles(2) = {abg, bgd, gdz}; J = 2/4
+    assert abs(pairs[(1, 2)] - 0.5) < 1e-12
+    assert (1, 3) not in pairs
+
+
+def test_simhash_dedup(spark):
+    rows = [
+        (1, "spark is a distributed engine for large scale data"),
+        (2, "spark is a distributed engine for large scale data"),  # identical
+        (3, "cats meow loudly at midnight whenever hungry"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = dedup.simhash_dedup_pairs(df, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(1, 2)}
+
+
+def test_embedding_near_dups_brute_vs_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<float>")
+    brute = {(r.id_a, r.id_b) for r in
+             dedup.embedding_near_dups(df, 0.99, method="brute").collect()}
+    assert brute == {(1, 2)}
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.embedding_near_dups(df, 0.99, method="lsh").collect()}
+    assert lsh <= brute  # LSH is a recall-trading subset
+
+
+def test_token_count_parity(docs, duck):
+    sdf = docs.select("doc_id", ta.token_count(F.col("text")).alias("n_tokens")) \
+        .orderBy("doc_id").limit(100)
+    assert_matches_oracle(sdf, duck, r"""
+        SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+            '[^\p{L}\p{N}]+'), x -> x != '')) AS n_tokens
+        FROM documents ORDER BY doc_id LIMIT 100""")
+
+
+def test_quality_and_langid(docs):
+    out = docs.select(
+        "doc_id",
+        ta.quality_score(F.col("text")).alias("q"),
+        ta.lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert {r.lang for r in out} <= {"en", "es", "fr", "de", "zh", "und"}
+
+
+def test_lang_id_basic(spark):
+    rows = [
+        (1, "the cat and the dog is in that house for it"),
+        (2, "el gato y la casa de que los en un una por"),
+        (3, "le chat et la maison des les de du dans"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r.id: r.lang for r in
+           df.select("id", ta.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "fr" and got[4] == "und"
+
+
+def test_similarity_lsh_recall(catalog):
+    from velesdb_spark.functions.similarity import LshIndex
+    from velesdb_spark.operators.topk import knn
+
+    import numpy as np
+
+    df = catalog.resolve("embeddings").df
+    rng = np.random.RandomState(3)
+    q = rng.randn(64).tolist()
+    exact = [r.vec_id for r in
+             knn(df, q, 10, "cosine", "embedding", "vec_id").collect()]
+    idx = LshIndex(df, "embedding", "vec_id", nbits=4)
+    approx = [r.vec_id for r in idx.search(q, 10, multiprobe=2).collect()]
+    # ~2^4 buckets over 500 vecs, 3 probed → recall is imperfect but nonzero
+    assert len(set(exact) & set(approx)) >= 3

@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines (exact, MinHash/LSH,
+SimHash, n-gram Jaccard, embedding-cosine) — beyond reference parity, designed
+for 100 TB corpora.
+
+Scale design notes:
+- Exact dedup: hash-groupBy on a 64-bit content fingerprint — one shuffle on
+  the fingerprint, map-side combinable; never shuffles full text.
+- MinHash/LSH: per-doc signatures are JVM-side array expressions over word
+  shingles (md5-based hashes — deterministic, identical in DuckDB for
+  oracles); candidate generation joins docs on (band, band_hash), so the
+  shuffle carries only (id, band_hash) pairs; exact Jaccard verifies
+  candidates only. This is the standard near-dup pipeline (shingle → minhash
+  → band → bucket-join) used on web-scale corpora.
+- SimHash: 32-bit signature via per-bit majority vote over token hashes;
+  near-dups = signatures at small Hamming distance (bucketed by signature
+  prefix at scale).
+- Embedding near-dup: brute-force cosine self-join for small N; LSH-bucketed
+  (random-hyperplane) self-join as the scale path (see
+  functions/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions.text_analysis import normalized_text, word_tokens
+
+DEFAULT_SHINGLE = 3
+DEFAULT_MINHASHES = 16
+DEFAULT_BANDS = 4  # 16 hashes / 4 rows per band
+
+
+def content_fingerprint(col: Column) -> Column:
+    """64-bit exact-dup key on normalized text (md5-derived, SQL-reproducible)."""
+    return F.conv(F.substring(F.md5(normalized_text(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "id") -> DataFrame:
+    """Keep the minimum id per normalized-content fingerprint."""
+    fp = content_fingerprint(F.col(text_col))
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of normalized text. Docs with < n words
+    produce their full token join as a single shingle."""
+    toks = word_tokens(normalized_text(col))
+    k = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k > 0, F.array_distinct(ngrams)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(col: Column, num_hashes: int = DEFAULT_MINHASHES,
+                      n: int = DEFAULT_SHINGLE) -> Column:
+    """MinHash signature: for seed i, min over shingles of md5(i || '|' || s)
+    (lexicographic min of hex strings — identical semantics in any engine)."""
+    sh = shingles(col, n)
+    parts = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*parts)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "id",
+                           num_hashes: int = DEFAULT_MINHASHES,
+                           bands: int = DEFAULT_BANDS,
+                           n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.md5(F.concat_ws("|", *[
+                F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)
+            ])).alias(f"_band{b}"))
+    banded = sig.select("_id", *band_cols)
+    buckets = None
+    for b in range(bands):
+        part = banded.select("_id", F.lit(b).alias("_b"),
+                             F.col(f"_band{b}").alias("_bh"))
+        buckets = part if buckets is None else buckets.union(part)
+    a = buckets.select(F.col("_id").alias("id_a"), "_b", "_bh")
+    bb = buckets.select(F.col("_id").alias("id_b"), "_b", "_bh")
+    return (
+        a.join(bb, on=["_b", "_bh"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def jaccard_of_shingles(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "id", n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs → (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
+    out = (
+        pairs
+        .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "id",
+                        num_hashes: int = DEFAULT_MINHASHES,
+                        bands: int = DEFAULT_BANDS,
+                        n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Full pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
+    return jaccard_of_shingles(df, cands, text_col, id_col, n) \
+        .filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "id",
+                        n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold via inverted shingle index
+    (no O(N²) crossJoin: pairs come from docs sharing ≥1 shingle; the join
+    key is the shingle hash)."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(shingles(F.col(text_col), n)).alias("_s"))
+    sh = sh.withColumn("_s", F.md5("_s"))
+    a = sh.withColumnRenamed("_id", "id_a")
+    b = sh.withColumnRenamed("_id", "id_b")
+    pairs = (a.join(b, "_s").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    return jaccard_of_shingles(df, pairs, text_col, id_col, n) \
+        .filter(F.col("jaccard") >= threshold)
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over word tokens: per-bit majority vote of md5(token)
+    bits (first 8 hex chars = 32 bits). Pure JVM expressions; reproducible in
+    SQL with the same md5-nibble arithmetic."""
+    toks = word_tokens(normalized_text(col))
+
+    def bit_vote(nibble_idx: int, bit_in_nibble: int):
+        def merge(acc, t):
+            is_set = (
+                F.conv(F.substring(F.md5(t), nibble_idx, 1), 16, 10)
+                .cast("int").bitwiseAND(F.lit(1 << bit_in_nibble)) > 0)
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), merge)
+
+    total = F.lit(0).cast("bigint")
+    for bit in range(32):
+        vote = bit_vote(bit // 4 + 1, bit % 4)  # 1-based hex char position
+        total = total + F.when(vote > 0, F.lit(1 << bit).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    return total
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Popcount of XOR for 32-bit values (bit_count is native in Spark)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(df: DataFrame, max_hamming: int = 3,
+                        text_col: str = "text", id_col: str = "id") -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming. Buckets by
+    16-bit signature halves (a pair within distance ≤ max_hamming shares at
+    least one exact half when max_hamming ≤ 1 per half; with 2 halves this is
+    exact for max_hamming ≤ 1 and high-recall above) — avoids O(N²)."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash32(F.col(text_col)).alias("_sh"))
+    lo = (F.col("_sh").bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
+    hi = (F.shiftright(F.col("_sh"), 16).bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
+    buckets = sig.select("_id", "_sh", lo, F.lit(0).alias("_half")) \
+        .union(sig.select("_id", "_sh", hi, F.lit(1).alias("_half")))
+    a = buckets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
+                       "_bkt", "_half")
+    b = buckets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
+                       "_bkt", "_half")
+    return (
+        a.join(b, ["_bkt", "_half"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming32(F.col("_sha"), F.col("_shb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        vector_col: str = "embedding", id_col: str = "id",
+                        method: str = "brute") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    'brute' = exact self-join (O(N²) scores, JVM-side — fine to ~10⁵ rows);
+    'lsh' = random-hyperplane bucketed self-join (scale path): only pairs in
+    the same hyperplane-sign bucket are scored.
+    """
+    from velesdb_spark.functions.distance import cosine_similarity
+    from velesdb_spark.functions.similarity import hyperplane_bucket
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    if method == "lsh":
+        dim = len(df.select(vector_col).first()[0])
+        a = a.withColumn("_bkt", hyperplane_bucket(F.col("_va"), dim))
+        b = b.withColumn("_bkt", hyperplane_bucket(F.col("_vb"), dim))
+        joined = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

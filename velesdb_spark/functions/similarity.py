@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns: exact brute-force top-k (the
+baseline — see operators/topk.py) plus approximate scale paths:
+
+- Random-hyperplane LSH (cosine): deterministic hyperplanes derived from a
+  seeded RNG; bucket = sign-bit string of hyperplane dot products. Search
+  probes the query's bucket (and optional multi-probe neighbors flipping one
+  bit). At 100 TB the bucketed table is written partitioned by bucket so a
+  query reads one partition.
+- IVF (inverted file): k-means centroids (MLlib) → assign each vector to its
+  nearest centroid → search probes the nprobe nearest centroids' partitions.
+
+Both trade recall for a ~buckets× scan reduction; exact re-ranking inside the
+probed buckets keeps precision.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions.distance import cosine_similarity, metric_score
+from velesdb_spark.operators.topk import vector_lit
+
+DEFAULT_NBITS = 8
+LSH_SEED = 42
+
+
+def _hyperplanes(dim: int, nbits: int = DEFAULT_NBITS, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim)
+
+
+def hyperplane_bucket(vec: Column, dim: int, nbits: int = DEFAULT_NBITS,
+                      seed: int = LSH_SEED) -> Column:
+    """Sign-bit bucket id (0..2^nbits-1) as a JVM-side expression."""
+    planes = _hyperplanes(dim, nbits, seed)
+    bucket = F.lit(0)
+    for i in range(nbits):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in planes[i]]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+class LshIndex:
+    """Bucketed cosine ANN. build() materializes (id, vector, bucket);
+    search() probes the query bucket (+ multiprobe) and re-ranks exactly."""
+
+    def __init__(self, df: DataFrame, vector_col: str = "embedding",
+                 id_col: str = "id", nbits: int = DEFAULT_NBITS,
+                 seed: int = LSH_SEED, dim: Optional[int] = None):
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self.nbits = nbits
+        self.seed = seed
+        self.dim = dim or len(df.select(vector_col).first()[0])
+        self.planes = _hyperplanes(self.dim, nbits, seed)
+        self.bucketed = df.withColumn(
+            "_bucket", hyperplane_bucket(F.col(vector_col), self.dim, nbits, seed))
+
+    def _query_buckets(self, q: Sequence[float], multiprobe: int = 1) -> list[int]:
+        dots = self.planes @ np.asarray(q, dtype=float)
+        base = sum(1 << i for i, d in enumerate(dots) if d > 0)
+        buckets = [base]
+        if multiprobe > 0:
+            # flip the bits with the smallest |dot| first (closest boundaries)
+            order = np.argsort(np.abs(dots))
+            for i in order[:multiprobe]:
+                buckets.append(base ^ (1 << int(i)))
+        return buckets
+
+    def search(self, q: Sequence[float], k: int = 10, multiprobe: int = 1) -> DataFrame:
+        buckets = self._query_buckets(q, multiprobe)
+        cand = self.bucketed.filter(F.col("_bucket").isin(buckets))
+        scored = cand.withColumn(
+            "score", cosine_similarity(F.col(self.vector_col), vector_lit(q)))
+        return (scored.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
+                .drop("_bucket"))
+
+
+class IvfIndex:
+    """Inverted-file ANN: k-means centroids, probe nprobe nearest lists."""
+
+    def __init__(self, df: DataFrame, vector_col: str = "embedding",
+                 id_col: str = "id", n_centroids: int = 16, seed: int = LSH_SEED):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        self.vector_col = vector_col
+        self.id_col = id_col
+        feats = df.withColumn("_feat", array_to_vector(
+            F.transform(F.col(vector_col), lambda x: x.cast("double"))))
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat",
+                    predictionCol="_list")
+        self.model = km.fit(feats)
+        self.assigned = self.model.transform(feats).drop("_feat")
+        self.centroids = np.array([c.toArray() for c in self.model.clusterCenters()])
+
+    def search(self, q: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        qa = np.asarray(q, dtype=float)
+        d = np.linalg.norm(self.centroids - qa, axis=1)
+        lists = [int(i) for i in np.argsort(d)[:nprobe]]
+        cand = self.assigned.filter(F.col("_list").isin(lists))
+        scored = cand.withColumn(
+            "score", cosine_similarity(F.col(self.vector_col), vector_lit(q)))
+        return (scored.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
+                .drop("_list"))
+
+
+def cosine_topk_join(left: DataFrame, right: DataFrame, k: int,
+                     left_vec: str = "embedding", right_vec: str = "embedding",
+                     left_id: str = "id", right_id: str = "id") -> DataFrame:
+    """For each left row, its top-k right rows by cosine — the similarity-join
+    building block (brute force; pair count |L|·|R|, scored JVM-side)."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lv"))
+    r = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rv"))
+    scored = l.crossJoin(r).withColumn(
+        "score", cosine_similarity(F.col("_lv"), F.col("_rv")))
+    w = Window.partitionBy("_lid").orderBy(F.desc("score"), F.asc("_rid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+        .select(F.col("_lid").alias(left_id + "_l"),
+                F.col("_rid").alias(right_id + "_r"), "score", F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond reference parity (the reference has no text analytics beyond BM25);
+designed for the 100 TB documents regime: every function here is a native
+Column expression (JVM-side, whole-stage-codegen friendly, no Python UDFs),
+so they compose with filters/aggregations and scale linearly.
+
+All expressions are deterministic and reproducible in ANSI SQL (DuckDB) for
+oracle checking; hashes use md5 (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword seed (language-id heuristic); deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
+    "es": ["el", "la", "de", "que", "los", "en", "un", "una", "por", "con"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "im"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace-ish word split (lowercased, non-alphanumeric separators)."""
+    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Word-token count (whitespace+punct split)."""
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-like subword estimate: word-piece regex (runs of letters up to 4
+    chars count as multiple pieces) — a deterministic proxy for tokenizer
+    budgeting: ceil(chars_in_words / 4) + punctuation marks."""
+    word_chars = F.aggregate(
+        word_tokens(col), F.lit(0), lambda acc, t: acc + F.length(t))
+    punct = F.size(F.filter(F.split(col, ""), lambda c: c.rlike(r"[^\w\s]")))
+    return (F.ceil(word_chars / F.lit(4.0)) + punct).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_word_length(col: Column) -> Column:
+    toks = word_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = word_tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[^\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation noise + word-length sanity. Deterministic arithmetic
+    (oracle-checkable); tune weights per corpus."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(col, lang)
+    sw_ok = F.when((sw > 0.01) & (sw < 0.6), 1.0).otherwise(0.0)
+    pr = punct_ratio(col)
+    punct_ok = F.when(pr < 0.2, 1.0).otherwise(0.0)
+    awl = avg_word_length(col)
+    wl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    return (0.3 * len_ok + 0.3 * sw_ok + 0.2 * punct_ok + 0.2 * wl_ok)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language id over {en,es,fr,de,zh}: language with the
+    highest stopword hit-count wins; 'und' when no hits. N-gram-free
+    heuristic that is exactly reproducible in SQL."""
+    toks = word_tokens(col)
+    out = F.lit("und")
+    best = F.lit(0)
+    # build nested CASE: iterate deterministically, strictly-greater wins →
+    # first language in insertion order wins ties
+    def hit_counter(words):
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    exprs = [(lang, hit_counter(words)) for lang, words in STOPWORDS.items()]
+    # fold: select lang with max hits, ties → earlier language
+    score = F.greatest(*[h for _, h in exprs])
+    out = F.lit("und")
+    for lang, hits in reversed(exprs):
+        out = F.when(hits == score, F.lit(lang)).otherwise(out)
+    return F.when(score > 0, out).otherwise(F.lit("und"))
+
+
+def fingerprint64(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint: first 16 hex chars of md5
+    → BIGINT (reference has no fingerprinting; rolling-hash analog for
+    dedup joins). Reproducible in DuckDB as
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text for near-dup fingerprinting: lowercase, collapse
+    whitespace, strip punctuation."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}\s]", " "), r"\s+", " "))
