@@ -1,38 +1,625 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or an LLM-pipeline
+extension), implemented Spark-first in velesdb_spark; ``oracle_sql()`` holds
+the equivalent ANSI SQL for DuckDB over the same parquet views.
+
+Float discipline: every float output column is rounded identically (round(x,
+N)) in BOTH the Spark query and the oracle so the driver's value-hash is
+stable across engines; every LIMIT has a deterministic (score, id) tie-break.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ----------------------------------------------------------------- helpers
+
+_CATALOGS: dict = {}
+
+
+def _catalog(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        from velesdb_spark.sources.testdata import make_catalog
+
+        _CATALOGS[key] = make_catalog(spark, sf_dir)
+    return _CATALOGS[key]
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return _catalog(spark, sf_dir).resolve(name).df
+
+
+def _vql(spark, sf_dir, sql, params=None) -> DataFrame:
+    from velesdb_spark.velesql.translator import translate
+
+    return translate(sql, _catalog(spark, sf_dir), params)
+
+
+def _qvec(seed: int, dim: int = 64) -> list[float]:
+    rng = np.random.RandomState(seed)
+    return [round(float(x), 4) for x in rng.randn(dim)]
+
+
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+QV1, QV2, QV3, QV4 = _qvec(7), _qvec(11), _qvec(13), _qvec(17)
+
+# DuckDB token/shingle/normalize fragments (must mirror
+# velesdb_spark.functions.{bm25,text_analysis,dedup} exactly)
+_DK_NORM = (r"trim(regexp_replace(regexp_replace(lower({c}), "
+            r"'[^\p{{L}}\p{{N}}\s]', ' ', 'g'), '\s+', ' ', 'g'))")
+_DK_WORDS = (r"list_filter(regexp_split_to_array({c}, "
+             r"'[^\p{{L}}\p{{N}}]+'), x -> x != '')")
+_DK_BM25_TOKS = (r"list_filter(regexp_split_to_array(lower({c}), "
+                 r"'[^\p{{L}}\p{{N}}]+'), x -> octet_length(encode(x)) > 1)")
+
+
+def _bm25_oracle(terms: list[str], limit: int) -> str:
+    vals = ", ".join(f"('{t}', {terms.count(t)})" for t in dict.fromkeys(terms))
+    toks = _DK_BM25_TOKS.format(c="text")
+    return f"""
+WITH toklist AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), docs AS (
+  SELECT doc_id, len(t) AS dl, t FROM toklist WHERE len(t) > 0
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM docs
+), qterms(term, qtf) AS (VALUES {vals}),
+tokens AS (
+  SELECT doc_id, unnest(t) AS term FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dd.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN docs dd ON dd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {limit}"""
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: VelesQL NEAR + metadata filter through the full stack
+    (parser → translator → exact distributed top-k)."""
+    return _vql(
+        spark, "/root/testdata/sf0.001",
+        "SELECT vec_id, label FROM embeddings "
+        "WHERE vector NEAR $v AND label IN (1, 2, 3, 4, 5) LIMIT 10",
+        {"v": QV1},
+    )
 
+
+# ----------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from velesdb_spark.functions import dedup as dd
+    from velesdb_spark.functions import text_analysis as ta
+    from velesdb_spark.functions.bm25 import Bm25Index
+    from velesdb_spark.operators import graph as gr
+    from velesdb_spark.operators import topk as tk
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
 
+    # --- relational surface (VelesQL → translator) --------------------
+    q["filter_scan"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50")
+
+    q["like_between_in"] = lambda s, d: _vql(
+        s, d,
+        "SELECT p_partkey, p_name, p_size FROM part "
+        "WHERE p_size BETWEEN 10 AND 30 AND p_name LIKE '%al%' "
+        "AND p_type IN ('a', 'b', 'c') OR p_retailprice >= 1500.0 "
+        "ORDER BY p_partkey LIMIT 100")
+
+    q["groupby_agg"] = lambda s, d: _vql(
+        s, d,
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+        "SUM(l_quantity) AS sum_qty, AVG(l_extendedprice) AS avg_price, "
+        "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus").select(
+            "l_returnflag", "l_linestatus", "cnt", "sum_qty",
+            F.round("avg_price", 4).alias("avg_price"), "min_disc", "max_tax")
+
+    q["having_filter"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 8 AND SUM(o_totalprice) > 400000.0 "
+        "ORDER BY n DESC, o_custkey LIMIT 50")
+
+    q["join_two_dims"] = lambda s, d: _vql(
+        s, d,
+        "SELECT c.c_name AS cust, n.n_name AS nation, r.r_name AS region "
+        "FROM customer AS c "
+        "JOIN nation AS n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+        "WHERE c.c_acctbal > 5000.0 ORDER BY cust LIMIT 100")
+
+    q["join_left_outer"] = lambda s, d: _vql(
+        s, d,
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation AS n "
+        "LEFT JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp")
+
+    q["self_join"] = lambda s, d: _vql(
+        s, d,
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation AS a "
+        "JOIN nation AS b ON a.n_regionkey = b.n_regionkey "
+        "WHERE a.n_name < b.n_name ORDER BY n1, n2")
+
+    q["set_union"] = lambda s, d: _vql(
+        s, d,
+        "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
+
+    q["set_intersect"] = lambda s, d: _vql(
+        s, d,
+        "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier")
+
+    q["set_except"] = lambda s, d: _vql(
+        s, d,
+        "SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier")
+
+    q["distinct_cols"] = lambda s, d: _vql(
+        s, d,
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority")
+
+    q["scalar_subquery"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 100")
+
+    q["limit_offset"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
+
+    # --- vector search ------------------------------------------------
+    def _knn(metric, vec, k):
+        def run(s, d):
+            df = _t(s, d, "embeddings")
+            return tk.knn(df, vec, k, metric, "embedding", "vec_id") \
+                .select("vec_id", F.round("score", 6).alias("score"))
+        return run
+
+    q["knn_cosine"] = _knn("cosine", QV1, 10)
+    q["knn_euclidean"] = _knn("euclidean", QV2, 10)
+    q["knn_dot"] = _knn("dot", QV3, 10)
+
+    q["near_velesql"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id, label FROM embeddings WHERE vector NEAR $v LIMIT 15",
+        {"v": QV1})
+
+    q["similarity_threshold"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $v) > 0.2 "
+        "ORDER BY vec_id LIMIT 100000", {"v": QV2})
+
+    q["near_fused_average"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
+        "USING FUSION 'average' LIMIT 12", {"a": QV1, "b": QV2})
+
+    def _batch(s, d):
+        df = _t(s, d, "embeddings")
+        res = tk.knn_batch(df, [(0, QV1), (1, QV2), (2, QV3), (3, QV4)], 5,
+                           "cosine", "embedding", "vec_id")
+        return res.select("qid", "vec_id", F.round("score", 6).alias("score"))
+
+    q["batch_knn"] = _batch
+
+    # --- text search --------------------------------------------------
+    def _bm25(s, d):
+        idx = Bm25Index(_t(s, d, "documents"), id_col="doc_id", text_col="text")
+        return idx.search("spark query join", 20) \
+            .select("doc_id", F.round("_bm25_score", 6).alias("score"))
+
+    q["bm25_topk"] = _bm25
+
+    q["match_predicate"] = lambda s, d: _vql(
+        s, d,
+        "SELECT doc_id FROM documents WHERE text MATCH 'window batch' "
+        "LIMIT 100000").select("doc_id")
+
+    def _hybrid(s, d):
+        from velesdb_spark.functions.fusion import fuse_hybrid_rrf
+
+        emb = _t(s, d, "embeddings")
+        vres = tk.knn(emb, QV1, 20, "cosine", "embedding", "vec_id") \
+            .select(F.lit("v").alias("qid"), F.col("vec_id").alias("id"), "score")
+        idx = Bm25Index(_t(s, d, "documents"), id_col="doc_id", text_col="text")
+        tres = idx.search("spark query join", 20) \
+            .select(F.lit("t").alias("qid"), F.col("doc_id").alias("id"),
+                    F.col("_bm25_score").alias("score"))
+        fused = fuse_hybrid_rrf(vres.union(tres))
+        return fused.select(F.col("id"), F.round("score", 6).alias("score")) \
+            .orderBy(F.desc("score"), F.asc("id")).limit(10)
+
+    q["hybrid_rrf"] = _hybrid
+
+    # --- graph (derived from customer→nation→region) ------------------
+    def _graph(s, d):
+        cust = _t(s, d, "customer")
+        nat = _t(s, d, "nation")
+        reg = _t(s, d, "region")
+        nodes = (
+            cust.select(F.col("c_custkey").alias("id"),
+                        F.array(F.lit("Customer")).alias("labels"),
+                        F.col("c_name").alias("name"))
+            .union(nat.select((F.col("n_nationkey") + 1000000).alias("id"),
+                              F.array(F.lit("Nation")).alias("labels"),
+                              F.col("n_name").alias("name")))
+            .union(reg.select((F.col("r_regionkey") + 2000000).alias("id"),
+                              F.array(F.lit("Region")).alias("labels"),
+                              F.col("r_name").alias("name")))
+        )
+        edges = (
+            cust.select(
+                F.monotonically_increasing_id().alias("id"),
+                F.col("c_custkey").alias("src"),
+                (F.col("c_nationkey") + 1000000).alias("dst"),
+                F.lit("IN_NATION").alias("label"))
+            .union(nat.select(
+                F.monotonically_increasing_id().alias("id"),
+                (F.col("n_nationkey") + 1000000).alias("src"),
+                (F.col("n_regionkey") + 2000000).alias("dst"),
+                F.lit("IN_REGION").alias("label")))
+        )
+        from velesdb_spark.velesql.translator import Catalog
+
+        cat = Catalog()
+        cat.register("nodes", nodes)
+        cat.register("edges", edges)
+        return cat, nodes, edges
+
+    def _match_2hop(s, d):
+        from velesdb_spark.velesql.translator import translate
+
+        cat, _, _ = _graph(s, d)
+        return translate(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->"
+            "(r:Region {name: 'ASIA'}) "
+            "RETURN c.name AS cust, n.name AS nation LIMIT 100000", cat)
+
+    q["graph_match_2hop"] = _match_2hop
+
+    def _bfs(s, d):
+        _, _, edges = _graph(s, d)
+        return gr.bfs(edges, [1, 2, 3, 4, 5], 1, 2)
+
+    q["graph_bfs"] = _bfs
+
+    def _var_len(s, d):
+        from velesdb_spark.velesql.translator import translate
+
+        cat, _, _ = _graph(s, d)
+        return translate(
+            "MATCH (c:Customer {name: 'Customer#000000001'})-[*1..2]->(x) "
+            "RETURN x.name AS name LIMIT 100000", cat)
+
+    q["graph_var_length"] = _var_len
+
+    # --- dedup / text analysis ----------------------------------------
+    q["exact_dedup"] = lambda s, d: dd.exact_dedup(
+        _t(s, d, "documents"), "text", "doc_id")
+
+    q["ngram_jaccard"] = lambda s, d: dd.ngram_jaccard_pairs(
+        _t(s, d, "documents"), 0.2, "text", "doc_id").select(
+            F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"))
+
+    q["minhash_first_hash"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        dd.minhash_signature(F.col("text"), 1)[0].alias("mh0"))
+
+    q["simhash"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", dd.simhash32(F.col("text")).alias("simhash"))
+
+    q["content_fingerprint"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", dd.content_fingerprint(F.col("text")).alias("fp"))
+
+    q["token_stats"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        F.round(ta.avg_word_length(F.col("text")), 6).alias("avg_wlen"),
+        F.round(ta.stopword_ratio(F.col("text")), 6).alias("sw_ratio"))
+
+    q["lang_id"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", ta.lang_id(F.col("text")).alias("lang"))
+
+    def _emb_dups(s, d):
+        return dd.embedding_near_dups(
+            _t(s, d, "embeddings"), 0.40, "embedding", "vec_id") \
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    q["embedding_near_dups"] = _emb_dups
+
+    # --- events / time ------------------------------------------------
+    def _events_window(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+        )
+
+    q["events_hourly"] = _events_window
+
+    return q
+
+
+# ----------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["filter_scan"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0 "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50")
+
+    o["like_between_in"] = (
+        "SELECT p_partkey, p_name, p_size FROM part "
+        "WHERE p_size BETWEEN 10 AND 30 AND p_name LIKE '%al%' "
+        "AND p_type IN ('a', 'b', 'c') OR p_retailprice >= 1500.0 "
+        "ORDER BY p_partkey LIMIT 100")
+
+    o["groupby_agg"] = (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+        "SUM(l_quantity) AS sum_qty, round(AVG(l_extendedprice), 4) AS avg_price, "
+        "MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus")
+
+    o["having_filter"] = (
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 8 AND SUM(o_totalprice) > 400000.0 "
+        "ORDER BY n DESC, o_custkey LIMIT 50")
+
+    o["join_two_dims"] = (
+        "SELECT c.c_name AS cust, n.n_name AS nation, r.r_name AS region "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE c.c_acctbal > 5000.0 ORDER BY cust LIMIT 100")
+
+    o["join_left_outer"] = (
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation n "
+        "LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp")
+
+    o["self_join"] = (
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
+        "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+        "WHERE a.n_name < b.n_name ORDER BY n1, n2")
+
+    o["set_union"] = ("SELECT c_nationkey FROM customer "
+                      "UNION SELECT s_nationkey FROM supplier")
+    o["set_intersect"] = ("SELECT c_nationkey FROM customer "
+                          "INTERSECT SELECT s_nationkey FROM supplier")
+    o["set_except"] = ("SELECT c_nationkey FROM customer "
+                       "EXCEPT SELECT s_nationkey FROM supplier")
+
+    o["distinct_cols"] = (
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority")
+
+    o["scalar_subquery"] = (
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 100")
+
+    o["limit_offset"] = ("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                         "LIMIT 20 OFFSET 10")
+
+    # vector
+    def cos(v):
+        return f"list_cosine_similarity(embedding::DOUBLE[], {_sql_vec(v)})"
+
+    o["knn_cosine"] = (
+        f"SELECT vec_id, round({cos(QV1)}, 6) AS score FROM embeddings "
+        f"ORDER BY {cos(QV1)} DESC, vec_id LIMIT 10")
+    o["knn_euclidean"] = (
+        f"SELECT vec_id, round(list_distance(embedding::DOUBLE[], {_sql_vec(QV2)}), 6) AS score "
+        f"FROM embeddings ORDER BY list_distance(embedding::DOUBLE[], {_sql_vec(QV2)}) ASC, vec_id "
+        f"LIMIT 10")
+    o["knn_dot"] = (
+        f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {_sql_vec(QV3)}), 6) AS score "
+        f"FROM embeddings ORDER BY list_dot_product(embedding::DOUBLE[], {_sql_vec(QV3)}) DESC, vec_id "
+        f"LIMIT 10")
+
+    o["near_velesql"] = (
+        f"SELECT vec_id, label FROM embeddings "
+        f"ORDER BY {cos(QV1)} DESC, vec_id LIMIT 15")
+
+    o["similarity_threshold"] = (
+        f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "
+        f"ORDER BY vec_id LIMIT 100000")
+
+    o["near_fused_average"] = (
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY ({cos(QV1)} + {cos(QV2)}) / 2 DESC, vec_id LIMIT 12")
+
+    parts = []
+    for i, v in enumerate([QV1, QV2, QV3, QV4]):
+        parts.append(
+            f"(SELECT {i} AS qid, vec_id, round({cos(v)}, 6) AS score "
+            f"FROM embeddings ORDER BY {cos(v)} DESC, vec_id LIMIT 5)")
+    o["batch_knn"] = " UNION ALL ".join(parts)
+
+    # text
+    o["bm25_topk"] = _bm25_oracle(["spark", "query", "join"], 20)
+
+    toks = _DK_BM25_TOKS.format(c="text")
+    o["match_predicate"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({toks}, x -> x IN ('window', 'batch'))) > 0
+ORDER BY doc_id LIMIT 100000"""
+
+    bm25_20 = _bm25_oracle(["spark", "query", "join"], 20)
+    o["hybrid_rrf"] = f"""
+WITH vr AS (
+  SELECT vec_id AS id, row_number() OVER (ORDER BY {cos(QV1)} DESC, vec_id) - 1 AS rk
+  FROM embeddings ORDER BY {cos(QV1)} DESC, vec_id LIMIT 20
+), tr AS (
+  SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS rk
+  FROM ({bm25_20})
+), contrib AS (
+  SELECT id, 1.0 / (rk + 60.0) AS s FROM vr
+  UNION ALL SELECT id, 1.0 / (rk + 60.0) AS s FROM tr
+)
+SELECT id, round(sum(s), 6) AS score FROM contrib GROUP BY id
+ORDER BY sum(s) DESC, id LIMIT 10"""
+
+    # graph
+    o["graph_match_2hop"] = (
+        "SELECT c.c_name AS cust, n.n_name AS nation "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' ORDER BY cust LIMIT 100000")
+
+    o["graph_bfs"] = """
+SELECT c.c_custkey AS start_id, c.c_nationkey + 1000000 AS node_id, 1 AS depth
+FROM customer c WHERE c.c_custkey IN (1, 2, 3, 4, 5)
+UNION ALL
+SELECT c.c_custkey AS start_id, n.n_regionkey + 2000000 AS node_id, 2 AS depth
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN (1, 2, 3, 4, 5)"""
+
+    o["graph_var_length"] = """
+SELECT n.n_name AS name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE c.c_name = 'Customer#000000001'
+UNION ALL
+SELECT r.r_name AS name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey WHERE c.c_name = 'Customer#000000001'"""
+
+    # dedup / text analysis
+    norm = _DK_NORM.format(c="text")
+    words_norm = _DK_WORDS.format(c=norm)
+
+    o["exact_dedup"] = f"""
+WITH fp AS (
+  SELECT doc_id, CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT) AS f
+  FROM documents)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f"""
+
+    o["ngram_jaccard"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS sz FROM sh)
+SELECT p.id_a, p.id_b,
+       round(p.inter * 1.0 / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
+
+    o["minhash_first_hash"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks)
+SELECT doc_id, list_min(list_transform(s, x -> md5('0|' || x))) AS mh0 FROM sh"""
+
+    # simhash: generate the 32 per-bit majority votes
+    votes = []
+    for bit in range(32):
+        ni, bi = bit // 4 + 1, bit % 4
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN "
+            f"(CAST(('0x' || substr(md5(tok), {ni}, 1)) AS INT) & {1 << bi}) > 0 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END")
+    vote_sum = " + ".join(votes)
+    o["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents)
+SELECT doc_id,
+       CASE WHEN len(t) > 0 THEN {vote_sum} ELSE 0 END AS simhash
+FROM toks"""
+
+    o["content_fingerprint"] = f"""
+SELECT doc_id, CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT) AS fp
+FROM documents"""
+
+    words_plain = _DK_WORDS.format(c="lower(text)")
+    sw_en = "['the','and','of','to','in','is','that','for','with','it']"
+    o["token_stats"] = f"""
+WITH toks AS (SELECT doc_id, {words_plain} AS t FROM documents)
+SELECT doc_id, len(t) AS n_tokens,
+       round(CASE WHEN len(t) > 0
+             THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             ELSE 0.0 END, 6) AS avg_wlen,
+       round(CASE WHEN len(t) > 0
+             THEN len(list_filter(t, x -> list_contains({sw_en}, x))) * 1.0 / len(t)
+             ELSE 0.0 END, 6) AS sw_ratio
+FROM toks"""
+
+    sw = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
+        "es": ["el", "la", "de", "que", "los", "en", "un", "una", "por", "con"],
+        "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "dans"],
+        "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "im"],
+        "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+    }
+    hits = {
+        lang: ("len(list_filter(t, x -> list_contains(["
+               + ", ".join(f"'{w}'" for w in ws) + "], x)))")
+        for lang, ws in sw.items()
+    }
+    m = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE WHEN " + " WHEN ".join(
+        f"{hits[lang]} = m THEN '{lang}'" for lang in sw) + " END"
+    o["lang_id"] = f"""
+WITH toks AS (SELECT doc_id, {words_plain} AS t FROM documents),
+scored AS (SELECT doc_id, t, {m} AS m FROM toks)
+SELECT doc_id, CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang FROM scored"""
+
+    o["embedding_near_dups"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"""
+
+    o["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    return o

@@ -64,11 +64,14 @@ def minhash_signature(col: Column, num_hashes: int = DEFAULT_MINHASHES,
     """MinHash signature: for seed i, min over shingles of md5(i || '|' || s)
     (lexicographic min of hex strings — identical semantics in any engine)."""
     sh = shingles(col, n)
-    parts = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*parts)
+
+    def one_hash(seed: int):
+        # NB: single-arg lambda — PySpark treats 2-arg lambdas as
+        # (element, index)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+
+    return F.array(*[one_hash(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",

@@ -115,7 +115,8 @@ class Translator:
             if q.op == "intersect":
                 return left.intersect(right)
             if q.op == "except":
-                return left.exceptAll(right).distinct()
+                # SQL set semantics: distinct difference
+                return left.distinct().subtract(right)
             raise TranslationError(f"unknown set op: {q.op}")
         if isinstance(q, ast.MatchQuery):
             from velesdb_spark.operators.graph import translate_match
