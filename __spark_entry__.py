@@ -329,24 +329,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
             F.round("jaccard", 6).alias("jaccard"))
 
-    q["minhash_first_hash"] = lambda s, d: _t(s, d, "documents").select(
-        "doc_id",
-        dd.minhash_signature(F.col("text"), 1)[0].alias("mh0"))
+    q["minhash_first_hash"] = lambda s, d: dd.minhash_signatures_df(
+        _t(s, d, "documents"), "text", "doc_id", 1).select(
+            F.col("_id").alias("doc_id"), F.col("_sig")[0].alias("mh0"))
 
-    q["simhash"] = lambda s, d: _t(s, d, "documents").select(
-        "doc_id", dd.simhash32(F.col("text")).alias("simhash"))
+    q["simhash"] = lambda s, d: dd.simhash_df(
+        _t(s, d, "documents"), "text", "doc_id").select(
+            F.col("_id").alias("doc_id"), F.col("_simhash").alias("simhash"))
 
     q["content_fingerprint"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", dd.content_fingerprint(F.col("text")).alias("fp"))
 
-    q["token_stats"] = lambda s, d: _t(s, d, "documents").select(
-        "doc_id",
-        ta.token_count(F.col("text")).alias("n_tokens"),
-        F.round(ta.avg_word_length(F.col("text")), 6).alias("avg_wlen"),
-        F.round(ta.stopword_ratio(F.col("text")), 6).alias("sw_ratio"))
+    q["token_stats"] = lambda s, d: ta.text_stats_df(
+        _t(s, d, "documents"), "text", "doc_id").select(
+            F.col("_id").alias("doc_id"), "n_tokens",
+            F.round("avg_wlen", 6).alias("avg_wlen"),
+            F.round("sw_ratio", 6).alias("sw_ratio"))
 
-    q["lang_id"] = lambda s, d: _t(s, d, "documents").select(
-        "doc_id", ta.lang_id(F.col("text")).alias("lang"))
+    q["lang_id"] = lambda s, d: ta.text_stats_df(
+        _t(s, d, "documents"), "text", "doc_id").select(
+            F.col("_id").alias("doc_id"), "lang")
 
     def _emb_dups(s, d):
         return dd.embedding_near_dups(

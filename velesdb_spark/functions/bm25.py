@@ -59,12 +59,17 @@ class Bm25Index:
 
     def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text",
                  cache: bool = False):
+        from velesdb_spark.functions.util import spread
+
         self.id_col = id_col
         spark = docs.sparkSession
-        tokens = docs.select(
+        # Stage the token array before exploding (keeps the regex chain out
+        # of the generator) and spread small single-file inputs across cores.
+        toks = spread(docs).select(
             F.col(id_col).alias("_doc_id"),
-            F.explode(tokenize(F.col(text_col))).alias("term"),
+            tokenize(F.col(text_col)).alias("_toks"),
         )
+        tokens = toks.select("_doc_id", F.explode("_toks").alias("term"))
         # Per-doc length; empty docs are NOT indexed (bm25.rs:146-148)
         self.doc_lengths = tokens.groupBy("_doc_id").agg(F.count("*").alias("dl"))
         # Postings: term frequency per (term, doc)

@@ -47,10 +47,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "id") -> Da
     )
 
 
-def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct word n-gram shingles of normalized text. Docs with < n words
-    produce their full token join as a single shingle."""
-    toks = word_tokens(normalized_text(col))
+def shingles_from_tokens(toks: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles from a pre-computed token array.
+
+    IMPORTANT (perf): pass a MATERIALIZED column (a prior select stage), not
+    the tokenization expression itself — otherwise Catalyst inlines the regex
+    chain into the per-element lambda and recomputes it for every shingle
+    (~14× slower measured at sf0.1)."""
     k = F.size(toks)
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
@@ -59,12 +62,32 @@ def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
     return F.when(k > 0, F.array_distinct(ngrams)).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Expression form (convenient for single-column use; see
+    shingles_from_tokens for the staged fast path)."""
+    return shingles_from_tokens(word_tokens(normalized_text(col)), n)
+
+
+def staged_shingles(df: DataFrame, text_col: str = "text", id_col: str = "id",
+                    n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(_id, _sh) with tokenization evaluated once per row (two select
+    stages defeat CollapseProject's expression inlining)."""
+    from velesdb_spark.functions.util import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalized_text(F.col(text_col))).alias("_toks"))
+    return toks.select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+
+
 def minhash_signature(col: Column, num_hashes: int = DEFAULT_MINHASHES,
                       n: int = DEFAULT_SHINGLE) -> Column:
     """MinHash signature: for seed i, min over shingles of md5(i || '|' || s)
     (lexicographic min of hex strings — identical semantics in any engine)."""
-    sh = shingles(col, n)
+    return minhash_from_shingles(shingles(col, n), num_hashes)
 
+
+def minhash_from_shingles(sh: Column, num_hashes: int = DEFAULT_MINHASHES) -> Column:
     def one_hash(seed: int):
         # NB: single-arg lambda — PySpark treats 2-arg lambdas as
         # (element, index)
@@ -74,6 +97,15 @@ def minhash_signature(col: Column, num_hashes: int = DEFAULT_MINHASHES,
     return F.array(*[one_hash(i) for i in range(num_hashes)])
 
 
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "id",
+                          num_hashes: int = DEFAULT_MINHASHES,
+                          n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(_id, _sig) with staged tokenization/shingling (fast path)."""
+    sh = staged_shingles(df, text_col, id_col, n)
+    return sh.select("_id", minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "id",
                            num_hashes: int = DEFAULT_MINHASHES,
@@ -81,10 +113,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            n: int = DEFAULT_SHINGLE) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, n) \
+        .filter(F.size("_sig") > 0)
     band_cols = []
     for b in range(bands):
         band_cols.append(
@@ -108,7 +138,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def jaccard_of_shingles(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "id", n: int = DEFAULT_SHINGLE) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs → (id_a, id_b, jaccard)."""
-    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), n).alias("_sh"))
+    sh = staged_shingles(df, text_col, id_col, n).withColumnRenamed("_id", "_jid")
     out = (
         pairs
         .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
@@ -136,25 +166,49 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "id",
                         n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """All-pairs exact n-gram Jaccard ≥ threshold via inverted shingle index
-    (no O(N²) crossJoin: pairs come from docs sharing ≥1 shingle; the join
-    key is the shingle hash)."""
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(shingles(F.col(text_col), n)).alias("_s"))
-    sh = sh.withColumn("_s", F.md5("_s"))
-    a = sh.withColumnRenamed("_id", "id_a")
-    b = sh.withColumnRenamed("_id", "id_b")
-    pairs = (a.join(b, "_s").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
-    return jaccard_of_shingles(df, pairs, text_col, id_col, n) \
+    """All-pairs exact n-gram Jaccard ≥ threshold via inverted shingle index.
+
+    No O(N²) crossJoin and no shingle-array transfer: candidate pairs come
+    from docs sharing ≥1 shingle; |A∩B| falls out of the same exploded join
+    as a count (shingles are distinct per doc), and |A∪B| = |A|+|B|−|A∩B|
+    from a tiny per-doc size table. One shuffle on the shingle hash, one on
+    the pair key — both map-side combinable."""
+    base = staged_shingles(df, text_col, id_col, n)
+    # persist: base feeds the size table and BOTH sides of the self-join —
+    # without it the tokenize/shingle pipeline runs 3× (at 100 TB the
+    # postings table would be written out, not recomputed)
+    base = base.persist()
+    sizes = base.select("_id", F.size("_sh").alias("_sz"))
+    ex = base.select("_id", F.explode("_sh").alias("_s")).withColumn("_s", F.md5("_s"))
+    a = ex.withColumnRenamed("_id", "id_a")
+    b = ex.withColumnRenamed("_id", "id_b")
+    inter = (
+        a.join(b, "_s").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter").cast("double")
+             / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash32(col: Column) -> Column:
     """32-bit SimHash over word tokens: per-bit majority vote of md5(token)
     bits (first 8 hex chars = 32 bits). Pure JVM expressions; reproducible in
     SQL with the same md5-nibble arithmetic."""
-    toks = word_tokens(normalized_text(col))
+    return simhash_from_tokens(word_tokens(normalized_text(col)))
+
+
+def simhash_from_tokens(toks: Column) -> Column:
+    """32-bit SimHash from a pre-computed token array (see
+    shingles_from_tokens for why staging matters: 32 per-bit aggregates would
+    otherwise re-run tokenization 32×)."""
 
     def bit_vote(nibble_idx: int, bit_in_nibble: int):
         def merge(acc, t):
@@ -173,6 +227,16 @@ def simhash32(col: Column) -> Column:
     return total
 
 
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "id") -> DataFrame:
+    """(_id, _simhash) with staged tokenization."""
+    from velesdb_spark.functions.util import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalized_text(F.col(text_col))).alias("_toks"))
+    return toks.select("_id", simhash_from_tokens(F.col("_toks")).alias("_simhash"))
+
+
 def hamming32(a: Column, b: Column) -> Column:
     """Popcount of XOR for 32-bit values (bit_count is native in Spark)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -184,7 +248,7 @@ def simhash_dedup_pairs(df: DataFrame, max_hamming: int = 3,
     16-bit signature halves (a pair within distance ≤ max_hamming shares at
     least one exact half when max_hamming ≤ 1 per half; with 2 halves this is
     exact for max_hamming ≤ 1 and high-recall above) — avoids O(N²)."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash32(F.col(text_col)).alias("_sh"))
+    sig = simhash_df(df, text_col, id_col).withColumnRenamed("_simhash", "_sh")
     lo = (F.col("_sh").bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
     hi = (F.shiftright(F.col("_sh"), 16).bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
     buckets = sig.select("_id", "_sh", lo, F.lit(0).alias("_half")) \

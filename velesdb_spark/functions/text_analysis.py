@@ -86,7 +86,10 @@ def lang_id(col: Column) -> Column:
     """Stopword-vote language id over {en,es,fr,de,zh}: language with the
     highest stopword hit-count wins; 'und' when no hits. N-gram-free
     heuristic that is exactly reproducible in SQL."""
-    toks = word_tokens(col)
+    return lang_id_from_tokens(word_tokens(col))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
     out = F.lit("und")
     best = F.lit(0)
     # build nested CASE: iterate deterministically, strictly-greater wins →
@@ -102,6 +105,26 @@ def lang_id(col: Column) -> Column:
     for lang, hits in reversed(exprs):
         out = F.when(hits == score, F.lit(lang)).otherwise(out)
     return F.when(score > 0, out).otherwise(F.lit("und"))
+
+
+def text_stats_df(df, text_col: str = "text", id_col: str = "id",
+                  lang: str = "en"):
+    """Per-doc stats with tokenization evaluated ONCE (staged select — see
+    dedup.shingles_from_tokens for the CollapseProject pitfall):
+    (_id, n_tokens, avg_wlen, sw_ratio, lang)."""
+    toks = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"),
+                     word_tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return toks.select(
+        "_id",
+        F.size(t).alias("n_tokens"),
+        F.when(F.size(t) > 0, total_len / F.size(t)).otherwise(F.lit(0.0)).alias("avg_wlen"),
+        F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0)).alias("sw_ratio"),
+        lang_id_from_tokens(t).alias("lang"),
+    )
 
 
 def fingerprint64(col: Column) -> Column:
