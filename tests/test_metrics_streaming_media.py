@@ -1,0 +1,170 @@
+"""Quality metrics (metrics.rs parity), Structured Streaming, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from velesdb_spark import metrics as M
+
+
+# ------------------------------------------------------------ metrics
+
+def test_recall_precision_mrr_lists():
+    truth = [1, 2, 3, 4]
+    results = [2, 9, 1, 7]
+    assert M.recall_at_k(truth, results) == 0.5
+    assert M.precision_at_k(truth, results) == 0.5
+    assert M.mrr(truth, results) == 1.0
+    assert M.mrr(truth, [9, 7, 3]) == pytest.approx(1 / 3)
+    assert M.recall_at_k([], results) == 0.0
+    assert M.precision_at_k(truth, []) == 0.0
+
+
+def test_ndcg():
+    rels = [3.0, 2.0, 3.0, 0.0, 1.0, 2.0]
+    dcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(rels))
+    ideal = sorted(rels, reverse=True)
+    idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+    assert M.ndcg_at_k(rels, 6) == pytest.approx(dcg / idcg)
+    assert M.ndcg_at_k([1.0, 2.0], 2) < 1.0
+    assert M.ndcg_at_k([2.0, 1.0], 2) == 1.0
+    assert M.ndcg_at_k([], 5) == 0.0
+
+
+def test_metrics_df(spark):
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "qid bigint, id bigint, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77)], "qid bigint, id bigint")
+    out = {r.qid: r for r in M.recall_precision_mrr_df(results, truth).collect()}
+    assert out[1].recall == pytest.approx(2 / 3)
+    assert out[1].precision == pytest.approx(2 / 3)
+    assert out[1].mrr == pytest.approx(1.0)
+    assert out[2].recall == 0.0 and out[2].mrr == 0.0
+
+
+def test_lsh_recall_evaluation(catalog):
+    """Quality loop: ANN recall measured against the engine's own exact k-NN."""
+    import numpy as np
+
+    from velesdb_spark.functions.similarity import LshIndex
+
+    df = catalog.resolve("embeddings").df
+    rng = np.random.RandomState(5)
+    queries = [(i, rng.randn(64).tolist()) for i in range(3)]
+    idx = LshIndex(df, "embedding", "vec_id", nbits=4)
+    approx = None
+    for qid, qv in queries:
+        r = idx.search(qv, 10, multiprobe=2).select(
+            F.lit(qid).alias("qid"), "vec_id", "score")
+        approx = r if approx is None else approx.union(r)
+    out = M.evaluate_knn_recall(df, approx, queries, 10, "cosine",
+                                "embedding", "vec_id").collect()
+    assert len(out) == 3
+    assert all(0.0 <= r.recall <= 1.0 for r in out)
+
+
+# ------------------------------------------------------------ streaming
+
+def _events_stream_dir(tmp_path):
+    import os
+
+    d = tmp_path / "events_stream"
+    d.mkdir(exist_ok=True)
+    os.symlink(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    from velesdb_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, _events_stream_dir(tmp_path))
+    agg = ev.tumbling_counts(stream, "1 hour", "2 hours")
+    q = ev.run_to_memory(agg, "t_counts", mode="update")
+    got = spark.sql("SELECT sum(n) AS total FROM t_counts").collect()[0].total
+    batch_total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got == batch_total  # every event lands in exactly one window
+    q.stop()
+
+
+def test_session_windows_stream(spark, tmp_path):
+    from velesdb_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, _events_stream_dir(tmp_path))
+    sess = ev.session_windows(stream, "5 minutes", "30 minutes")
+    # session windows don't support update mode — complete for the memory sink
+    q = ev.run_to_memory(sess, "t_sessions", mode="complete")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert rows and all(r.session_end >= r.session_start for r in rows)
+    q.stop()
+
+
+def test_running_user_counts_stateful(spark, tmp_path):
+    from velesdb_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, _events_stream_dir(tmp_path))
+    counts = ev.running_user_counts(stream)
+    q = ev.run_to_memory(counts, "t_user_counts", mode="update")
+    got = spark.sql(
+        "SELECT user_id, max(total_events) AS n FROM t_user_counts GROUP BY user_id"
+    ).collect()
+    want = {r.user_id: r.n for r in
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert {r.user_id: r.n for r in got} == want
+    q.stop()
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_media_decode_plumbing(spark):
+    from velesdb_spark import multimodal as mm
+
+    rows = [
+        (1, "image", b"\x89PNGfake", ("png", 640, 480, None, None)),
+        (2, "image", b"\xff\xd8jpegfake", ("jpeg", 1024, 768, None, None)),
+        (3, "video", b"mp4fake", ("mp4", 1920, 1080, 5000, None)),
+    ]
+    media = mm.media_table(spark, rows)
+    feats = mm.decode_and_featurize(media.filter(F.col("modality") == "image"))
+    got = {r.id: r for r in feats.collect()}
+    assert len(got[1].feature) == 16
+    assert got[1].n_bytes == 8
+    # deterministic: same bytes → same feature
+    again = {r.id: r.feature for r in
+             mm.decode_and_featurize(media.filter(F.col("modality") == "image")).collect()}
+    assert again[1] == got[1].feature
+
+
+def test_video_frame_sample(spark):
+    from velesdb_spark import multimodal as mm
+
+    rows = [(3, "video", b"mp4fake", ("mp4", 1920, 1080, 5000, None))]
+    media = mm.media_table(spark, rows)
+    frames = mm.frame_sample(media, every_ms=1000).collect()
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000, 4000]
+
+
+def test_video_decoder_not_implemented(spark):
+    from velesdb_spark import multimodal as mm
+
+    rows = [(3, "video", b"mp4fake", ("mp4", 1920, 1080, 5000, None))]
+    media = mm.media_table(spark, rows)
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        mm.decode_and_featurize(media).collect()
+
+
+def test_resize_meta(spark):
+    from velesdb_spark.multimodal.media import resize_meta
+    from velesdb_spark import multimodal as mm
+
+    rows = [(1, "image", b"x", ("png", 2048, 1024, None, None)),
+            (2, "image", b"y", ("png", 100, 50, None, None))]
+    out = {r.id: (r.target_width, r.target_height)
+           for r in resize_meta(mm.media_table(spark, rows), 512).collect()}
+    assert out[1] == (512, 256)
+    assert out[2] == (100, 50)

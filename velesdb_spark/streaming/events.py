@@ -1,0 +1,129 @@
+"""Structured Streaming ingestion + windowed/stateful operators over the
+``events`` table shape (event_id, ts, user_id, event_type, value, props).
+
+The reference has no stream processing (SURVEY.md §2.11) — this is the
+engine's scale extension: the same aggregation semantics exposed over
+unbounded input with watermarked event-time windows.
+
+Patterns:
+- tumbling/sliding windows: F.window; session windows: F.session_window.
+- late data: withWatermark bounds state.
+- custom stateful ops: applyInPandasWithState (running per-key counters).
+- sinks: memory (tests), parquet/delta append (production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+# The driver's parquet stores ts as INT64 nanos (see sources/testdata.py) —
+# the raw read schema uses LONG and the wrapper converts to TimestampType.
+_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a parquet directory (each new file = a
+    micro-batch; swap for kafka/delta source in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-window per-type counts + value sum; watermark bounds late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour",
+                slide: str = "15 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — session_window is native."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "user_id", "n_events",
+                "session_value")
+    )
+
+
+RUNNING_STATE_SCHEMA = StructType([StructField("total", LongType())])
+RUNNING_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("total_events", LongType()),
+])
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count via
+    applyInPandasWithState (the applyInPandasWithState path the reference's
+    agent-memory counters would take)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [count]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, RUNNING_OUT_SCHEMA, RUNNING_STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update",
+                  timeout_s: int = 120):
+    """Drain all available input into an in-memory table (tests)."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return q
