@@ -334,11 +334,15 @@ class Translator:
             raise TranslationError(f"cannot compare with NULL using {op}")
         lit = F.lit(val)
         if op == "=":
-            return c.eqNullSafe(lit)
+            return c == lit
         if op in ("!=", "<>"):
             return ~c.eqNullSafe(lit)  # Neq matches missing (matching.rs:14-16)
-        cmp = {">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit}[op]
-        return _never_null(cmp)
+        # Plain (pushable) comparisons: in WHERE context NULL filters out just
+        # like the reference's false (matching.rs is_some_and). The only place
+        # SQL three-valued logic diverges is under NOT — handled by wrapping
+        # at the Not boundary in _walk, keeping leaves eligible for Parquet
+        # predicate pushdown.
+        return {">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit}[op]
 
 
 class _SearchState:
@@ -422,19 +426,20 @@ class _SearchState:
             return base, out
         if isinstance(cond, ast.Not):
             base, p = self._walk(base, cond.condition)
-            return base, ~p  # pure negation (matching.rs:37)
+            # pure negation over definite booleans (matching.rs:37): NULL
+            # from a three-valued leaf must read as false before negating
+            return base, ~_never_null(p)
         if isinstance(cond, ast.Compare):
             return base, tr._compare_col(_col(cond.column), cond.op, tr.value(cond.value))
         if isinstance(cond, ast.In):
             vals = [tr.value(v) for v in cond.values]
-            return base, _never_null(_col(cond.column).isin(vals))
+            return base, _col(cond.column).isin(vals)
         if isinstance(cond, ast.Between):
             lo, hi = tr.value(cond.low), tr.value(cond.high)
-            return base, _never_null(_col(cond.column).between(F.lit(lo), F.lit(hi)))
+            return base, _col(cond.column).between(F.lit(lo), F.lit(hi))
         if isinstance(cond, ast.Like):
             c = _col(cond.column)
-            m = c.ilike(cond.pattern) if cond.case_insensitive else c.like(cond.pattern)
-            return base, _never_null(m)
+            return base, c.ilike(cond.pattern) if cond.case_insensitive else c.like(cond.pattern)
         if isinstance(cond, ast.IsNull):
             c = _col(cond.column)
             return base, c.isNotNull() if cond.negated else c.isNull()
