@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from velesdb_spark.functions import dedup as dd
     from velesdb_spark.functions import text_analysis as ta
-    from velesdb_spark.functions.bm25 import Bm25Index
+    from velesdb_spark.functions.bm25 import bm25_scan_scores, bm25_scan_search
     from velesdb_spark.operators import graph as gr
     from velesdb_spark.operators import topk as tk
 
@@ -231,8 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text search --------------------------------------------------
     def _bm25(s, d):
-        idx = Bm25Index(_t(s, d, "documents"), id_col="doc_id", text_col="text")
-        return idx.search("spark query join", 20) \
+        return bm25_scan_search(_t(s, d, "documents"), "spark query join", 20,
+                                id_col="doc_id", text_col="text") \
             .select("doc_id", F.round("_bm25_score", 6).alias("score"))
 
     q["bm25_topk"] = _bm25
@@ -248,8 +248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(s, d, "embeddings")
         vres = tk.knn(emb, QV1, 20, "cosine", "embedding", "vec_id") \
             .select(F.lit("v").alias("qid"), F.col("vec_id").alias("id"), "score")
-        idx = Bm25Index(_t(s, d, "documents"), id_col="doc_id", text_col="text")
-        tres = idx.search("spark query join", 20) \
+        tres = bm25_scan_search(_t(s, d, "documents"), "spark query join", 20,
+                                id_col="doc_id", text_col="text") \
             .select(F.lit("t").alias("qid"), F.col("doc_id").alias("id"),
                     F.col("_bm25_score").alias("score"))
         fused = fuse_hybrid_rrf(vres.union(tres))

@@ -128,3 +128,17 @@ def test_hybrid_search_collection(spark, corpus):
     assert 0 < len(res) <= 5
     scores = [r.score for r in res]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_scan_path_matches_index_path(corpus):
+    from velesdb_spark.functions.bm25 import bm25_scan_scores
+
+    df, docs = corpus
+    for q in ["rust programming", "programming programming", "fox", "zzz", ""]:
+        via_index = {r.id: r._bm25_score
+                     for r in Bm25Index(df).scores(q).collect()}
+        via_scan = {r.id: r._bm25_score
+                    for r in bm25_scan_scores(df, q).collect()}
+        assert set(via_scan) == set(via_index), q
+        for i in via_scan:
+            assert via_scan[i] == pytest.approx(via_index[i], rel=1e-9), q

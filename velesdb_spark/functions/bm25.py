@@ -139,7 +139,73 @@ class Bm25Index:
         return self.scores(query).orderBy(F.desc("_bm25_score"), F.asc(self.id_col)).limit(k)
 
 
+def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
+                     text_col: str = "text") -> DataFrame:
+    """Query-time BM25 with NO postings index: per-term tf is an array
+    expression over the tokenized text, so the whole plan is two
+    column-pruned scans (one tiny stats aggregate, one scoring pass) and a
+    broadcast of a single stats row — no explode, no shuffle of doc-level
+    data, no Python. Identical scores to Bm25Index.scores().
+
+    Use this for ad-hoc queries; use Bm25Index (postings DataFrames) when
+    the corpus is indexed once and searched many times — that amortizes the
+    inverted-index build exactly like the reference's add-time indexing
+    (index/bm25.rs add/search split).
+    """
+    counts: dict[str, int] = {}
+    for t in tokenize_py(query):
+        counts[t] = counts.get(t, 0) + 1
+    if not counts:
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("_bm25_score")).limit(0)
+
+    base = (
+        docs.select(F.col(id_col).alias("_doc_id"),
+                    tokenize(F.col(text_col)).alias("_toks"))
+        .withColumn("_dl", F.size("_toks"))
+        .filter(F.col("_dl") > 0)  # empty docs are not indexed (bm25.rs:146-148)
+    )
+    terms = list(counts)
+
+    def _eq(term):
+        # single-arg lambda only: a 2-arg lambda would make F.filter pass
+        # the array index as the second argument
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(
+            f"_tf{i}", F.size(F.filter(F.col("_toks"), _eq(t))))
+    base = base.drop("_toks")
+
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+          for i in range(len(terms))])
+
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        idf = F.log((F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+                    / (F.col(f"_df{i}") + 0.5) + 1.0)
+        sat = (F.col(f"_tf{i}") * (K1 + 1.0)) / (
+            F.col(f"_tf{i}") + K1 * (1.0 - B + B * F.col("_dl") / F.col("avgdl")))
+        score = score + F.when(F.col(f"_tf{i}") > 0,
+                               float(counts[t]) * idf * sat).otherwise(0.0)
+    return (
+        scored.withColumn("_bm25_score", score)
+        .filter(F.col("_bm25_score") > 0.0)
+        .select(F.col("_doc_id").alias(id_col), "_bm25_score")
+    )
+
+
+def bm25_scan_search(docs: DataFrame, query: str, k: int = 10,
+                     id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Top-k over the scan path (TakeOrderedAndProject — no full sort)."""
+    return (bm25_scan_scores(docs, query, id_col, text_col)
+            .orderBy(F.desc("_bm25_score"), F.asc(id_col)).limit(k))
+
+
 def bm25_score_df(docs: DataFrame, query: str, id_col: str = "id",
                   text_col: str = "text") -> DataFrame:
-    """One-shot convenience: build stats + score in a single lazy plan."""
-    return Bm25Index(docs, id_col=id_col, text_col=text_col).scores(query)
+    """One-shot convenience: scan-path scores (no index build)."""
+    return bm25_scan_scores(docs, query, id_col=id_col, text_col=text_col)

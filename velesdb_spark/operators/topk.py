@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from velesdb_spark.functions.distance import higher_is_better, metric_score
 
 DEFAULT_K = 10
+# Below this many queries, per-query TakeOrderedAndProject (no shuffle, no
+# Python) beats the broadcast-join + partial-top-k reduction.
+SMALL_BATCH_Q = 8
 
 
 def vector_lit(vec: Sequence[float]) -> Column:
@@ -68,8 +71,21 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
     """
     spark = df.sparkSession
     qrows = [(int(qid), [float(x) for x in vec]) for qid, vec in queries]
-    qdf = spark.createDataFrame(qrows, "qid bigint, _qvec array<double>")
     base = df.filter(filter_cond) if filter_cond is not None else df
+    if len(qrows) <= SMALL_BATCH_Q:
+        # Small batches: one TakeOrderedAndProject per query (per-partition
+        # heap + driver merge — no shuffle, no Python workers). Q scans of
+        # the pruned (id, vector) columns beat shuffling N·Q scored rows.
+        outs = []
+        for qid, vec in qrows:
+            r = knn(base, vec, k, metric, vector_col, id_col)
+            outs.append(r.select(F.lit(qid).cast("bigint").alias("qid"),
+                                 F.col(id_col), F.col("score")))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        return out
+    qdf = spark.createDataFrame(qrows, "qid bigint, _qvec array<double>")
     scored = (
         base.join(F.broadcast(qdf))
         .withColumn("score", metric_score(F.col(vector_col), F.col("_qvec"), metric))

@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from velesdb_spark.functions import fusion as fusion_mod
-from velesdb_spark.functions.bm25 import Bm25Index
 from velesdb_spark.functions.distance import (
     higher_is_better,
     metric_score,
@@ -521,9 +520,12 @@ class _SearchState:
         info = self.info
         text_col = cond.column if cond.column in base.columns else (
             info.text_col or cond.column)
-        idx = Bm25Index(info.df, id_col=info.id_col, text_col=text_col)
+        from velesdb_spark.functions.bm25 import bm25_scan_scores
+
         name = self._next("bm25")
-        scores = idx.scores(cond.query).withColumnRenamed("_bm25_score", name)
+        scores = bm25_scan_scores(
+            info.df, cond.query, id_col=info.id_col, text_col=text_col,
+        ).withColumnRenamed("_bm25_score", name)
         base = base.join(scores, on=info.id_col, how="left")
         self.text_score = name
         return base, F.col(name).isNotNull()
