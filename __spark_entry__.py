@@ -112,7 +112,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from velesdb_spark.functions import dedup as dd
     from velesdb_spark.functions import text_analysis as ta
-    from velesdb_spark.functions.bm25 import bm25_scan_scores, bm25_scan_search
+    from velesdb_spark.functions.bm25 import (Bm25Index, bm25_scan_scores,
+                                              bm25_scan_search)
     from velesdb_spark.operators import graph as gr
     from velesdb_spark.operators import topk as tk
 
@@ -168,6 +169,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "JOIN nation AS b ON a.n_regionkey = b.n_regionkey "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
 
+    q["join_right_outer"] = lambda s, d: _vql(
+        s, d,
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM supplier AS s "
+        "RIGHT JOIN nation AS n ON s.s_nationkey = n.n_nationkey "
+        "ORDER BY nation, supp")
+
+    q["join_full_outer"] = lambda s, d: _vql(
+        s, d,
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation AS n "
+        "FULL JOIN supplier AS s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp")
+
+    # semi/anti joins: capability headroom beyond the reference (SURVEY
+    # §2.3 "(absent)") — native Spark left_semi/left_anti
+    q["semi_join"] = lambda s, d: (
+        _t(s, d, "customer")
+        .join(_t(s, d, "orders"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey").limit(200))
+
+    q["anti_join"] = lambda s, d: (
+        _t(s, d, "customer")
+        .join(_t(s, d, "orders"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey").limit(200))
+
+    # DISTINCT aggregates / rollup / percentile: free-in-Spark headroom
+    # (SURVEY §2.4 "(absent)")
+    q["count_distinct"] = lambda s, d: (
+        _t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"),
+             F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority"))
+
+    q["rollup_agg"] = lambda s, d: (
+        _t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"),
+             F.sum("l_quantity").alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "cnt", "sum_qty")
+        .orderBy("rf", "ls"))
+
+    q["percentile_price"] = lambda s, d: (
+        _t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
+             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"))
+        .orderBy("o_orderpriority"))
+
     q["set_union"] = lambda s, d: _vql(
         s, d,
         "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
@@ -221,6 +271,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
         "USING FUSION 'average' LIMIT 12", {"a": QV1, "b": QV2})
 
+    q["near_fused_maximum"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
+        "USING FUSION 'maximum' LIMIT 12", {"a": QV1, "b": QV2})
+
+    q["near_fused_rrf"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
+        "USING FUSION 'rrf'(k=60) LIMIT 12", {"a": QV1, "b": QV2})
+
+    q["near_fused_weighted"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
+        "USING FUSION 'weighted'(avg_weight=0.6, max_weight=0.3, hit_weight=0.1) "
+        "LIMIT 12", {"a": QV1, "b": QV2})
+
+    q["order_by_similarity"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3) "
+        "ORDER BY similarity(vector, $v) DESC LIMIT 10", {"v": QV3})
+
+    def _knn_hamming(s, d):
+        # binarized hamming: sign-bit vectors (quantization.rs binary mode)
+        from velesdb_spark.functions.distance import hamming_distance
+
+        df = _t(s, d, "embeddings")
+        qbits = [1.0 if x > 0 else 0.0 for x in QV2]
+        bits = F.transform(F.col("embedding"),
+                           lambda x: F.when(x > 0, 1.0).otherwise(0.0))
+        scored = df.withColumn(
+            "score", hamming_distance(bits, F.array(*[F.lit(b) for b in qbits])))
+        return (scored.orderBy(F.asc("score"), F.asc("vec_id")).limit(10)
+                .select("vec_id", F.col("score").cast("long").alias("score")))
+
+    q["knn_hamming"] = _knn_hamming
+
+    def _knn_jaccard(s, d):
+        from velesdb_spark.functions.distance import jaccard_similarity
+
+        df = _t(s, d, "embeddings")
+        scored = df.withColumn(
+            "score",
+            jaccard_similarity(F.col("embedding"),
+                               F.array(*[F.lit(float(x)) for x in QV4])))
+        return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+                .select("vec_id", F.round("score", 6).alias("score")))
+
+    q["knn_jaccard"] = _knn_jaccard
+
     def _batch(s, d):
         df = _t(s, d, "embeddings")
         res = tk.knn_batch(df, [(0, QV1), (1, QV2), (2, QV3), (3, QV4)], 5,
@@ -236,6 +335,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.round("_bm25_score", 6).alias("score"))
 
     q["bm25_topk"] = _bm25
+
+    def _bm25_index(s, d):
+        # postings-index path (index-once / search-many) — same scores as
+        # the scan path, both oracle-gated
+        idx = Bm25Index(_t(s, d, "documents"), id_col="doc_id", text_col="text")
+        return idx.search("spark query join", 20) \
+            .select("doc_id", F.round("_bm25_score", 6).alias("score"))
+
+    q["bm25_index_topk"] = _bm25_index
+
+    q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id",
+        F.round(ta.quality_score(F.col("text")), 6).alias("quality"))
 
     q["match_predicate"] = lambda s, d: _vql(
         s, d,
@@ -319,6 +431,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN x.name AS name LIMIT 100000", cat)
 
     q["graph_var_length"] = _var_len
+
+    def _match_reverse(s, d):
+        from velesdb_spark.velesql.translator import translate
+
+        cat, _, _ = _graph(s, d)
+        return translate(
+            "MATCH (n:Nation)<-[:IN_NATION]-(c:Customer {name: "
+            "'Customer#000000001'}) RETURN n.name AS name LIMIT 100000", cat)
+
+    q["match_reverse"] = _match_reverse
+
+    # --- ANN scale paths (approximate — rows-only driver check) -------
+    def _ann_lsh(s, d):
+        from velesdb_spark.functions.similarity import LshIndex
+
+        idx = LshIndex(_t(s, d, "embeddings"), "embedding", "vec_id", dim=64)
+        return idx.search(QV1, 10, multiprobe=2) \
+            .select("vec_id", F.round("score", 6).alias("score"))
+
+    q["ann_lsh"] = _ann_lsh
+
+    def _ann_ivf(s, d):
+        from velesdb_spark.functions.similarity import IvfIndex
+
+        idx = IvfIndex(_t(s, d, "embeddings"), "embedding", "vec_id",
+                       n_centroids=8)
+        return idx.search(QV1, 10, nprobe=3) \
+            .select("vec_id", F.round("score", 6).alias("score"))
+
+    q["ann_ivf"] = _ann_ivf
 
     # --- dedup / text analysis ----------------------------------------
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(
@@ -415,6 +557,43 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation b ON a.n_regionkey = b.n_regionkey "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
 
+    o["join_right_outer"] = (
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM supplier s "
+        "RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "ORDER BY nation, supp")
+
+    o["join_full_outer"] = (
+        "SELECT n.n_name AS nation, s.s_name AS supp FROM nation n "
+        "FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey "
+        "ORDER BY nation, supp")
+
+    o["semi_join"] = (
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "ORDER BY c_custkey LIMIT 200")
+
+    o["anti_join"] = (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "ORDER BY c_custkey LIMIT 200")
+
+    o["count_distinct"] = (
+        "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority")
+
+    o["rollup_agg"] = (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS rf, "
+        "COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt, "
+        "SUM(l_quantity) AS sum_qty FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls")
+
+    o["percentile_price"] = (
+        "SELECT o_orderpriority, "
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS median, "
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
     o["set_union"] = ("SELECT c_nationkey FROM customer "
                       "UNION SELECT s_nationkey FROM supplier")
     o["set_intersect"] = ("SELECT c_nationkey FROM customer "
@@ -461,6 +640,50 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT vec_id FROM embeddings "
         f"ORDER BY ({cos(QV1)} + {cos(QV2)}) / 2 DESC, vec_id LIMIT 12")
 
+    o["near_fused_maximum"] = (
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY greatest({cos(QV1)}, {cos(QV2)}) DESC, vec_id LIMIT 12")
+
+    o["near_fused_rrf"] = f"""
+WITH rk AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY {cos(QV1)} DESC, vec_id) AS r1,
+         row_number() OVER (ORDER BY {cos(QV2)} DESC, vec_id) AS r2
+  FROM embeddings)
+SELECT vec_id FROM rk
+ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, vec_id LIMIT 12"""
+
+    o["near_fused_weighted"] = (
+        f"SELECT vec_id FROM embeddings ORDER BY "
+        f"0.6 * ({cos(QV1)} + {cos(QV2)}) / 2 "
+        f"+ 0.3 * greatest({cos(QV1)}, {cos(QV2)}) + 0.1 * 1.0 DESC, vec_id "
+        f"LIMIT 12")
+
+    o["order_by_similarity"] = (
+        f"SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3) "
+        f"ORDER BY {cos(QV3)} DESC, vec_id LIMIT 10")
+
+    qbits = [1 if x > 0 else 0 for x in QV2]
+    ham_terms = " + ".join(
+        (f"(CASE WHEN embedding[{i+1}] > 0 THEN 0 ELSE 1 END)" if b
+         else f"(CASE WHEN embedding[{i+1}] > 0 THEN 1 ELSE 0 END)")
+        for i, b in enumerate(qbits))
+    o["knn_hamming"] = (
+        f"SELECT vec_id, ({ham_terms}) AS score FROM embeddings "
+        f"ORDER BY score ASC, vec_id LIMIT 10")
+
+    a_idx = [i for i, x in enumerate(QV4) if x > 0]
+    b_idx = [i for i, x in enumerate(QV4) if x <= 0]
+    both = " + ".join(
+        f"(CASE WHEN embedding[{i+1}] > 0 THEN 1 ELSE 0 END)" for i in a_idx)
+    either = f"{len(a_idx)} + " + " + ".join(
+        f"(CASE WHEN embedding[{i+1}] > 0 THEN 1 ELSE 0 END)" for i in b_idx)
+    o["knn_jaccard"] = f"""
+WITH j AS (
+  SELECT vec_id, ({both}) * 1.0 / ({either}) AS jac FROM embeddings)
+SELECT vec_id, round(jac, 6) AS score FROM j
+ORDER BY jac DESC, vec_id LIMIT 10"""
+
     parts = []
     for i, v in enumerate([QV1, QV2, QV3, QV4]):
         parts.append(
@@ -470,6 +693,33 @@ def oracle_sql() -> dict[str, str]:
 
     # text
     o["bm25_topk"] = _bm25_oracle(["spark", "query", "join"], 20)
+    o["bm25_index_topk"] = _bm25_oracle(["spark", "query", "join"], 20)
+
+    # quality_score mirrors functions/text_analysis.py quality_score()
+    words_l = _DK_WORDS.format(c="lower(text)")
+    sw_en_list = "['the','and','of','to','in','is','that','for','with','it']"
+    o["quality_score"] = f"""
+WITH toks AS (SELECT doc_id, text, {words_l} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_tok,
+    CASE WHEN len(t) > 0
+      THEN len(list_filter(t, x -> list_contains({sw_en_list}, x))) * 1.0 / len(t)
+      ELSE 0.0 END AS sw,
+    CASE WHEN length(text) > 0
+      THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1.0 / length(text)
+      ELSE 0.0 END AS pr,
+    CASE WHEN len(t) > 0
+      THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+      ELSE 0.0 END AS awl
+  FROM toks)
+SELECT doc_id, round(
+    0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+  + 0.3 * (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.0 END)
+  + 0.2 * (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+  + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+  AS quality
+FROM m"""
 
     toks = _DK_BM25_TOKS.format(c="text")
     o["match_predicate"] = f"""
@@ -514,6 +764,11 @@ UNION ALL
 SELECT r.r_name AS name FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey WHERE c.c_name = 'Customer#000000001'"""
+
+    o["match_reverse"] = """
+SELECT n.n_name AS name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_name = 'Customer#000000001'"""
 
     # dedup / text analysis
     norm = _DK_NORM.format(c="text")

@@ -136,3 +136,24 @@ def test_similarity_lsh_recall(catalog):
     approx = [r.vec_id for r in idx.search(q, 10, multiprobe=2).collect()]
     # ~2^4 buckets over 500 vecs, 3 probed → recall is imperfect but nonzero
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_index_search(spark):
+    """IVF probes the nprobe nearest centroid lists and re-ranks exactly;
+    with nprobe == n_centroids it must equal exact brute-force top-k."""
+    import numpy as np
+
+    from velesdb_spark.functions.similarity import IvfIndex
+    from velesdb_spark.operators.topk import knn
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [float(round(x, 4)) for x in rng.randn(8)]
+
+    idx = IvfIndex(df, "embedding", "vec_id", n_centroids=4)
+    got = [(r.vec_id, round(r.score, 6))
+           for r in idx.search(q, 5, nprobe=4).collect()]
+    want = [(r.vec_id, round(r.score, 6))
+            for r in knn(df, q, 5, "cosine", "embedding", "vec_id").collect()]
+    assert got == want

@@ -99,7 +99,9 @@ class IvfIndex:
                     predictionCol="_list")
         self.model = km.fit(feats)
         self.assigned = self.model.transform(feats).drop("_feat")
-        self.centroids = np.array([c.toArray() for c in self.model.clusterCenters()])
+        self.centroids = np.array([
+            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+            for c in self.model.clusterCenters()])
 
     def search(self, q: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         qa = np.asarray(q, dtype=float)
