@@ -349,6 +349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id",
         F.round(ta.quality_score(F.col("text")), 6).alias("quality"))
 
+    def _fuzzy(s, d):
+        from velesdb_spark.functions.trigram import search_like_ranked
+
+        return search_like_ranked(
+            _t(s, d, "documents"), "aproximate nearesst neighbor serch", 15,
+            text_col="text", id_col="doc_id") \
+            .select("doc_id", F.round("score", 6).alias("score"))
+
+    q["fuzzy_trigram"] = _fuzzy
+
     q["match_predicate"] = lambda s, d: _vql(
         s, d,
         "SELECT doc_id FROM documents WHERE text MATCH 'window batch' "
@@ -764,6 +774,25 @@ UNION ALL
 SELECT r.r_name AS name FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey WHERE c.c_name = 'Customer#000000001'"""
+
+    def _tri_py(text: str) -> list[str]:
+        sl = text.lower()
+        return sorted({sl[i:i + 3] for i in range(max(len(sl) - 2, 0))})
+
+    qgrams = _tri_py("aproximate nearesst neighbor serch")
+    qlist = "[" + ", ".join(f"'{g}'" for g in qgrams) + "]"
+    o["fuzzy_trigram"] = f"""
+WITH tri AS (
+  SELECT doc_id, list_distinct([substr(lower(text), i, 3)
+    for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS t
+  FROM documents
+), j AS (
+  SELECT doc_id,
+         len(list_intersect(t, {qlist})) * 1.0
+           / len(list_distinct(list_concat(t, {qlist}))) AS jac
+  FROM tri)
+SELECT doc_id, round(jac, 6) AS score FROM j WHERE jac > 0
+ORDER BY jac DESC, doc_id LIMIT 15"""
 
     o["match_reverse"] = """
 SELECT n.n_name AS name FROM customer c

@@ -1,0 +1,154 @@
+"""Agent memory layers (agent/mod.rs, ttl.rs, temporal_index.rs),
+quantization (quantization.rs), trigram fuzzy search (index/trigram), and
+the score_fusion Minimum/Product strategies."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- agent memory
+
+def test_agent_memory_ttl_and_temporal(spark, tmp_path):
+    from velesdb_spark.agent import AgentMemory
+
+    mem = AgentMemory(spark, dimension=4)
+    t0 = 1000.0
+    mem.remember("episodic", [
+        {"id": 1, "vector": [1.0, 0.0, 0.0, 0.0], "_ts": t0},
+        {"id": 2, "vector": [0.0, 1.0, 0.0, 0.0], "_ts": t0 + 10},
+        {"id": 3, "vector": [0.9, 0.1, 0.0, 0.0], "_ts": t0 + 20},
+    ], now=t0)
+    mem.remember("episodic", [{"id": 4, "vector": [1.0, 0.0, 0.0, 0.0]}],
+                 ttl_seconds=5.0, now=t0)
+
+    # TTL: id 4 visible before expiry, gone after
+    ids_before = {r.id for r in mem.recall("episodic", [1, 0, 0, 0], 10, now=t0 + 1).collect()}
+    ids_after = {r.id for r in mem.recall("episodic", [1, 0, 0, 0], 10, now=t0 + 6).collect()}
+    assert 4 in ids_before and 4 not in ids_after
+
+    # nearest non-expired neighbor of [1,0,0,0] after expiry is id 1
+    top = mem.recall("episodic", [1, 0, 0, 0], 1, now=t0 + 6).collect()[0]
+    assert top.id == 1
+
+    # temporal range recall: [t0+5, t0+15) → only id 2
+    rng = mem.recall_temporal("episodic", t0 + 5, t0 + 15, now=t0 + 1)
+    assert [r.id for r in rng.collect()] == [2]
+
+    # eviction sweep removes expired rows physically
+    mem.forget_expired(now=t0 + 6)
+    assert mem.layers["episodic"].count() == 3
+
+    # snapshot / restore round-trip
+    path = str(tmp_path / "mem")
+    mem.snapshot(path)
+    back = AgentMemory.restore(spark, path, dimension=4)
+    assert back.layers["episodic"].count() == 3
+    assert back.recall("episodic", [1, 0, 0, 0], 1, now=t0 + 6).collect()[0].id == 1
+
+
+def test_agent_memory_unknown_layer(spark):
+    from velesdb_spark.agent import AgentMemory
+
+    with pytest.raises(ValueError, match="unknown memory layer"):
+        AgentMemory(spark).remember("working", [{"id": 1}])
+
+
+# ------------------------------------------------------------- quantization
+
+def test_sq8_round_trip_error_bound(spark):
+    from velesdb_spark.functions.quantization import sq8_dequantize, sq8_quantize
+
+    import numpy as np
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, v array<float>")
+    out = df.select(
+        "id", "v", sq8_dequantize(sq8_quantize(F.col("v"))).alias("vd")).collect()
+    for r in out:
+        scale = (max(r.v) - min(r.v)) / 255.0
+        for a, b in zip(r.v, r.vd):
+            assert abs(a - b) <= scale / 2 + 1e-9
+
+
+def test_binary_quantize_packed_hamming(spark):
+    from velesdb_spark.functions.quantization import binary_quantize, packed_hamming
+
+    rows = [
+        (1, [1.0, -1.0, 2.0, -0.5] * 20),   # 80 dims → 2 words
+        (2, [1.0, 1.0, 2.0, -0.5] * 20),
+        (3, [-1.0, -1.0, -2.0, -0.5] * 20),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<float>")
+    q = df.select("id", binary_quantize(F.col("v"), 80).alias("bits"))
+    a = q.alias("a"); b = q.alias("b")
+    d = (a.crossJoin(b)
+         .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+                 packed_hamming(F.col("a.bits"), F.col("b.bits")).alias("h"))
+         .collect())
+    got = {(r.ia, r.ib): r.h for r in d}
+    # reference sign-bit hamming computed in python
+    import numpy as np
+    sign = {i: np.array(v) > 0 for i, v in rows}
+    for (ia, ib), h in got.items():
+        assert h == int((sign[ia] != sign[ib]).sum())
+
+
+# ------------------------------------------------------------- trigram
+
+def test_trigram_fuzzy_ranked(spark):
+    from velesdb_spark.functions.trigram import _py_trigrams, search_like_ranked
+
+    df = spark.createDataFrame(
+        [(1, "duplicate detection"), (2, "deduplication"),
+         (3, "quick brown fox"), (4, "ab")],
+        "id bigint, text string")
+    got = [(r.id, round(r.score, 6))
+           for r in search_like_ranked(df, "duplicat detecton", 4).collect()]
+
+    def jac(a, b):
+        a, b = set(_py_trigrams(a)), set(_py_trigrams(b))
+        return len(a & b) / len(a | b) if a | b else 0.0
+
+    want = sorted(
+        [(i, round(jac(t, "duplicat detecton"), 6))
+         for i, t in [(1, "duplicate detection"), (2, "deduplication"),
+                      (3, "quick brown fox"), (4, "ab")]
+         if jac(t, "duplicat detecton") > 0],
+        key=lambda x: (-x[1], x[0]))
+    assert got == want
+
+
+# ------------------------------------------------------------- fusion
+
+def test_fuse_minimum_product(spark):
+    from velesdb_spark.functions.fusion import fuse
+
+    rows = [("q1", 1, 0.5), ("q2", 1, 0.8), ("q1", 2, -0.5), ("q2", 2, 0.4),
+            ("q1", 3, 0.0), ("q2", 3, 0.9)]
+    df = spark.createDataFrame(rows, "qid string, id bigint, score double")
+
+    mn = {r.id: r.score for r in fuse("minimum", df).collect()}
+    assert mn == {1: 0.5, 2: -0.5, 3: 0.0}
+
+    pr = {r.id: r.score for r in fuse("product", df).collect()}
+    assert math.isclose(pr[1], 0.4, rel_tol=1e-9)
+    assert math.isclose(pr[2], -0.2, rel_tol=1e-9)
+    assert pr[3] == 0.0
+
+
+def test_combine_breakdown_boosts(spark):
+    from velesdb_spark.functions.fusion import combine_breakdown
+
+    df = spark.createDataFrame(
+        [(1, 0.8, 0.4, 0.6, 1.5, None), (2, 0.2, None, 0.1, None, 2.0)],
+        "id bigint, vector_similarity double, graph_distance double, "
+        "path_score double, meta_boost double, rec_boost double")
+    out = df.withColumn("s", F.round(combine_breakdown(
+        df, "weighted", {"vector_similarity": 0.5, "graph_distance": 0.3,
+                         "path_score": 0.2},
+        metadata_boost_col="meta_boost", recency_boost_col="rec_boost"), 9))
+    got = {r.id: r.s for r in out.collect()}
+    assert math.isclose(got[1], (0.5 * 0.8 + 0.3 * 0.4 + 0.2 * 0.6) * 1.5, rel_tol=1e-9)
+    assert math.isclose(got[2], (0.5 * 0.2 + 0.3 * 0.0 + 0.2 * 0.1) * 2.0, rel_tol=1e-9)

@@ -90,6 +90,75 @@ def fuse_weighted(results: DataFrame, avg_weight: float, max_weight: float,
     )
 
 
+def fuse_minimum(results: DataFrame, qid_col: str = "qid", id_col: str = "id",
+                 score_col: str = "score") -> DataFrame:
+    """Per-id minimum across query lists (score_fusion.rs Minimum)."""
+    return results.groupBy(id_col).agg(F.min(score_col).alias("score"))
+
+
+def fuse_product(results: DataFrame, qid_col: str = "qid", id_col: str = "id",
+                 score_col: str = "score") -> DataFrame:
+    """Per-id product across query lists (score_fusion.rs Product):
+    exp(Σ ln s) for positive scores, with sign fixed by the count of
+    negative factors; any zero factor zeroes the product."""
+    s = F.col(score_col)
+    return (
+        results.groupBy(id_col).agg(
+            F.sum(F.log(F.abs(s))).alias("_lnsum"),
+            F.sum(F.when(s < 0, 1).otherwise(0)).alias("_negs"),
+            F.max(F.when(s == 0, 1).otherwise(0)).alias("_anyzero"),
+        )
+        .select(
+            id_col,
+            F.when(F.col("_anyzero") == 1, F.lit(0.0)).otherwise(
+                F.exp("_lnsum")
+                * F.when(F.col("_negs") % 2 == 1, -1.0).otherwise(1.0)
+            ).alias("score"),
+        )
+    )
+
+
+def combine_breakdown(df: DataFrame, strategy: str = "weighted",
+                      weights: dict | None = None,
+                      vector_col: str = "vector_similarity",
+                      graph_col: str = "graph_distance",
+                      path_col: str = "path_score",
+                      metadata_boost_col: str | None = None,
+                      recency_boost_col: str | None = None) -> Column:
+    """ScoreBreakdown combination (score_fusion.rs:14-227): blend the
+    component score columns by strategy, then apply multiplicative boosts.
+    Returns a Column; caller attaches it with withColumn."""
+    comps = [F.coalesce(F.col(c), F.lit(0.0))
+             for c in (vector_col, graph_col, path_col) if c in df.columns]
+    if not comps:
+        raise ValueError("no component score columns present")
+    strategy = strategy.lower()
+    if strategy == "average":
+        base = sum(comps[1:], comps[0]) / float(len(comps))
+    elif strategy in ("maximum", "max"):
+        base = F.greatest(*comps) if len(comps) > 1 else comps[0]
+    elif strategy == "minimum":
+        base = F.least(*comps) if len(comps) > 1 else comps[0]
+    elif strategy == "product":
+        base = comps[0]
+        for c in comps[1:]:
+            base = base * c
+    elif strategy == "weighted":
+        w = weights or {}
+        names = [c for c in (vector_col, graph_col, path_col) if c in df.columns]
+        base = F.lit(0.0)
+        for name, col in zip(names, comps):
+            base = base + float(w.get(name, 1.0 / len(comps))) * col
+    else:  # rrf over score proxies (score_fusion.rs:191-196)
+        base = F.lit(0.0)
+        for c in comps:
+            base = base + 1.0 / (60.0 + 1.0 / F.greatest(c, F.lit(1e-9)))
+    for bc in (metadata_boost_col, recency_boost_col):
+        if bc and bc in df.columns:
+            base = base * F.coalesce(F.col(bc), F.lit(1.0))
+    return base
+
+
 def fuse_minmax_weighted(vector_results: DataFrame, other_results: DataFrame,
                          alpha: float, id_col: str = "id",
                          score_col: str = "score") -> DataFrame:
@@ -127,13 +196,18 @@ def fuse(strategy: str, results: DataFrame, params: dict | None = None,
          total_queries: int | None = None, qid_col: str = "qid",
          id_col: str = "id", score_col: str = "score",
          higher_is_better: bool = True) -> DataFrame:
-    """Dispatch by strategy name (average|maximum|max|rrf|weighted)."""
+    """Dispatch by strategy name
+    (average|maximum|max|minimum|product|rrf|weighted)."""
     params = params or {}
     strategy = strategy.lower()
     if strategy == "average":
         return fuse_average(results, qid_col, id_col, score_col)
     if strategy in ("maximum", "max"):
         return fuse_maximum(results, qid_col, id_col, score_col)
+    if strategy == "minimum":
+        return fuse_minimum(results, qid_col, id_col, score_col)
+    if strategy == "product":
+        return fuse_product(results, qid_col, id_col, score_col)
     if strategy == "rrf":
         return fuse_rrf(results, int(params.get("k", RRF_K)), qid_col, id_col,
                         score_col, higher_is_better)

@@ -1,0 +1,73 @@
+"""Vector quantization as storage-level column transforms.
+
+Reference: crates/velesdb-core/src/quantization.rs:68-320 — SQ8 (per-vector
+scalar quantization to int8, 4× smaller) and Binary (sign bits packed into
+u64 words, 32× smaller) with quantized distance kernels. In Spark these are
+column representations: quantize on write, score either on the dequantized
+form (SQ8, approximate) or directly on packed bits (binary hamming via XOR +
+bit_count). The reference's dual-precision rerank (f32 refine of quantized
+candidates) maps to: filter/top-k on the quantized score, re-rank the small
+candidate set on the full-precision column.
+
+All expressions are JVM-side (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ SQ8
+
+def sq8_quantize(vec: Column) -> Column:
+    """array<float> → struct(mn, scale, codes array<int>) with 255 levels
+    over the per-vector [min,max] range (quantization.rs SQ8)."""
+    mn = F.array_min(vec).cast("double")
+    mx = F.array_max(vec).cast("double")
+    scale = F.when(mx > mn, (mx - mn) / 255.0).otherwise(F.lit(1.0))
+    codes = F.transform(
+        vec, lambda x: F.round((x.cast("double") - mn) / scale).cast("int"))
+    return F.struct(mn.alias("mn"), scale.alias("scale"), codes.alias("codes"))
+
+
+def sq8_dequantize(q: Column) -> Column:
+    """struct(mn, scale, codes) → array<double> (lossy: ≤ scale/2 per dim)."""
+    return F.transform(
+        q.getField("codes"),
+        lambda c: q.getField("mn") + c.cast("double") * q.getField("scale"))
+
+
+# ------------------------------------------------------------------ binary
+
+WORD_BITS = 64
+
+
+def binary_quantize(vec: Column, dim: int) -> Column:
+    """array<float> → array<bigint> of packed sign bits (x > 0 → 1), 64 per
+    word (quantization.rs Binary mode, 32× compression)."""
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    words = []
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    for w in range(n_words):
+        word = zero
+        for b in range(min(WORD_BITS, dim - w * WORD_BITS)):
+            i = w * WORD_BITS + b  # 0-based element index
+            # shiftleft keeps bit 63 valid (1<<63 overflows a long literal)
+            bit = F.when(F.element_at(vec, i + 1) > 0,
+                         F.shiftleft(one, b)).otherwise(zero)
+            word = word.bitwiseOR(bit)
+        words.append(word)
+    return F.array(*words)
+
+
+def packed_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between packed bit arrays: Σ bit_count(a[i] XOR b[i])
+    — the quantized SIMD kernel's semantics (quantization.rs / distance.rs),
+    as a whole-stage-codegen expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,57 @@
+"""Trigram similarity: LIKE acceleration stand-in + Jaccard-ranked fuzzy
+search.
+
+Reference: index/trigram/index.rs:34-326 — a trigram inverted index that
+accelerates LIKE and provides `search_like_ranked` (Jaccard similarity of
+character-trigram sets, ranked descending). In Spark the LIKE-acceleration
+role is unnecessary (predicate scans scale), so this module provides the
+fuzzy-ranked surface: the trigram set is a JVM array expression, the score
+is set-Jaccard against the query's trigram set.
+
+Scale: trigram extraction is per-row (no shuffle); ranked search is a scan +
+TakeOrderedAndProject. For repeated fuzzy search at 100 TB, materialize
+(id, trigram) via explode and bucket by trigram — same postings design as
+BM25 (functions/bm25.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def trigram_set(col: Column) -> Column:
+    """Distinct character 3-grams of the lowercased string (JVM-side)."""
+    s = F.lower(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(0))),
+        lambda i: F.substring(s, i, F.lit(3)),
+    )
+    return F.array_distinct(grams)
+
+
+def trigram_jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two trigram arrays; 0 when union is empty."""
+    inter = F.size(F.array_intersect(a, b))
+    uni = F.size(F.array_union(a, b))
+    return F.when(uni > 0, inter.cast("double") / uni.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def _py_trigrams(text: str) -> list[str]:
+    s = text.lower()
+    return sorted({s[i:i + 3] for i in range(max(len(s) - 2, 0))})
+
+
+def search_like_ranked(df: DataFrame, query: str, k: int = 10,
+                       text_col: str = "text", id_col: str = "id",
+                       min_similarity: float = 0.0) -> DataFrame:
+    """Fuzzy ranked search (trigram/index.rs search_like_ranked): rank rows
+    by Jaccard(trigrams(text), trigrams(query)) descending → (id, score)."""
+    q = _py_trigrams(query)
+    qarr = F.array(*[F.lit(g) for g in q]) if q else F.array().cast("array<string>")
+    scored = df.select(
+        F.col(id_col),
+        trigram_jaccard(trigram_set(F.col(text_col)), qarr).alias("score"),
+    ).filter(F.col("score") > min_similarity)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
