@@ -520,6 +520,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = _events_window
 
+    def _events_sliding(s, d):
+        # 1h windows sliding 15min (batch-mode F.window; same op streams
+        # with a watermark — streaming/events.py sliding_avg)
+        ev = _t(s, d, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        )
+
+    q["events_sliding"] = _events_sliding
+
+    def _events_session(s, d):
+        # per-user session windows, 10-minute inactivity gap
+        # (F.session_window; streaming/events.py session_windows)
+        ev = _t(s, d, "events")
+        return (
+            ev.groupBy(F.session_window("ts", "10 minutes").alias("w"),
+                       "user_id")
+            # second-truncated first-event time: the fixture stores ns
+            # timestamps, which Spark rounds to us but DuckDB truncates;
+            # whole seconds are identical in both engines
+            .agg(F.date_trunc("second", F.min("ts")).alias("sess_start"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id", "sess_start", "n_events", "sum_value")
+        )
+
+    q["events_session"] = _events_session
+
+    q["json_path_props"] = lambda s, d: (
+        # JSON path access into the props column (velesql/json_path.rs)
+        _t(s, d, "events")
+        .select("event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .filter(F.col("k") > 90).orderBy("event_id"))
+
     return q
 
 
@@ -907,5 +945,37 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # each event falls in exactly 4 sliding windows (1h span / 15min slide)
+    o["events_sliding"] = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes')
+         AS win_start,
+       event_type, count(*) AS n
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1, 2"""
+
+    # gaps-and-islands sessionization: new session when gap >= 10 minutes
+    # (matches Spark session_window merge semantics: [ts, ts+gap) overlap)
+    o["events_session"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, date_trunc('second', min(ts)) AS sess_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+    o["json_path_props"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+ORDER BY event_id"""
 
     return o
