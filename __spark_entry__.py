@@ -240,6 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT o_orderkey FROM orders WHERE o_totalprice > "
         "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 100")
 
+    q["in_subquery"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
+        "ORDER BY o_orderkey LIMIT 100")
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -656,6 +662,11 @@ def oracle_sql() -> dict[str, str]:
     o["scalar_subquery"] = (
         "SELECT o_orderkey FROM orders WHERE o_totalprice > "
         "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 100")
+
+    o["in_subquery"] = (
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
+        "ORDER BY o_orderkey LIMIT 100")
 
     o["limit_offset"] = ("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
                          "LIMIT 20 OFFSET 10")

@@ -152,3 +152,48 @@ def test_combine_breakdown_boosts(spark):
     got = {r.id: r.s for r in out.collect()}
     assert math.isclose(got[1], (0.5 * 0.8 + 0.3 * 0.4 + 0.2 * 0.6) * 1.5, rel_tol=1e-9)
     assert math.isclose(got[2], (0.5 * 0.2 + 0.3 * 0.0 + 0.2 * 0.1) * 2.0, rel_tol=1e-9)
+
+
+# ------------------------------------------------------------- json values
+
+def test_mixed_type_total_order(spark):
+    """ordering.rs:18-63: Null < Bool < Number < String < Array < Object."""
+    from velesdb_spark.functions.jsonval import mixed_order_key
+
+    rows = [
+        (1, '{"a": 1}'), (2, "[1,2]"), (3, '"zebra"'), (4, "3.5"),
+        (5, "true"), (6, "null"), (7, None), (8, "false"), (9, "-2"),
+        (10, '"apple"'),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    got = [r.id for r in
+           df.orderBy(mixed_order_key(F.col("v")), F.col("id")).collect()]
+    # nulls (6,7) < bools false(8) < true(5) < numbers -2(9) < 3.5(4)
+    # < strings apple(10) < zebra(3) < array(2) < object(1)
+    assert got == [6, 7, 8, 5, 9, 4, 10, 3, 2, 1]
+
+
+def test_canonical_json_distinct(spark):
+    """distinct.rs: key-order-insensitive dedup via canonical JSON."""
+    from velesdb_spark.functions.jsonval import (canonical_json,
+                                                 canonical_map_json,
+                                                 distinct_by_canonical)
+
+    rows = [
+        (1, '{"b": 2, "a": 1}'), (2, '{"a": 1, "b": 2}'),
+        (3, '{"a": 1}'), (4, "not json"), (5, "not json"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload string")
+    out = distinct_by_canonical(df, ["payload"], {"payload"})
+    kept = sorted(r.payload for r in out.collect())
+    assert len(kept) == 3  # {a,b} dedups across key orders
+
+    canon = {r.id: r.c for r in
+             df.select("id", canonical_json(F.col("payload")).alias("c")).collect()}
+    assert canon[1] == canon[2] == '{"a":1,"b":2}'
+
+    m = spark.createDataFrame(
+        [(1,)], "id bigint").withColumn(
+        "m", F.create_map(F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1")))
+    got = m.select(canonical_map_json(F.col("m")).alias("c")).collect()[0].c
+    assert got == '{"a":"1","b":"2"}'

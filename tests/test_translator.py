@@ -166,3 +166,23 @@ def test_max_groups_guard(catalog):
     with pytest.raises(TranslationError):
         translate("SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey "
                   "WITH (max_groups=3)", catalog)
+
+
+def test_in_subquery(catalog, spark):
+    """IN (SELECT ...) membership — flag-join translation composes with OR."""
+    import duckdb
+
+    out = translate(
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
+        "OR o_totalprice > 400000.0 ORDER BY o_orderkey LIMIT 50", catalog)
+    got = [r.o_orderkey for r in out.collect()]
+    sf = catalog.resolve("orders").df.inputFiles()[0].rsplit("/", 1)[0]
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf.replace('file:', '')}/{t}.parquet'")
+    want = [r[0] for r in con.execute(
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
+        "OR o_totalprice > 400000.0 ORDER BY o_orderkey LIMIT 50").fetchall()]
+    assert got == want

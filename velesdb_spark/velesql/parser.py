@@ -421,6 +421,10 @@ class _Parser:
                 column += "." + self.identifier()
         if self.accept_kw("IN"):
             self.expect_punct("(")
+            if self.at_kw("SELECT"):  # IN (SELECT ...) membership subquery
+                stmt = self.select_stmt()
+                self.expect_punct(")")
+                return ast.In(column, ast.Subquery(stmt))
             vals = [self.value()]
             while self.accept_punct(","):
                 vals.append(self.value())

@@ -431,6 +431,20 @@ class _SearchState:
         if isinstance(cond, ast.Compare):
             return base, tr._compare_col(_col(cond.column), cond.op, tr.value(cond.value))
         if isinstance(cond, ast.In):
+            if isinstance(cond.values, ast.Subquery):
+                # membership subquery as a flag join (semi-join shape that
+                # still composes under OR/NOT; AQE broadcasts small sides)
+                sub = tr.select(cond.values.stmt, apply_default_limit=False)
+                if len(sub.columns) != 1:
+                    raise TranslationError("IN subquery must return one column")
+                flag = self._next("in")
+                subdf = (sub.distinct()
+                         .withColumnRenamed(sub.columns[0], flag + "_key")
+                         .withColumn(flag, F.lit(True)))
+                base = base.join(
+                    subdf, _col(cond.column) == F.col(flag + "_key"), "left"
+                ).drop(flag + "_key")
+                return base, _never_null(F.col(flag))
             vals = [tr.value(v) for v in cond.values]
             return base, _col(cond.column).isin(vals)
         if isinstance(cond, ast.Between):
