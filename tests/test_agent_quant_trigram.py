@@ -197,3 +197,52 @@ def test_canonical_json_distinct(spark):
         "m", F.create_map(F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1")))
     got = m.select(canonical_map_json(F.col("m")).alias("c")).collect()[0].c
     assert got == '{"a":"1","b":"2"}'
+
+
+# ------------------------------------------------------------- migration
+
+def test_migration_sources(spark, tmp_path):
+    """crates/velesdb-migrate parity: Qdrant/Pinecone JSONL + pgvector CSV."""
+    import json
+
+    from velesdb_spark.sources.migrate import (read_pgvector_csv,
+                                               read_pinecone_export,
+                                               read_qdrant_export)
+
+    qd = tmp_path / "qdrant.jsonl"
+    qd.write_text("\n".join(json.dumps(r) for r in [
+        {"id": 1, "vector": [1.0, 0.0], "payload": {"cat": "a"}},
+        {"id": 2, "vector": [0.0, 1.0], "payload": {"cat": "b"}},
+    ]))
+    c = read_qdrant_export(spark, str(qd), dimension=2)
+    assert c.count() == 2
+    assert c.get(1)["cat"] == "a"
+    assert c.search([1.0, 0.1], 1).collect()[0].id == 1
+
+    pc = tmp_path / "pinecone.jsonl"
+    pc.write_text("\n".join(json.dumps(r) for r in [
+        {"id": "vec-a", "values": [1.0, 0.0], "metadata": {"src": "x"}},
+        {"id": "7", "values": [0.0, 1.0], "metadata": {"src": "y"}},
+    ]))
+    c2 = read_pinecone_export(spark, str(pc))
+    rows = {r.orig_id: r for r in c2.df.collect()}
+    assert rows["7"].id == 7           # numeric string id kept
+    assert rows["vec-a"].id >= 0       # surrogate for non-numeric
+    assert rows["vec-a"].src == "x"
+
+    pg = tmp_path / "pg.csv"
+    pg.write_text('id,name,embedding\n1,alpha,"[1.0,0.5]"\n2,beta,"[0.0,1.0]"\n')
+    c3 = read_pgvector_csv(spark, str(pg))
+    got = c3.get(1)
+    assert got["name"] == "alpha" and got["vector"] == [1.0, 0.5]
+
+
+def test_collection_explain(catalog, spark):
+    """EXPLAIN surface (velesql/explain.rs → translation plan + df.explain)."""
+    from velesdb_spark.database import Collection
+
+    info = catalog.resolve("orders")
+    coll = Collection(spark, "orders", df=info.df, id_col="o_orderkey")
+    txt = coll.explain("SELECT o_orderkey FROM orders "
+                       "WHERE o_totalprice > 1000.0 LIMIT 5")
+    assert "o_totalprice" in txt  # plan mentions the pushed predicate
