@@ -246,3 +246,12 @@ def test_collection_explain(catalog, spark):
     txt = coll.explain("SELECT o_orderkey FROM orders "
                        "WHERE o_totalprice > 1000.0 LIMIT 5")
     assert "o_totalprice" in txt  # plan mentions the pushed predicate
+
+
+def test_intersect_results(spark):
+    from velesdb_spark.functions.fusion import intersect_results
+
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8), (3, 0.7)], "id bigint, score double")
+    b = spark.createDataFrame([(2, 0.5), (3, 0.4), (4, 0.3)], "id bigint, score double")
+    got = {r.id: round(r.score, 6) for r in intersect_results(a, b).collect()}
+    assert got == {2: 1.3, 3: 1.1}

@@ -192,6 +192,16 @@ def fuse_minmax_weighted(vector_results: DataFrame, other_results: DataFrame,
     )
 
 
+def intersect_results(a: DataFrame, b: DataFrame, id_col: str = "id",
+                      score_col: str = "score") -> DataFrame:
+    """AND semantics (velesql/hybrid.rs intersect_results): keep only ids
+    present in BOTH result lists; scores sum."""
+    left = a.select(F.col(id_col), F.col(score_col).alias("_sa"))
+    right = b.select(F.col(id_col), F.col(score_col).alias("_sb"))
+    return left.join(right, id_col, "inner").select(
+        id_col, (F.col("_sa") + F.col("_sb")).alias(score_col))
+
+
 def fuse(strategy: str, results: DataFrame, params: dict | None = None,
          total_queries: int | None = None, qid_col: str = "qid",
          id_col: str = "id", score_col: str = "score",
