@@ -272,6 +272,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT vec_id FROM embeddings WHERE similarity(vector, $v) > 0.2 "
         "ORDER BY vec_id LIMIT 100000", {"v": QV2})
 
+    q["not_similarity"] = lambda s, d: _vql(
+        s, d,
+        # forced-scan inverted predicate (query/mod.rs:635-748) — exact here
+        "SELECT vec_id FROM embeddings WHERE NOT similarity(vector, $v) > 0.25 "
+        "ORDER BY vec_id LIMIT 100000", {"v": QV1})
+
+    q["similarity_or_metadata"] = lambda s, d: _vql(
+        s, d,
+        # union mode: vector ∪ metadata scan (query/mod.rs:434-529) — a
+        # single disjunctive filter in Spark, same semantics without the
+        # two-branch dance
+        "SELECT vec_id FROM embeddings "
+        "WHERE similarity(vector, $v) > 0.45 OR label = 3 "
+        "ORDER BY vec_id LIMIT 100000", {"v": QV2})
+
+    q["similarity_cascade"] = lambda s, d: _vql(
+        s, d,
+        # ANDed similarity conditions (cascade w/ 10x over-fetch in the
+        # reference, query/mod.rs:163-293; exact filters here)
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $a) > 0.1 "
+        "AND similarity(vector, $b) > 0.1 ORDER BY vec_id LIMIT 100000",
+        {"a": QV1, "b": QV2})
+
     q["near_fused_average"] = lambda s, d: _vql(
         s, d,
         "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$a, $b] "
@@ -694,6 +717,19 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_threshold"] = (
         f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "
         f"ORDER BY vec_id LIMIT 100000")
+
+    o["not_similarity"] = (
+        f"SELECT vec_id FROM embeddings WHERE NOT ({cos(QV1)} > 0.25) "
+        f"ORDER BY vec_id LIMIT 100000")
+
+    o["similarity_or_metadata"] = (
+        f"SELECT vec_id FROM embeddings "
+        f"WHERE {cos(QV2)} > 0.45 OR label = 3 "
+        f"ORDER BY vec_id LIMIT 100000")
+
+    o["similarity_cascade"] = (
+        f"SELECT vec_id FROM embeddings WHERE {cos(QV1)} > 0.1 "
+        f"AND {cos(QV2)} > 0.1 ORDER BY vec_id LIMIT 100000")
 
     o["near_fused_average"] = (
         f"SELECT vec_id FROM embeddings "
