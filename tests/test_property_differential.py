@@ -1,0 +1,142 @@
+"""Property-based differential testing (reference fuzz parity, SURVEY §5:
+fuzz_velesql_parser / fuzz_distance_metrics): generate random VelesQL WHERE
+trees over the orders fixture, run through parser → translator → Spark AND
+the same text through DuckDB, assert identical row sets.
+
+Bounded example counts keep the suite fast; derandomized for CI stability.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR
+from velesdb_spark.velesql.translator import translate
+
+# --- predicate grammar over orders columns --------------------------------
+
+_NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def _num_pred(draw):
+    col = draw(st.sampled_from(_NUM_COLS))
+    op = draw(st.sampled_from([">", ">=", "<", "<=", "=", "!="]))
+    val = draw(st.integers(min_value=0, max_value=300000))
+    return f"{col} {op} {val}"
+
+
+def _str_pred(draw):
+    col = draw(st.sampled_from(_STR_COLS))
+    kind = draw(st.integers(min_value=0, max_value=3))
+    if kind == 0:
+        v = draw(st.sampled_from(["F", "O", "P", "1-URGENT", "5-LOW", "zzz"]))
+        op = draw(st.sampled_from(["=", "!="]))
+        return f"{col} {op} '{v}'"
+    if kind == 1:
+        return f"{col} IN ('F', 'O')"
+    if kind == 2:
+        pat = draw(st.sampled_from(["%URG%", "%LOW", "%-%", "_-____%"]))
+        return f"{col} LIKE '{pat}'"
+    return f"{col} IS NOT NULL"
+
+
+@st.composite
+def predicate(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        leaf = draw(st.booleans())
+        return _num_pred(draw) if leaf else _str_pred(draw)
+    a = draw(predicate(depth=depth + 1))
+    b = draw(predicate(depth=depth + 1))
+    combo = draw(st.sampled_from(["AND", "OR"]))
+    neg = draw(st.booleans())
+    expr = f"({a} {combo} {b})"
+    return f"NOT {expr}" if neg else expr
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    return con
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_where_tree_differential(data, catalog, oracle_con):
+    pred = data.draw(predicate())
+    sql = (f"SELECT o_orderkey FROM orders WHERE {pred} "
+           f"ORDER BY o_orderkey LIMIT 500")
+    got = [r.o_orderkey for r in translate(sql, catalog).collect()]
+    want = [r[0] for r in oracle_con.execute(sql).fetchall()]
+    assert got == want, f"predicate: {pred}"
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_between_and_numeric_bounds(data, catalog, oracle_con):
+    lo = data.draw(st.integers(min_value=0, max_value=200000))
+    hi = lo + data.draw(st.integers(min_value=0, max_value=150000))
+    sql = (f"SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN {lo} AND {hi} "
+           f"ORDER BY o_orderkey LIMIT 500")
+    got = [r.o_orderkey for r in translate(sql, catalog).collect()]
+    want = [r[0] for r in oracle_con.execute(sql).fetchall()]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_distance_metrics_vs_numpy(data, spark):
+    """fuzz_distance_metrics parity: random vectors, all five metrics."""
+    import math as m
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.functions.distance import metric_score
+
+    dim = data.draw(st.integers(min_value=1, max_value=16))
+    fl = st.floats(min_value=-10, max_value=10, allow_nan=False,
+                   allow_infinity=False, width=32)
+    a = data.draw(st.lists(fl, min_size=dim, max_size=dim))
+    b = data.draw(st.lists(fl, min_size=dim, max_size=dim))
+    df = spark.createDataFrame([(1, a, b)], "id bigint, a array<float>, b array<float>")
+    row = df.select(*[
+        metric_score(F.col("a"), F.col("b"), mt).alias(mt)
+        for mt in ["cosine", "euclidean", "dot", "hamming", "jaccard"]
+    ]).collect()[0]
+
+    na, nb = np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)
+    npa, npb = na.astype(float), nb.astype(float)
+    dot = float(npa @ npb)
+    norm = float(np.linalg.norm(npa) * np.linalg.norm(npb))
+    want_cos = dot / norm if norm > 0 else 0.0
+    assert m.isclose(row.cosine, want_cos, rel_tol=1e-6, abs_tol=1e-9)
+    assert m.isclose(row.euclidean, float(np.linalg.norm(npa - npb)),
+                     rel_tol=1e-6, abs_tol=1e-9)
+    assert m.isclose(row.dot, dot, rel_tol=1e-6, abs_tol=1e-9)
+    assert row.hamming == float((na != nb).sum())
+    both = int(((na > 0) & (nb > 0)).sum())
+    either = int(((na > 0) | (nb > 0)).sum())
+    want_j = both / either if either else 1.0
+    assert m.isclose(row.jaccard, want_j, rel_tol=1e-9)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_groupby_having_differential(data, catalog, oracle_con):
+    agg = data.draw(st.sampled_from(
+        ["COUNT(*)", "SUM(o_totalprice)", "AVG(o_totalprice)",
+         "MIN(o_orderkey)", "MAX(o_totalprice)"]))
+    thr = data.draw(st.integers(min_value=1, max_value=2000))
+    having_op = data.draw(st.sampled_from([">", "<", ">="]))
+    sql = (f"SELECT o_orderpriority, COUNT(*) AS cnt FROM orders "
+           f"GROUP BY o_orderpriority HAVING {agg} {having_op} {thr} "
+           f"ORDER BY o_orderpriority")
+    got = [(r.o_orderpriority, r.cnt) for r in translate(sql, catalog).collect()]
+    want = oracle_con.execute(sql).fetchall()
+    assert got == [tuple(w) for w in want], sql
