@@ -481,6 +481,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_reverse"] = _match_reverse
 
+    def _hybrid_match_near(s, d):
+        # hybrid MATCH+NEAR (match_planner.rs): vector predicate on the
+        # start nodes of a graph pattern — similarity() inside MATCH WHERE
+        from velesdb_spark.velesql.translator import Catalog, translate
+
+        emb = _t(s, d, "embeddings")
+        nodes = emb.select(F.col("vec_id").alias("id"),
+                           F.array(F.lit("Vec")).alias("labels"),
+                           "vec_id", "embedding")
+        edges = emb.select(F.col("vec_id").alias("id"),
+                           F.col("vec_id").alias("src"),
+                           (F.col("vec_id") + 1).alias("dst"),
+                           F.lit("NEXT").alias("label"))
+        cat = Catalog()
+        cat.register("nodes", nodes)
+        cat.register("edges", edges)
+        return translate(
+            "MATCH (a:Vec)-[:NEXT]->(b:Vec) "
+            "WHERE similarity(a.embedding, $v) > 0.25 "
+            "RETURN b.vec_id AS nxt LIMIT 100000", cat, {"v": QV3})
+
+    q["hybrid_match_near"] = _hybrid_match_near
+
     # --- ANN scale paths (approximate — rows-only driver check) -------
     def _ann_lsh(s, d):
         from velesdb_spark.functions.similarity import LshIndex
@@ -883,6 +906,11 @@ ORDER BY jac DESC, doc_id LIMIT 15"""
 SELECT n.n_name AS name FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_name = 'Customer#000000001'"""
+
+    o["hybrid_match_near"] = (
+        f"SELECT b.vec_id AS nxt FROM embeddings a "
+        f"JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+        f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], {_sql_vec(QV3)}) > 0.25")
 
     # dedup / text analysis
     norm = _DK_NORM.format(c="text")
