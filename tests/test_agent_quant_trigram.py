@@ -255,3 +255,78 @@ def test_intersect_results(spark):
     b = spark.createDataFrame([(2, 0.5), (3, 0.4), (4, 0.3)], "id bigint, score double")
     got = {r.id: round(r.score, 6) for r in intersect_results(a, b).collect()}
     assert got == {2: 1.3, 3: 1.1}
+
+
+# ------------------------------------------------------------- persistence
+
+def test_bm25_index_save_load(spark, tmp_path):
+    from velesdb_spark.functions.bm25 import Bm25Index
+
+    rows = [(1, "rust programming language"), (2, "python data science"),
+            (3, "rust all the way"), (4, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    idx = Bm25Index(df)
+    want = [(r.id, round(r._bm25_score, 9)) for r in idx.search("rust", 4).collect()]
+
+    path = str(tmp_path / "bm25idx")
+    idx.save(path, term_buckets=4)
+    back = Bm25Index.load(spark, path)
+    got = [(r.id, round(r._bm25_score, 9)) for r in back.search("rust", 4).collect()]
+    assert got == want and len(got) == 2
+
+
+def test_lsh_index_save_load(spark, tmp_path):
+    import numpy as np
+
+    from velesdb_spark.functions.similarity import LshIndex
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [float(round(x, 4)) for x in rng.randn(8)]
+
+    idx = LshIndex(df, "embedding", "vec_id", nbits=4)
+    want = [(r.vec_id, round(r.score, 9)) for r in idx.search(q, 5, 2).collect()]
+
+    path = str(tmp_path / "lshidx")
+    idx.save(path)
+    back = LshIndex.load(spark, path, "embedding", "vec_id", nbits=4)
+    got = [(r.vec_id, round(r.score, 9)) for r in back.search(q, 5, 2).collect()]
+    assert got == want
+
+
+def test_multi_query_search_strategies(spark):
+    import numpy as np
+
+    from velesdb_spark.database import Collection
+
+    rng = np.random.RandomState(21)
+    rows = [{"id": i, "vector": [float(round(x, 4)) for x in rng.randn(6)]}
+            for i in range(40)]
+    coll = Collection(spark, "c", dimension=6).upsert(rows)
+    q1 = [float(round(x, 4)) for x in rng.randn(6)]
+    q2 = [float(round(x, 4)) for x in rng.randn(6)]
+
+    got = {r.id: round(r.score, 9)
+           for r in coll.multi_query_search([q1, q2], 5, "average").collect()}
+
+    # NumPy oracle: average of cosines over per-query top-(2k) candidates
+    def cos(v, q):
+        v, q = np.array(v, dtype=np.float32).astype(float), np.asarray(q)
+        n = np.linalg.norm(v) * np.linalg.norm(q)
+        return float(v @ q / n) if n else 0.0
+
+    per_q = []
+    for q in (q1, q2):
+        scored = sorted(((cos(r["vector"], q), r["id"]) for r in rows),
+                        key=lambda t: (-t[0], t[1]))[:10]
+        per_q.append({i: s for s, i in scored})
+    allids = set(per_q[0]) | set(per_q[1])
+    fused = {}
+    for i in allids:
+        vals = [d[i] for d in per_q if i in d]
+        fused[i] = sum(vals) / len(vals)
+    want_ids = sorted(fused, key=lambda i: (-fused[i], i))[:5]
+    assert sorted(got) == sorted(want_ids)
+    for i in got:
+        assert abs(got[i] - fused[i]) < 1e-6

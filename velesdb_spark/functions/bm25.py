@@ -138,6 +138,35 @@ class Bm25Index:
         sort at scale)."""
         return self.scores(query).orderBy(F.desc("_bm25_score"), F.asc(self.id_col)).limit(k)
 
+    def save(self, path: str, term_buckets: int = 64) -> str:
+        """Materialize the inverted index to parquet. Postings are written
+        bucketed by a hash of the term so a query's score join reads only
+        its terms' buckets (the 100 TB layout; locally the same files).
+
+        The reference persists its index on flush (crud.rs flush →
+        index/bm25.rs serialization); this is that, as columnar artifacts.
+        """
+        (self.postings
+         .withColumn("_tb", F.abs(F.xxhash64("term")) % term_buckets)
+         .write.mode("overwrite").partitionBy("_tb")
+         .parquet(f"{path}/postings"))
+        self.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+        self.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
+        self.stats.write.mode("overwrite").parquet(f"{path}/stats")
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "id") -> "Bm25Index":
+        """Open a saved index without recomputing corpus statistics."""
+        idx = cls.__new__(cls)
+        idx.id_col = id_col
+        idx.spark = spark
+        idx.postings = spark.read.parquet(f"{path}/postings").drop("_tb")
+        idx.doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
+        idx.term_df = spark.read.parquet(f"{path}/term_df")
+        idx.stats = spark.read.parquet(f"{path}/stats")
+        return idx
+
 
 def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
                      text_col: str = "text") -> DataFrame:

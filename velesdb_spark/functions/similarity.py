@@ -82,6 +82,29 @@ class LshIndex:
         return (scored.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
                 .drop("_bucket"))
 
+    def save(self, path: str) -> str:
+        """Write the bucketed table partitioned by bucket: a probe reads
+        only its buckets' files (partition pruning = the 100 TB layout)."""
+        self.bucketed.write.mode("overwrite").partitionBy("_bucket") \
+            .parquet(path)
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str, vector_col: str = "embedding",
+             id_col: str = "id", nbits: int = DEFAULT_NBITS,
+             seed: int = LSH_SEED, dim: Optional[int] = None) -> "LshIndex":
+        """Open a saved bucketed index; hyperplanes are re-derived from the
+        (deterministic) seed, so queries route identically."""
+        idx = cls.__new__(cls)
+        idx.vector_col = vector_col
+        idx.id_col = id_col
+        idx.nbits = nbits
+        idx.seed = seed
+        idx.bucketed = spark.read.parquet(path)
+        idx.dim = dim or len(idx.bucketed.select(vector_col).first()[0])
+        idx.planes = _hyperplanes(idx.dim, nbits, seed)
+        return idx
+
 
 class IvfIndex:
     """Inverted-file ANN: k-means centroids, probe nprobe nearest lists."""
