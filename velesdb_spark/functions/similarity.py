@@ -110,7 +110,8 @@ class IvfIndex:
     """Inverted-file ANN: k-means centroids, probe nprobe nearest lists."""
 
     def __init__(self, df: DataFrame, vector_col: str = "embedding",
-                 id_col: str = "id", n_centroids: int = 16, seed: int = LSH_SEED):
+                 id_col: str = "id", n_centroids: int = 16, seed: int = LSH_SEED,
+                 max_iter: int = 8):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -118,8 +119,10 @@ class IvfIndex:
         self.id_col = id_col
         feats = df.withColumn("_feat", array_to_vector(
             F.transform(F.col(vector_col), lambda x: x.cast("double"))))
+        # few iterations suffice: centroids only shape the lists, exact
+        # re-rank inside probed lists sets precision
         km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat",
-                    predictionCol="_list")
+                    predictionCol="_list", maxIter=max_iter)
         self.model = km.fit(feats)
         self.assigned = self.model.transform(feats).drop("_feat")
         self.centroids = np.array([
