@@ -330,3 +330,40 @@ def test_multi_query_search_strategies(spark):
     assert sorted(got) == sorted(want_ids)
     for i in got:
         assert abs(got[i] - fused[i]) < 1e-6
+
+
+def test_review_fixes(spark, tmp_path):
+    """Regression cover for review findings: empty knn batch, short-string
+    trigrams, restore error propagation."""
+    import numpy as np
+    import pytest as pt
+    from pyspark.sql import functions as FF
+
+    from velesdb_spark.agent import AgentMemory
+    from velesdb_spark.functions.trigram import trigram_set
+    from velesdb_spark.operators.topk import knn_batch
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id bigint, vector array<float>")
+    out = knn_batch(df, [], 5)
+    assert out.columns == ["qid", "id", "score"] and out.count() == 0
+
+    tri = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abc")], "id bigint, t string")
+    got = {r.id: sorted(r.g) for r in
+           tri.select("id", trigram_set(FF.col("t")).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == ["abc"]
+
+    mem = AgentMemory(spark, dimension=2)
+    mem.remember("semantic", [{"id": 1, "vector": [1.0, 0.0]}], now=0.0)
+    p = str(tmp_path / "snap")
+    mem.snapshot(p)
+    back = AgentMemory.restore(spark, p, dimension=2)
+    assert back.layers["semantic"].count() == 1  # others missing → empty, no raise
+    # corrupt file must raise, not silently restore empty
+    bad = tmp_path / "snap2" / "episodic"
+    bad.mkdir(parents=True)
+    (bad / "part-0000.parquet").write_bytes(b"not a parquet file")
+    with pt.raises(Exception):
+        AgentMemory.restore(spark, str(tmp_path / "snap2")) \
+            .layers["episodic"].count()

@@ -102,10 +102,15 @@ class AgentMemory:
     @classmethod
     def restore(cls, spark: SparkSession, path: str,
                 dimension: Optional[int] = None, metric: str = "cosine") -> "AgentMemory":
+        from pyspark.errors import AnalysisException
+
         mem = cls(spark, dimension, metric, path=path)
         for name in LAYERS:
             try:
                 mem.layers[name]._df = spark.read.parquet(f"{path}/{name}")
-            except Exception:
-                pass  # layer never snapshotted
+            except AnalysisException as exc:
+                # only a missing layer directory means "never snapshotted";
+                # corrupt files / IO errors must surface
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
         return mem

@@ -27,7 +27,10 @@ def trigram_set(col: Column) -> Column:
         F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(0))),
         lambda i: F.substring(s, i, F.lit(3)),
     )
-    return F.array_distinct(grams)
+    # strings shorter than 3 chars have NO trigrams; without this guard
+    # sequence(1, 0) yields a descending [1, 0] and emits junk sub-grams
+    return F.when(F.length(s) < 3, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(grams))
 
 
 def trigram_jaccard(a: Column, b: Column) -> Column:

@@ -72,6 +72,9 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
     spark = df.sparkSession
     qrows = [(int(qid), [float(x) for x in vec]) for qid, vec in queries]
     base = df.filter(filter_cond) if filter_cond is not None else df
+    if not qrows:  # empty batch → empty (qid, id, score) result
+        return base.select(F.lit(0).cast("bigint").alias("qid"),
+                           F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     if len(qrows) <= SMALL_BATCH_Q:
         # Small batches: one TakeOrderedAndProject per query (per-partition
         # heap + driver merge — no shuffle, no Python workers). Q scans of
