@@ -561,6 +561,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups"] = _emb_dups
 
+    def _train_split(s, d):
+        # deterministic reproducible train/val/test assignment by md5
+        # bucket of the id — the training-pipeline split primitive (no RNG,
+        # stable across engines/partitionings/reruns)
+        docs = _t(s, d, "documents")
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long") % 100)
+        split = (F.when(bucket < 80, "train")
+                 .when(bucket < 90, "val").otherwise("test"))
+        return (docs.select(split.alias("split"))
+                .groupBy("split").agg(F.count("*").alias("n"))
+                .orderBy("split"))
+
+    q["train_split"] = _train_split
+
     # --- events / time ------------------------------------------------
     def _events_window(s, d):
         ev = _t(s, d, "events")
@@ -1020,6 +1036,16 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["train_split"] = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+         % 100 AS bk
+  FROM documents)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1 ORDER BY 1"""
 
     # each event falls in exactly 4 sliding windows (1h span / 15min slide)
     o["events_sliding"] = """
