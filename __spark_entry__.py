@@ -588,6 +588,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = _events_window
 
+    def _stream_hourly(s, d):
+        # REAL Structured Streaming execution: readStream over the events
+        # parquet, watermarked hourly window counts, availableNow drain to
+        # a memory sink; complete-mode result equals the batch aggregation
+        # (streaming/events.py tumbling_counts)
+        import uuid
+
+        from velesdb_spark.streaming.events import read_events_stream
+
+        import os
+        import tempfile
+
+        # the file source needs a directory; stage the fixture via symlink
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+
+        prior = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            ev = read_events_stream(s, stage)
+            agg = (
+                ev.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"))
+            )
+            name = "stream_hourly_" + uuid.uuid4().hex[:8]
+            qr = (agg.writeStream.format("memory").queryName(name)
+                  .outputMode("complete").trigger(availableNow=True).start())
+            qr.awaitTermination(120)
+        finally:
+            # read_events_stream flips this session-global read conf; batch
+            # reads of the same table must see ns timestamps again
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        return (s.table(name)
+                .select(F.col("w.start").alias("hour_start"), "event_type", "n"))
+
+    q["stream_hourly"] = _stream_hourly
+
     def _events_sliding(s, d):
         # 1h windows sliding 15min (batch-mode F.window; same op streams
         # with a watermark — streaming/events.py sliding_avg)
@@ -1046,6 +1083,10 @@ SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n
 FROM b GROUP BY 1 ORDER BY 1"""
+
+    o["stream_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2"""
 
     # each event falls in exactly 4 sliding windows (1h span / 15min slide)
     o["events_sliding"] = """

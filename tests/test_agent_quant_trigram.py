@@ -367,3 +367,24 @@ def test_review_fixes(spark, tmp_path):
     with pt.raises(Exception):
         AgentMemory.restore(spark, str(tmp_path / "snap2")) \
             .layers["episodic"].count()
+
+
+def test_plan_tree_shapes():
+    """velesql/explain.rs plan-node parity at the translation level."""
+    from velesdb_spark.plans.explain import plan_tree
+    from velesdb_spark.velesql.parser import parse
+
+    p1 = plan_tree(parse("SELECT * FROM t WHERE vector NEAR $v AND x > 1 "
+                         "ORDER BY x LIMIT 10 OFFSET 5"))
+    for node in ["TableScan", "VectorSearch", "Filter", "Offset(5)", "Limit(10)"]:
+        assert node in p1, p1
+
+    p2 = plan_tree(parse("SELECT id FROM t WHERE body MATCH 'x'"))
+    assert "IndexLookup(bm25" in p2
+
+    p3 = plan_tree(parse("MATCH (a:L)-[:R*1..3]->(b) WHERE similarity(a.v, $q) > 0.5 "
+                         "RETURN b.id LIMIT 10"))
+    assert "MatchTraversal" in p3 and "VectorFirst" in p3 and "var_length=true" in p3
+
+    p4 = plan_tree(parse("SELECT a FROM t UNION SELECT a FROM u"))
+    assert "Sequence(setop=union" in p4

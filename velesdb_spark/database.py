@@ -225,12 +225,16 @@ class Collection:
         return out.select(*cols)
 
     def explain(self, sql: str, params: Optional[dict] = None) -> str:
-        """Translation-level plan + Catalyst plan (velesql/explain.rs analog)."""
+        """Translation-level plan tree (velesql/explain.rs node shapes) +
+        the Catalyst physical plan."""
+        from velesdb_spark.plans.explain import plan_tree
+
         q = parse(sql)
         df = translate(q, self._catalog(), params)
         plan = df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        return f"-- VelesQL AST --\n{q}\n\n-- Catalyst plan --\n{plan}"
+        return (f"-- VelesQL plan --\n{plan_tree(q)}\n\n"
+                f"-- Catalyst plan --\n{plan}")
 
     # index hints are no-ops: Parquet column stats + predicate pushdown play
     # the role of property/range indexes (graph/property_index.rs,
