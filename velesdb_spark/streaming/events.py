@@ -52,7 +52,7 @@ def read_events_stream(spark: SparkSession, path: str,
         .parquet(path)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))  # exact truncation
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
