@@ -388,3 +388,40 @@ def test_plan_tree_shapes():
 
     p4 = plan_tree(parse("SELECT a FROM t UNION SELECT a FROM u"))
     assert "Sequence(setop=union" in p4
+
+
+def test_count_col_nulls_and_default_names(spark):
+    """COUNT(col) skips nulls (aggregator.rs); default output-name
+    convention count/sum_x/avg_x (aggregation.rs:271-289)."""
+    from velesdb_spark.velesql.translator import Catalog, translate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", 5.0), (4, "b", 7.0)],
+        "id bigint, g string, v double")
+    cat = Catalog()
+    cat.register("t", df)
+    out = translate("SELECT g, COUNT(*), COUNT(v), SUM(v), AVG(v) FROM t "
+                    "GROUP BY g ORDER BY g", cat)
+    # default name convention
+    assert out.columns == ["g", "count", "count_v", "sum_v", "avg_v"]
+    rows = {r.g: r for r in out.collect()}
+    assert rows["a"]["count"] == 2 and rows["a"].count_v == 1
+    assert rows["a"].sum_v == 10.0
+    assert rows["b"].avg_v == 6.0
+
+
+def test_like_escapes(spark):
+    r"""\% and \_ escapes match literal wildcard chars (filter/matching.rs)."""
+    from velesdb_spark.velesql.translator import Catalog, translate
+
+    df = spark.createDataFrame(
+        [(1, "100%"), (2, "100x"), (3, "a_b"), (4, "axb")],
+        "id bigint, s string")
+    cat = Catalog()
+    cat.register("t", df)
+    got = [r.id for r in translate(
+        r"SELECT id FROM t WHERE s LIKE '100\%' ORDER BY id LIMIT 100", cat).collect()]
+    assert got == [1]
+    got2 = [r.id for r in translate(
+        r"SELECT id FROM t WHERE s LIKE 'a\_b' ORDER BY id LIMIT 100", cat).collect()]
+    assert got2 == [3]
