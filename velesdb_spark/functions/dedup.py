@@ -179,7 +179,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     # postings table would be written out, not recomputed)
     base = base.persist()
     sizes = base.select("_id", F.size("_sh").alias("_sz"))
-    ex = base.select("_id", F.explode("_sh").alias("_s")).withColumn("_s", F.md5("_s"))
+    # join key only (results carry ids + jaccard, never the hash): xxhash64
+    # longs shuffle ~4x less than md5 hex strings and compare as ints
+    ex = base.select("_id", F.explode("_sh").alias("_s")).withColumn("_s", F.xxhash64("_s"))
     a = ex.withColumnRenamed("_id", "id_a")
     b = ex.withColumnRenamed("_id", "id_b")
     inter = (
