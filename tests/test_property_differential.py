@@ -140,3 +140,42 @@ def test_groupby_having_differential(data, catalog, oracle_con):
     got = [(r.o_orderpriority, r.cnt) for r in translate(sql, catalog).collect()]
     want = oracle_con.execute(sql).fetchall()
     assert got == [tuple(w) for w in want], sql
+
+
+@pytest.fixture(scope="module")
+def oracle_con2():
+    con = duckdb.connect()
+    for t in ("nation", "supplier", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_join_types_differential(data, catalog, oracle_con2):
+    """All four join types with random filters vs DuckDB."""
+    how = data.draw(st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+    thr = data.draw(st.integers(min_value=0, max_value=10000))
+    side = data.draw(st.sampled_from(["n.n_regionkey < 3", f"s.s_acctbal > {thr}",
+                                      "n.n_name LIKE 'A%'"]))
+    sql = (f"SELECT n.n_name AS nation, s.s_name AS supp FROM nation AS n "
+           f"{how} supplier AS s ON n.n_nationkey = s.s_nationkey "
+           f"WHERE {side} ORDER BY nation, supp LIMIT 300")
+    got = [(r.nation, r.supp) for r in translate(sql, catalog).collect()]
+    # DuckDB doesn't accept AS before table alias in the same spots? it does.
+    want = [tuple(r) for r in oracle_con2.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_set_ops_differential(data, catalog, oracle_con2):
+    op = data.draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    lo = data.draw(st.integers(min_value=0, max_value=20))
+    sql = (f"SELECT c_nationkey FROM customer WHERE c_nationkey > {lo} "
+           f"{op} SELECT s_nationkey FROM supplier")
+    got = sorted(r[0] for r in translate(sql, catalog).collect())
+    want = sorted(r[0] for r in oracle_con2.execute(sql).fetchall())
+    assert got == want, sql
