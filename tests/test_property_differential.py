@@ -179,3 +179,76 @@ def test_set_ops_differential(data, catalog, oracle_con2):
     got = sorted(r[0] for r in translate(sql, catalog).collect())
     want = sorted(r[0] for r in oracle_con2.execute(sql).fetchall())
     assert got == want, sql
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_bfs_differential_random_graphs(data, spark):
+    """Random digraphs: BFS must emit each reachable node once at minimum
+    depth, excluding starts (traversal.rs/streaming.rs visited-set)."""
+    from collections import deque
+
+    from velesdb_spark.operators.graph import bfs
+
+    n = data.draw(st.integers(min_value=3, max_value=12))
+    m = data.draw(st.integers(min_value=2, max_value=30))
+    edges = [(i,
+              data.draw(st.integers(min_value=0, max_value=n - 1)),
+              data.draw(st.integers(min_value=0, max_value=n - 1)))
+             for i in range(m)]
+    direction = data.draw(st.sampled_from(["out", "in", "both"]))
+    max_depth = data.draw(st.integers(min_value=1, max_value=4))
+    min_depth = data.draw(st.integers(min_value=1, max_value=max_depth))
+    start = data.draw(st.integers(min_value=0, max_value=n - 1))
+
+    df = spark.createDataFrame(
+        [(i, s, d, "E") for i, s, d in edges],
+        "id bigint, src bigint, dst bigint, label string")
+    got = {(r.node_id, r.depth)
+           for r in bfs(df, [start], min_depth, max_depth,
+                        direction=direction).collect()}
+
+    adj = {}
+    for _, s, d in edges:
+        if direction in ("out", "both"):
+            adj.setdefault(s, set()).add(d)
+        if direction in ("in", "both"):
+            adj.setdefault(d, set()).add(s)
+    dist = {start: 0}
+    dq = deque([start])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    want = {(v, d) for v, d in dist.items() if min_depth <= d <= max_depth}
+    assert got == want, (edges, direction, min_depth, max_depth, start)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_bm25_differential_random_corpus(data, spark):
+    """Random tiny corpora: scan-path BM25 == pure-Python formula."""
+    import math as m
+
+    from tests.test_bm25 import ref_bm25, ref_tokenize
+    from velesdb_spark.functions.bm25 import bm25_scan_scores
+
+    word = st.sampled_from(["rust", "spark", "data", "ml", "ai", "x1", "be", "a"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    docs = {i: data.draw(doc) for i in range(data.draw(
+        st.integers(min_value=1, max_value=8)))}
+    query = data.draw(st.lists(word, min_size=1, max_size=3).map(" ".join))
+
+    df = spark.createDataFrame(list(docs.items()), "id bigint, text string")
+    got = {r.id: r._bm25_score for r in bm25_scan_scores(df, query).collect()}
+    if not any(ref_tokenize(t) for t in docs.values()):
+        assert got == {}  # empty index → no results (bm25.rs:146-148)
+        return
+    want = ref_bm25(docs, query)
+    assert set(got) == set(want), (docs, query)
+    for i in got:
+        assert m.isclose(got[i], want[i], rel_tol=1e-9), (docs, query)
