@@ -425,3 +425,14 @@ def test_like_escapes(spark):
     got2 = [r.id for r in translate(
         r"SELECT id FROM t WHERE s LIKE 'a\_b' ORDER BY id LIMIT 100", cat).collect()]
     assert got2 == [3]
+
+
+def test_explain_sql_syntax(catalog):
+    """EXPLAIN <query> through the VelesQL string entry point."""
+    from velesdb_spark.velesql.translator import translate
+
+    out = translate("EXPLAIN SELECT o_orderkey FROM orders "
+                    "WHERE o_totalprice > 100.0 LIMIT 5", catalog)
+    assert out.columns == ["plan"]
+    text = out.collect()[0].plan
+    assert "TableScan" in text and "Limit(5)" in text and "Catalyst" in text

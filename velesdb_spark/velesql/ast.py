@@ -287,4 +287,11 @@ class MatchQuery:
     limit: Optional[int] = None
 
 
+@dataclass(frozen=True)
+class Explain:
+    """EXPLAIN <query> (velesql/explain.rs; REST /query/explain)."""
+
+    query: "Query"
+
+
 Query = Union[Select, Compound, MatchQuery]

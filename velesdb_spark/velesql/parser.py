@@ -115,6 +115,9 @@ class _Parser:
 
     # ---- entry ---------------------------------------------------------
     def parse(self) -> ast.Query:
+        if self.accept_kw("EXPLAIN"):
+            inner = self.parse()
+            return ast.Explain(inner)
         if self.at_kw("MATCH"):
             q = self.match_query()
         else:

@@ -552,4 +552,17 @@ class _SearchState:
 def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> DataFrame:
     """Parse (if needed) and translate a VelesQL query to a DataFrame."""
     q = parse(sql_or_ast) if isinstance(sql_or_ast, str) else sql_or_ast
+    if isinstance(q, ast.Explain):
+        # EXPLAIN <query> → one-row (plan STRING) DataFrame: the VelesQL
+        # plan tree + the Catalyst physical plan (velesql/explain.rs; REST
+        # /query/explain returns the same shape as data)
+        from velesdb_spark.plans.explain import plan_tree
+
+        df = Translator(catalog, params).query(q.query)
+        catalyst = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        text = (f"-- VelesQL plan --\n{plan_tree(q.query)}\n\n"
+                f"-- Catalyst plan --\n{catalyst}")
+        return df.sparkSession.createDataFrame([(text,)], "plan string")
     return Translator(catalog, params).query(q)
