@@ -436,3 +436,32 @@ def test_explain_sql_syntax(catalog):
     assert out.columns == ["plan"]
     text = out.collect()[0].plan
     assert "TableScan" in text and "Limit(5)" in text and "Catalyst" in text
+
+
+def test_bucketed_join_has_no_exchange(spark, catalog):
+    """Co-located bucketed join: SortMergeJoin with no shuffle on either
+    side (the 100 TB fact-fact join layout)."""
+    from velesdb_spark.operators.bucketing import colocated_join, write_bucketed
+
+    orders = catalog.resolve("orders").df.select("o_orderkey", "o_totalprice")
+    lineitem = catalog.resolve("lineitem").df.select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], buckets=8)
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], buckets=8)
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "b_orders", "b_lineitem",
+                           "o_orderkey", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        # sanity: result matches the plain join
+        n_bucketed = j.count()
+        n_plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
