@@ -884,12 +884,12 @@ m AS (
       THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
       ELSE 0.0 END AS awl
   FROM toks)
-SELECT doc_id, round(
+SELECT doc_id, round(CAST(
     0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
   + 0.3 * (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.0 END)
   + 0.2 * (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
-  + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
-  AS quality
+  + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+  AS DOUBLE), 6) AS quality
 FROM m"""
 
     toks = _DK_BM25_TOKS.format(c="text")
