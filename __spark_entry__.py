@@ -409,6 +409,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = _hybrid
 
+    def _hybrid_weighted(s, d):
+        # min-max normalize each list then alpha-blend
+        # (velesql/hybrid.rs fuse_weighted)
+        from velesdb_spark.functions.fusion import fuse_minmax_weighted
+
+        emb = _t(s, d, "embeddings")
+        vres = tk.knn(emb, QV1, 20, "cosine", "embedding", "vec_id") \
+            .select(F.col("vec_id").alias("id"), "score")
+        # bm25 side rounded to 6dp BEFORE normalization so the oracle's
+        # rounded scores normalize identically
+        tres = bm25_scan_search(_t(s, d, "documents"), "spark query join", 20,
+                                id_col="doc_id", text_col="text") \
+            .select(F.col("doc_id").alias("id"),
+                    F.round("_bm25_score", 6).alias("score"))
+        fused = fuse_minmax_weighted(vres, tres, 0.6)
+        return (fused.select("id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("id")).limit(10))
+
+    q["hybrid_weighted"] = _hybrid_weighted
+
     # --- graph (derived from customer→nation→region) ------------------
     def _graph(s, d):
         cust = _t(s, d, "customer")
@@ -912,6 +932,30 @@ WITH vr AS (
 )
 SELECT id, round(sum(s), 6) AS score FROM contrib GROUP BY id
 ORDER BY sum(s) DESC, id LIMIT 10"""
+
+    bm25_20w = _bm25_oracle(["spark", "query", "join"], 20)
+    o["hybrid_weighted"] = f"""
+WITH vr AS (
+  SELECT vec_id AS id, {cos(QV1)} AS s
+  FROM embeddings ORDER BY {cos(QV1)} DESC, vec_id LIMIT 20
+), vn AS (
+  SELECT id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+             ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+             END AS ns
+  FROM vr
+), tr AS (SELECT doc_id AS id, score AS s FROM ({bm25_20w})
+), tn AS (
+  SELECT id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+             ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+             END AS ns
+  FROM tr
+)
+SELECT COALESCE(vn.id, tn.id) AS id,
+       round(CAST(0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(tn.ns, 0)
+             AS DOUBLE), 6) AS score
+FROM vn FULL JOIN tn ON vn.id = tn.id
+ORDER BY 0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(tn.ns, 0) DESC,
+         COALESCE(vn.id, tn.id) LIMIT 10"""
 
     # graph
     o["graph_match_2hop"] = (
