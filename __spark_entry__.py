@@ -635,7 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             name = "stream_hourly_" + uuid.uuid4().hex[:8]
             qr = (agg.writeStream.format("memory").queryName(name)
                   .outputMode("complete").trigger(availableNow=True).start())
-            qr.awaitTermination(120)
+            if not qr.awaitTermination(120):
+                qr.stop()
+                raise TimeoutError("stream_hourly drain exceeded 120s")
         finally:
             # read_events_stream flips this session-global read conf; batch
             # reads of the same table must see ns timestamps again

@@ -227,14 +227,13 @@ class Collection:
     def explain(self, sql: str, params: Optional[dict] = None) -> str:
         """Translation-level plan tree (velesql/explain.rs node shapes) +
         the Catalyst physical plan."""
-        from velesdb_spark.plans.explain import plan_tree
+        from velesdb_spark.velesql import ast as _ast
 
         q = parse(sql)
-        df = translate(q, self._catalog(), params)
-        plan = df._jdf.queryExecution().explainString(
-            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        return (f"-- VelesQL plan --\n{plan_tree(q)}\n\n"
-                f"-- Catalyst plan --\n{plan}")
+        if not isinstance(q, _ast.Explain):
+            q = _ast.Explain(q)
+        # translate's Explain branch assembles the plan text
+        return translate(q, self._catalog(), params).collect()[0].plan
 
     # index hints are no-ops: Parquet column stats + predicate pushdown play
     # the role of property/range indexes (graph/property_index.rs,

@@ -146,13 +146,25 @@ class Bm25Index:
         The reference persists its index on flush (crud.rs flush →
         index/bm25.rs serialization); this is that, as columnar artifacts.
         """
-        (self.postings
-         .withColumn("_tb", F.abs(F.xxhash64("term")) % term_buckets)
-         .write.mode("overwrite").partitionBy("_tb")
-         .parquet(f"{path}/postings"))
-        self.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
-        self.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
-        self.stats.write.mode("overwrite").parquet(f"{path}/stats")
+        # persist the shared tokenize/explode lineage: term_df derives from
+        # postings and stats from doc_lengths — without this, the four
+        # writes would each re-scan and re-shuffle the whole corpus
+        postings = self.postings.persist()
+        doc_lengths = self.doc_lengths.persist()
+        try:
+            (postings
+             .withColumn("_tb", F.abs(F.xxhash64("term")) % term_buckets)
+             .write.mode("overwrite").partitionBy("_tb")
+             .parquet(f"{path}/postings"))
+            doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+            postings.groupBy("term").agg(F.count("*").alias("df")) \
+                .write.mode("overwrite").parquet(f"{path}/term_df")
+            doc_lengths.agg(
+                F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")) \
+                .write.mode("overwrite").parquet(f"{path}/stats")
+        finally:
+            postings.unpersist()
+            doc_lengths.unpersist()
         return path
 
     @classmethod

@@ -47,6 +47,8 @@ def _walk_cond(cond, nodes: list[str]) -> None:
 
 def plan_tree(q) -> str:
     """Render the reference-shaped plan for a parsed VelesQL query."""
+    while isinstance(q, ast.Explain):  # EXPLAIN [EXPLAIN ...] <q>
+        q = q.query
     if isinstance(q, ast.MatchQuery):
         hops = len(q.rels)
         var = any(r.max_depth > 1 or r.max_depth > r.min_depth for r in q.rels)
