@@ -465,3 +465,46 @@ def test_bucketed_join_has_no_exchange(spark, catalog):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lsh_prunes_candidate_set(spark):
+    """The ANN scale path must probe a small fraction of the table: with
+    8-bit hyperplane buckets, a 2-probe query scans ~3/256 of the rows."""
+    import numpy as np
+
+    from velesdb_spark.functions.similarity import LshIndex
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(16)]) for i in range(5000)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = LshIndex(df, "embedding", "vec_id", nbits=8)
+    q = [float(round(x, 4)) for x in rng.randn(16)]
+    buckets = idx._query_buckets(q, multiprobe=2)
+    n_cand = idx.bucketed.filter(F.col("_bucket").isin(buckets)).count()
+    assert 0 < n_cand < 5000 * 0.10  # scans < 10% of the table
+    assert len(idx.search(q, 5, multiprobe=2).collect()) <= 5
+
+
+def test_validation_errors(catalog):
+    """Validation parity (velesql/validation.rs, aggregation.rs:144-149):
+    clear errors for HAVING without GROUP BY, unknown fusion strategy,
+    non-grouped projection; MAX_LIMIT capped not errored."""
+    from velesdb_spark.velesql.parser import MAX_LIMIT, VelesQLSyntaxError
+    from velesdb_spark.velesql.translator import TranslationError, translate
+
+    with pytest.raises((TranslationError, VelesQLSyntaxError)):
+        translate("SELECT o_custkey FROM orders HAVING COUNT(*) > 5", catalog)
+
+    with pytest.raises(TranslationError, match="unknown fusion"):
+        translate("SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED "
+                  "[$a] USING FUSION 'bogus' LIMIT 5", catalog,
+                  {"a": [0.0] * 64})
+
+    with pytest.raises(TranslationError, match="GROUP BY"):
+        translate("SELECT o_clerk, COUNT(*) AS n FROM orders "
+                  "GROUP BY o_custkey LIMIT 5", catalog)
+
+    # LIMIT above MAX_LIMIT is capped, not an error (query/mod.rs:60-61)
+    out = translate(f"SELECT o_orderkey FROM orders LIMIT {MAX_LIMIT * 10}",
+                    catalog)
+    assert out.count() <= MAX_LIMIT
