@@ -508,3 +508,12 @@ def test_validation_errors(catalog):
     out = translate(f"SELECT o_orderkey FROM orders LIMIT {MAX_LIMIT * 10}",
                     catalog)
     assert out.count() <= MAX_LIMIT
+
+
+def test_explain_analyze(catalog):
+    from velesdb_spark.velesql.translator import translate
+
+    text = translate("EXPLAIN ANALYZE SELECT o_orderkey FROM orders "
+                     "WHERE o_totalprice > 100.0 LIMIT 7", catalog) \
+        .collect()[0].plan
+    assert "-- ANALYZE --" in text and "rows: 7" in text

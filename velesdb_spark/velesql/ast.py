@@ -289,9 +289,12 @@ class MatchQuery:
 
 @dataclass(frozen=True)
 class Explain:
-    """EXPLAIN <query> (velesql/explain.rs; REST /query/explain)."""
+    """EXPLAIN [ANALYZE] <query> (velesql/explain.rs; REST /query/explain).
+    ANALYZE executes the query and appends runtime stats (explain.rs
+    ExplainAnalyzeStats)."""
 
     query: "Query"
+    analyze: bool = False
 
 
 Query = Union[Select, Compound, MatchQuery]

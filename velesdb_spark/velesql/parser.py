@@ -116,8 +116,9 @@ class _Parser:
     # ---- entry ---------------------------------------------------------
     def parse(self) -> ast.Query:
         if self.accept_kw("EXPLAIN"):
+            analyze = self.accept_kw("ANALYZE")
             inner = self.parse()
-            return ast.Explain(inner)
+            return ast.Explain(inner, analyze)
         if self.at_kw("MATCH"):
             q = self.match_query()
         else:

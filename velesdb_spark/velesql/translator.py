@@ -564,5 +564,14 @@ def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> Da
             .fromString("formatted"))
         text = (f"-- VelesQL plan --\n{plan_tree(q.query)}\n\n"
                 f"-- Catalyst plan --\n{catalyst}")
+        if q.analyze:
+            # EXPLAIN ANALYZE: execute and append runtime stats
+            # (explain.rs ExplainAnalyzeStats)
+            import time as _time
+
+            t0 = _time.time()
+            n = df.count()
+            text += (f"\n\n-- ANALYZE --\nrows: {n}\n"
+                     f"elapsed_ms: {(_time.time() - t0) * 1000:.1f}")
         return df.sparkSession.createDataFrame([(text,)], "plan string")
     return Translator(catalog, params).query(q)
