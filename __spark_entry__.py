@@ -35,10 +35,10 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return _catalog(spark, sf_dir).resolve(name).df
 
 
-def _vql(spark, sf_dir, sql, params=None) -> DataFrame:
+def _vql(spark, sf_dir, sql, params=None, now_epoch=None) -> DataFrame:
     from velesdb_spark.velesql.translator import translate
 
-    return translate(sql, _catalog(spark, sf_dir), params)
+    return translate(sql, _catalog(spark, sf_dir), params, now_epoch=now_epoch)
 
 
 def _qvec(seed: int, dim: int = 64) -> list[float]:
@@ -608,6 +608,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = _events_window
 
+    # temporal predicates NOW()/INTERVAL (ast/values.rs:89-163) with NOW()
+    # pinned to 2024-01-31T00:00:00Z for a deterministic oracle; the
+    # timestamp literal comparison stays parquet-pushable
+    q["temporal_recent"] = lambda s, d: _vql(
+        s, d,
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= NOW() - INTERVAL '7 days' AND ts < NOW() "
+        "GROUP BY event_type ORDER BY event_type",
+        now_epoch=1706659200)
+
     def _stream_hourly(s, d):
         # REAL Structured Streaming execution: readStream over the events
         # parquet, watermarked hourly window counts, availableNow drain to
@@ -1119,6 +1129,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["temporal_recent"] = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+  AND ts < TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY event_type ORDER BY event_type"""
 
     o["train_split"] = """
 WITH b AS (

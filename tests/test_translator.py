@@ -186,3 +186,37 @@ def test_in_subquery(catalog, spark):
         "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
         "OR o_totalprice > 400000.0 ORDER BY o_orderkey LIMIT 50").fetchall()]
     assert got == want
+
+
+def test_temporal_now_interval(catalog, duck):
+    """NOW()/INTERVAL resolve to epoch seconds (values.rs:102-122);
+    now_epoch pins the clock so the result is deterministic, and the
+    comparison works natively against a TIMESTAMP column."""
+    sdf = translate(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= NOW() - INTERVAL '7 days' AND ts < NOW() "
+        "GROUP BY event_type ORDER BY event_type", catalog,
+        now_epoch=1706659200)  # 2024-01-31T00:00:00Z
+    assert_matches_oracle(sdf, duck,
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-31 00:00:00' "
+        "GROUP BY event_type ORDER BY event_type")
+
+
+def test_temporal_interval_arith_units():
+    """INTERVAL unit table matches values.rs:148-163; NOW()±INTERVAL stays
+    a point in time, INTERVAL+INTERVAL stays a duration."""
+    from velesdb_spark.velesql.parser import parse_interval
+    from velesdb_spark.velesql.translator import TemporalEpoch, Translator
+
+    assert parse_interval("90 seconds") == 90
+    assert parse_interval("2 hours") == 7200
+    assert parse_interval("1 week") == 604800
+    tr = Translator(None, now_epoch=1000)
+    from velesdb_spark.velesql import ast as A
+
+    v = tr.value(A.TemporalArith(A.Now(), "-", A.Interval(600)))
+    assert v == 400 and isinstance(v, TemporalEpoch)
+    d = tr.value(A.TemporalArith(A.Interval(600), "+", A.Interval(60)))
+    assert d == 660 and not isinstance(d, TemporalEpoch)

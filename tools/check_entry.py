@@ -1,7 +1,8 @@
 """Local mini-driver: run every __spark_entry__ query against its DuckDB
 oracle (row count + column names + order-insensitive values) at a given SF.
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [name1,name2,...]
+(the optional second arg restricts the sweep to the named queries)
 """
 
 from __future__ import annotations
@@ -44,6 +45,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     ok = bad = 0
     for name, fn in qs.items():
         t0 = time.time()

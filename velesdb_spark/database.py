@@ -215,9 +215,13 @@ class Collection:
             cat.register("edges", self._edges)
         return cat
 
-    def query(self, sql: str, params: Optional[dict] = None) -> DataFrame:
-        """Execute VelesQL (SELECT or MATCH) against this collection."""
-        return translate(sql, self._catalog(), params)
+    def query(self, sql: str, params: Optional[dict] = None,
+              now_epoch: Optional[int] = None) -> DataFrame:
+        """Execute VelesQL (SELECT or MATCH) against this collection.
+
+        now_epoch pins NOW() for deterministic temporal predicates
+        (values.rs:102-122 resolves NOW()/INTERVAL to epoch seconds)."""
+        return translate(sql, self._catalog(), params, now_epoch=now_epoch)
 
     def query_ids(self, sql: str, params: Optional[dict] = None) -> DataFrame:
         out = self.query(sql, params)

@@ -36,6 +36,13 @@ class TranslationError(ValueError):
     pass
 
 
+class TemporalEpoch(int):
+    """Epoch-second point-in-time produced by NOW()/INTERVAL arithmetic
+    (values.rs:102-122 resolves temporal expressions to epoch seconds).
+    Marked so comparisons against TIMESTAMP columns build a timestamp
+    literal instead of an integer one."""
+
+
 @dataclass
 class TableInfo:
     """Per-collection config (the reference fixes metric at collection
@@ -74,9 +81,13 @@ def _never_null(c: Column) -> Column:
 
 
 class Translator:
-    def __init__(self, catalog: Catalog, params: Optional[dict] = None):
+    def __init__(self, catalog: Catalog, params: Optional[dict] = None,
+                 now_epoch: Optional[int] = None):
         self.catalog = catalog
         self.params = params or {}
+        # Deterministic NOW() override (tests/oracles); None → wall clock,
+        # matching the reference's values.rs:102-122.
+        self.now_epoch = now_epoch
 
     # ------------------------------------------------------------ values
     def value(self, v):
@@ -85,13 +96,20 @@ class Translator:
                 raise TranslationError(f"missing parameter: ${v.name}")
             return self.params[v.name]
         if isinstance(v, ast.Now):
-            return int(time.time())
+            return TemporalEpoch(
+                self.now_epoch if self.now_epoch is not None
+                else int(time.time()))
         if isinstance(v, ast.Interval):
             return v.seconds
         if isinstance(v, ast.TemporalArith):
             left = self.value(v.left)
             right = self.value(v.right)
-            return left + right if v.op == "+" else left - right
+            out = left + right if v.op == "+" else left - right
+            # NOW() ± INTERVAL stays a point in time; INTERVAL ± INTERVAL
+            # stays a plain duration
+            if isinstance(left, TemporalEpoch) or isinstance(right, TemporalEpoch):
+                return TemporalEpoch(out)
+            return out
         if isinstance(v, ast.Subquery):
             sub = self.select(v.stmt, apply_default_limit=False)
             rows = sub.limit(2).collect()
@@ -316,7 +334,21 @@ class Translator:
         return grouped
 
     # ------------------------------------------------------------ predicates
-    def _compare_col(self, c: Column, op: str, val) -> Column:
+    def _compare_col(self, c: Column, op: str, val,
+                     dtype: Optional[str] = None) -> Column:
+        # Temporal point-in-time vs TIMESTAMP column: build a timestamp
+        # literal (session tz is UTC) so the comparison stays native and
+        # parquet-pushable. Against integer epoch columns the plain int
+        # literal path below is already correct.
+        if isinstance(val, TemporalEpoch) and dtype and dtype.startswith("timestamp"):
+            val = F.timestamp_seconds(F.lit(int(val)))
+            lit = val
+            if op == "=":
+                return c == lit
+            if op in ("!=", "<>"):
+                return ~c.eqNullSafe(lit)
+            return {">": c > lit, ">=": c >= lit,
+                    "<": c < lit, "<=": c <= lit}[op]
         if isinstance(val, ast.ColumnRef):
             other = _col(val.name)
             if op == "=":
@@ -429,7 +461,9 @@ class _SearchState:
             # from a three-valued leaf must read as false before negating
             return base, ~_never_null(p)
         if isinstance(cond, ast.Compare):
-            return base, tr._compare_col(_col(cond.column), cond.op, tr.value(cond.value))
+            dtype = dict(base.dtypes).get(cond.column.split(".")[0].split("[")[0])
+            return base, tr._compare_col(
+                _col(cond.column), cond.op, tr.value(cond.value), dtype=dtype)
         if isinstance(cond, ast.In):
             if isinstance(cond.values, ast.Subquery):
                 # membership subquery as a flag join (semi-join shape that
@@ -549,7 +583,8 @@ class _SearchState:
         return f"_vql_{tag}_{self.counter}"
 
 
-def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> DataFrame:
+def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None,
+              now_epoch: Optional[int] = None) -> DataFrame:
     """Parse (if needed) and translate a VelesQL query to a DataFrame."""
     q = parse(sql_or_ast) if isinstance(sql_or_ast, str) else sql_or_ast
     if isinstance(q, ast.Explain):
@@ -558,7 +593,7 @@ def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> Da
         # /query/explain returns the same shape as data)
         from velesdb_spark.plans.explain import plan_tree
 
-        df = Translator(catalog, params).query(q.query)
+        df = Translator(catalog, params, now_epoch).query(q.query)
         catalyst = df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
@@ -574,4 +609,4 @@ def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None) -> Da
             text += (f"\n\n-- ANALYZE --\nrows: {n}\n"
                      f"elapsed_ms: {(_time.time() - t0) * 1000:.1f}")
         return df.sparkSession.createDataFrame([(text,)], "plan string")
-    return Translator(catalog, params).query(q)
+    return Translator(catalog, params, now_epoch).query(q)
