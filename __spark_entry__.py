@@ -611,6 +611,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # temporal predicates NOW()/INTERVAL (ast/values.rs:89-163) with NOW()
     # pinned to 2024-01-31T00:00:00Z for a deterministic oracle; the
     # timestamp literal comparison stays parquet-pushable
+    # programmatic Filter-dict surface (filter/mod.rs Condition JSON as the
+    # python bindings accept it) compiled to one native Column expression
+    def _filter_api(s, d):
+        from velesdb_spark.functions.filters import filter_to_column
+
+        cond = {"type": "and", "conditions": [
+            {"type": "contains", "field": "text", "value": "data"},
+            {"type": "gte", "field": "n_chars", "value": 500},
+            {"type": "neq", "field": "lang", "value": "en"}]}
+        return (_t(s, d, "documents").filter(filter_to_column(cond))
+                .select("doc_id", "lang", "n_chars")
+                .orderBy("doc_id").limit(100))
+
+    q["filter_api_dict"] = _filter_api
+
     q["temporal_recent"] = lambda s, d: _vql(
         s, d,
         "SELECT event_type, COUNT(*) AS n FROM events "
@@ -1129,6 +1144,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["filter_api_dict"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE contains(text, 'data') AND n_chars >= 500
+  AND (lang != 'en' OR lang IS NULL)
+ORDER BY doc_id LIMIT 100"""
 
     o["temporal_recent"] = """
 SELECT event_type, COUNT(*) AS n FROM events

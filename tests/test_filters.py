@@ -1,0 +1,98 @@
+"""Programmatic filter-dict surface (filter/mod.rs Condition JSON →
+Column), matching filter/matching.rs null semantics exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions.filters import FilterError, filter_to_column
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        [(1, "tech", "rust is fast", 10.0),
+         (2, "news", "python data pipelines", 5.0),
+         (3, None, None, 7.5),
+         (4, "tech", "spark data engine", None)],
+        "id bigint, category string, text string, score double")
+
+
+def _ids(df, cond):
+    return sorted(r.id for r in df.filter(filter_to_column(cond)).collect())
+
+
+def test_eq_neq_null_semantics(tdf):
+    assert _ids(tdf, {"type": "eq", "field": "category", "value": "tech"}) == [1, 4]
+    # Neq is TRUE on missing/null (matching.rs:14-16)
+    assert _ids(tdf, {"type": "neq", "field": "category", "value": "tech"}) == [2, 3]
+    # Eq against null matches null fields
+    assert _ids(tdf, {"type": "eq", "field": "category", "value": None}) == [3]
+    assert _ids(tdf, {"type": "neq", "field": "category", "value": None}) == [1, 2, 4]
+
+
+def test_range_in_contains(tdf):
+    assert _ids(tdf, {"type": "gt", "field": "score", "value": 6.0}) == [1, 3]
+    assert _ids(tdf, {"type": "lte", "field": "score", "value": 7.5}) == [2, 3]
+    assert _ids(tdf, {"type": "in", "field": "category",
+                      "values": ["news", "blog"]}) == [2]
+    # Contains: substring, false on null (matching.rs:31-32)
+    assert _ids(tdf, {"type": "contains", "field": "text", "value": "data"}) == [2, 4]
+    assert _ids(tdf, {"type": "contains", "field": "text", "value": "zzz"}) == []
+
+
+def test_null_checks_and_boolean_composition(tdf):
+    assert _ids(tdf, {"type": "is_null", "field": "text"}) == [3]
+    assert _ids(tdf, {"type": "is_not_null", "field": "score"}) == [1, 2, 3]
+    assert _ids(tdf, {"type": "and", "conditions": [
+        {"type": "eq", "field": "category", "value": "tech"},
+        {"type": "contains", "field": "text", "value": "data"}]}) == [4]
+    assert _ids(tdf, {"type": "or", "conditions": [
+        {"type": "eq", "field": "id", "value": 1},
+        {"type": "is_null", "field": "category"}]}) == [1, 3]
+    # NOT over a definite boolean: null text rows pass NOT contains
+    assert _ids(tdf, {"type": "not", "condition":
+                      {"type": "contains", "field": "text", "value": "data"}}) == [1, 3]
+
+
+def test_like_ilike_and_wrapper(tdf):
+    assert _ids(tdf, {"type": "like", "field": "text", "pattern": "%data%"}) == [2, 4]
+    assert _ids(tdf, {"type": "ilike", "field": "category", "pattern": "TECH"}) == [1, 4]
+    # full Filter wrapper {"condition": ...} (filter/mod.rs:33-40)
+    assert _ids(tdf, {"condition": {"type": "eq", "field": "id", "value": 2}}) == [2]
+
+
+def test_errors(tdf):
+    with pytest.raises(FilterError):
+        filter_to_column({"type": "frobnicate", "field": "x"})
+    with pytest.raises(FilterError):
+        filter_to_column({"field": "x"})
+    with pytest.raises(FilterError):
+        filter_to_column({"type": "and", "conditions": []})
+    with pytest.raises(FilterError):
+        filter_to_column("not a dict")
+
+
+def test_search_with_filter_accepts_dict(spark):
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], "tech" if i % 2 else "news",
+          f"doc {i} spark data") for i in range(1, 9)],
+        "id bigint, vector array<float>, category string, text string")
+    col = Collection(spark, "c", metric="cosine", df=df, text_col="text")
+    res = col.search_with_filter(
+        [1.0, 1.0], {"type": "eq", "field": "category", "value": "tech"}, k=3)
+    ids = [r.id for r in res.collect()]
+    assert len(ids) == 3 and all(i % 2 == 1 for i in ids)
+
+    tres = col.text_search(
+        "spark", k=3,
+        filter_cond={"type": "eq", "field": "category", "value": "news"})
+    trows = tres.collect()
+    assert 0 < len(trows) <= 3
+    assert all(r.category == "news" for r in trows)
+    # exact filtered top-k: equals unfiltered scores restricted to the
+    # filtered ids (no over-fetch loss)
+    full = {r.id: r.score for r in col.text_search("spark", k=100).collect()}
+    for r in trows:
+        assert abs(full[r.id] - r.score) < 1e-9

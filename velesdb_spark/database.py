@@ -109,7 +109,15 @@ class Collection:
                             self.vector_col, self.id_col)
 
     def search_with_filter(self, vector: Sequence[float], filter_cond, k: int = 10) -> DataFrame:
-        """Filtered k-NN — filter BEFORE top-k (exact; no 4× over-fetch)."""
+        """Filtered k-NN — filter BEFORE top-k (exact; no 4× over-fetch).
+
+        filter_cond is either a boolean Column or a reference-format filter
+        dict (filter/mod.rs:56-161 tagged JSON, as accepted by the Python
+        bindings' search_with_filter — velesdb-python collection.rs:359)."""
+        if isinstance(filter_cond, dict):
+            from velesdb_spark.functions.filters import filter_to_column
+
+            filter_cond = filter_to_column(filter_cond)
         return topk_ops.knn(self.df, vector, k, self.metric,
                             self.vector_col, self.id_col, filter_cond=filter_cond)
 
@@ -150,12 +158,28 @@ class Collection:
                                    cache=True)
         return self._bm25
 
-    def text_search(self, query: str, k: int = 10) -> DataFrame:
-        """BM25 top-k (collection/search/text.rs:21-91)."""
-        scores = self._bm25_index().search(query, k)
-        return self.df.join(scores, on=self.id_col, how="inner") \
-            .withColumnRenamed("_bm25_score", "score") \
-            .orderBy(F.desc("score"), F.asc(self.id_col))
+    def text_search(self, query: str, k: int = 10, filter_cond=None) -> DataFrame:
+        """BM25 top-k (collection/search/text.rs:21-91). filter_cond is a
+        boolean Column or a reference-format filter dict (the bindings'
+        optional `filter` — collection.rs:259); applied BEFORE top-k, so no
+        4× over-fetch is needed."""
+        if isinstance(filter_cond, dict):
+            from velesdb_spark.functions.filters import filter_to_column
+
+            filter_cond = filter_to_column(filter_cond)
+        if filter_cond is None:
+            scores = self._bm25_index().search(query, k)
+            return self.df.join(scores, on=self.id_col, how="inner") \
+                .withColumnRenamed("_bm25_score", "score") \
+                .orderBy(F.desc("score"), F.asc(self.id_col))
+        # exact filtered top-k: restrict the score set to filtered ids, THEN
+        # take k (the reference over-fetches 4× and can drop results;
+        # filtering before top-k is both exact and cheaper here)
+        scores = self._bm25_index().scores(query)
+        return (self.df.filter(filter_cond)
+                .join(scores, on=self.id_col, how="inner")
+                .withColumnRenamed("_bm25_score", "score")
+                .orderBy(F.desc("score"), F.asc(self.id_col)).limit(k))
 
     def hybrid_search(self, query: str, vector: Sequence[float], k: int = 10,
                       weight: float = 1.0, text_weight: float = 1.0) -> DataFrame:
