@@ -96,3 +96,43 @@ def test_search_with_filter_accepts_dict(spark):
     full = {r.id: r.score for r in col.text_search("spark", k=100).collect()}
     for r in trows:
         assert abs(full[r.id] - r.score) < 1e-9
+
+
+def test_batch_search_per_query_filters(spark):
+    """batch.rs:26-231 request-dict form with per-query filters; all
+    queries run as one unioned plan."""
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], "tech" if i % 2 else "news")
+         for i in range(1, 11)],
+        "id bigint, vector array<float>, category string")
+    col = Collection(spark, "c", metric="euclidean", df=df)
+    out = col.batch_search(searches=[
+        {"vector": [1.0, 1.0], "top_k": 2,
+         "filter": {"type": "eq", "field": "category", "value": "tech"}},
+        {"vector": [10.0, 1.0], "top_k": 2},
+    ]).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r.id)
+    assert all(i % 2 == 1 for i in by_q[0])
+    assert len(by_q[0]) == 2 and len(by_q[1]) == 2
+    assert 10 in by_q[1]  # closest to [10,1] unfiltered
+
+
+def test_multi_query_and_hybrid_filtered(spark):
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], "tech" if i % 2 else "news",
+          f"doc {i} spark data") for i in range(1, 11)],
+        "id bigint, vector array<float>, category string, text string")
+    col = Collection(spark, "c", metric="cosine", df=df, text_col="text")
+    cond = {"type": "eq", "field": "category", "value": "tech"}
+    mres = col.multi_query_search([[1.0, 1.0], [2.0, 1.0]], k=3,
+                                  strategy="average", filter_cond=cond)
+    assert all(r.id % 2 == 1 for r in mres.collect())
+    hres = col.hybrid_search("spark", [1.0, 1.0], k=3, filter_cond=cond)
+    rows = hres.collect()
+    assert 0 < len(rows) <= 3 and all(r.id % 2 == 1 for r in rows)

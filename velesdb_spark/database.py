@@ -124,18 +124,50 @@ class Collection:
     def search_ids(self, vector: Sequence[float], k: int = 10) -> DataFrame:
         return self.search(vector, k).select(self.id_col, "score")
 
-    def batch_search(self, vectors: Iterable[Sequence[float]], k: int = 10) -> DataFrame:
-        queries = [(i, v) for i, v in enumerate(vectors)]
-        return topk_ops.knn_batch(self.df, queries, k, self.metric,
-                                  self.vector_col, self.id_col)
+    @staticmethod
+    def _as_column(filter_cond):
+        if isinstance(filter_cond, dict):
+            from velesdb_spark.functions.filters import filter_to_column
+
+            return filter_to_column(filter_cond)
+        return filter_cond
+
+    def batch_search(self, vectors: Iterable[Sequence[float]] = (), k: int = 10,
+                     searches: Optional[Sequence[dict]] = None) -> DataFrame:
+        """Batch k-NN. Either plain `vectors`, or `searches` = the bindings'
+        request-dict form (batch.rs:26-231): each {"vector": [...],
+        "top_k": n, "filter": <condition dict>} with per-query filters.
+        All queries execute as ONE Spark job (union of per-query plans)."""
+        if searches is None:
+            queries = [(i, v) for i, v in enumerate(vectors)]
+            return topk_ops.knn_batch(self.df, queries, k, self.metric,
+                                      self.vector_col, self.id_col)
+        parts = []
+        for i, req in enumerate(searches):
+            cond = self._as_column(req.get("filter"))
+            part = topk_ops.knn(self.df, req["vector"], req.get("top_k", k),
+                                self.metric, self.vector_col, self.id_col,
+                                filter_cond=cond)
+            parts.append(part.select(F.lit(i).alias("qid"), "*"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def multi_query_search(self, vectors: Iterable[Sequence[float]], k: int = 10,
-                           strategy: str = "rrf", **params) -> DataFrame:
-        """Fused multi-query search (batch.rs:231-352, fusion/strategy.rs)."""
+                           strategy: str = "rrf", filter_cond=None,
+                           **params) -> DataFrame:
+        """Fused multi-query search (batch.rs:231-352, fusion/strategy.rs);
+        optional shared filter (bindings collection.rs:430) applied before
+        per-query top-k — exact, no over-fetch."""
         from velesdb_spark.functions import fusion as fusion_mod
 
+        base = self.df
+        cond = self._as_column(filter_cond)
+        if cond is not None:
+            base = base.filter(cond)
         vlist = list(vectors)
-        per_query = topk_ops.knn_batch(self.df, list(enumerate(vlist)),
+        per_query = topk_ops.knn_batch(base, list(enumerate(vlist)),
                                        max(k * 2, k), self.metric,
                                        self.vector_col, self.id_col)
         fused = fusion_mod.fuse(strategy, per_query, params,
@@ -182,11 +214,25 @@ class Collection:
                 .orderBy(F.desc("score"), F.asc(self.id_col)).limit(k))
 
     def hybrid_search(self, query: str, vector: Sequence[float], k: int = 10,
-                      weight: float = 1.0, text_weight: float = 1.0) -> DataFrame:
-        """Vector ∪ BM25 with RRF weight/(rank+60) (text.rs:113-203)."""
-        vres = self.search(vector, k * 2).select(
+                      weight: float = 1.0, text_weight: float = 1.0,
+                      filter_cond=None) -> DataFrame:
+        """Vector ∪ BM25 with RRF weight/(rank+60) (text.rs:113-203).
+        Optional filter (bindings collection.rs:278) applies to BOTH legs
+        before their top-k — exact, no over-fetch."""
+        cond = self._as_column(filter_cond)
+        if cond is None:
+            vres = self.search(vector, k * 2)
+            tres = self._bm25_index().search(query, k * 2)
+        else:
+            vres = self.search_with_filter(vector, cond, k * 2)
+            tres = (self.df.filter(cond)
+                    .join(self._bm25_index().scores(query),
+                          on=self.id_col, how="inner")
+                    .orderBy(F.desc("_bm25_score"), F.asc(self.id_col))
+                    .limit(k * 2))
+        vres = vres.select(
             F.lit("v").alias("qid"), F.col(self.id_col).alias("id"), "score")
-        tres = self._bm25_index().search(query, k * 2).select(
+        tres = tres.select(
             F.lit("t").alias("qid"), F.col(self.id_col).alias("id"),
             F.col("_bm25_score").alias("score"))
         from velesdb_spark.functions.fusion import fuse_hybrid_rrf
