@@ -169,6 +169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "JOIN nation AS b ON a.n_regionkey = b.n_regionkey "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
 
+    # USING (cols) — parsed-but-unexecuted in the reference (join.rs:129-139
+    # warns); executed natively here
+    q["join_using"] = lambda s, d: _vql(
+        s, d,
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation AS a "
+        "JOIN nation AS b USING (n_regionkey) WHERE a.n_name < b.n_name "
+        "ORDER BY n1, n2")
+
     q["join_right_outer"] = lambda s, d: _vql(
         s, d,
         "SELECT n.n_name AS nation, s.s_name AS supp FROM supplier AS s "
@@ -611,6 +619,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # temporal predicates NOW()/INTERVAL (ast/values.rs:89-163) with NOW()
     # pinned to 2024-01-31T00:00:00Z for a deterministic oracle; the
     # timestamp literal comparison stays parquet-pushable
+    # search-quality metrics as a distributed pipeline (metrics.rs recall/
+    # precision/MRR/NDCG, exported lib.rs:223-226): evaluate BM25 top-20 for
+    # 'spark query join' against binary relevance = docs whose token set
+    # contains BOTH 'spark' and 'join'
+    def _search_eval(s, d):
+        from velesdb_spark import metrics as M
+        from velesdb_spark.functions.bm25 import bm25_scan_search, tokenize
+        from pyspark.sql import Window
+
+        docs = _t(s, d, "documents")
+        top = bm25_scan_search(docs, "spark query join", 20, "doc_id", "text")
+        w = Window.orderBy(F.desc("_bm25_score"), F.asc("doc_id"))
+        results = top.withColumn("rank", F.row_number().over(w)) \
+            .select(F.lit(1).alias("qid"), F.col("doc_id").alias("id"), "rank")
+        toks = tokenize(F.col("text"))
+        truth = docs.filter(F.array_contains(toks, "spark")
+                            & F.array_contains(toks, "join")) \
+            .select(F.lit(1).alias("qid"), F.col("doc_id").alias("id"))
+        rpm = M.recall_precision_mrr_df(results, truth)
+        nd = M.ndcg_binary_df(results, truth, 20)
+        return (rpm.join(nd, "qid")
+                .select(F.round("recall", 6).alias("recall"),
+                        F.round("precision", 6).alias("precision"),
+                        F.round("mrr", 6).alias("mrr"),
+                        F.round("ndcg", 6).alias("ndcg")))
+
+    q["search_eval"] = _search_eval
+
     # programmatic Filter-dict surface (filter/mod.rs Condition JSON as the
     # python bindings accept it) compiled to one native Column expression
     def _filter_api(s, d):
@@ -755,6 +791,11 @@ def oracle_sql() -> dict[str, str]:
     o["self_join"] = (
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
         "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+        "WHERE a.n_name < b.n_name ORDER BY n1, n2")
+
+    o["join_using"] = (
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
+        "JOIN nation b USING (n_regionkey) "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
 
     o["join_right_outer"] = (
@@ -1144,6 +1185,54 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    _toks_se = _DK_BM25_TOKS.format(c="text")
+    o["search_eval"] = f"""
+WITH toklist AS (
+  SELECT doc_id, {_toks_se} AS t FROM documents
+), docs AS (
+  SELECT doc_id, len(t) AS dl, t FROM toklist WHERE len(t) > 0
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM docs
+), qterms(term, qtf) AS (VALUES ('spark', 1), ('query', 1), ('join', 1)),
+tokens AS (
+  SELECT doc_id, unnest(t) AS term FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dd.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN docs dd ON dd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), res AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+), truth AS (
+  SELECT doc_id FROM toklist
+  WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+), hits AS (
+  SELECT rk FROM res JOIN truth USING (doc_id)
+), agg AS (
+  SELECT count(*) AS h, min(rk) AS first,
+         sum(CAST(1.0 AS DOUBLE) / log2(rk + 1)) AS dcg FROM hits
+), cnts AS (
+  SELECT (SELECT count(*) FROM truth) AS nt, (SELECT count(*) FROM res) AS nr
+)
+SELECT round(CAST(h AS DOUBLE) / nt, 6) AS recall,
+       round(CASE WHEN nr > 0 THEN CAST(h AS DOUBLE) / nr ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN first IS NOT NULL THEN CAST(1.0 AS DOUBLE) / first ELSE 0.0 END, 6) AS mrr,
+       round(CASE WHEN nt > 0 THEN coalesce(dcg, 0.0) /
+         list_sum(list_transform(range(1, least(nt, 20) + 1),
+                                 i -> CAST(1.0 AS DOUBLE) / log2(i + 1)))
+         ELSE 0.0 END, 6) AS ndcg
+FROM agg, cnts"""
 
     o["filter_api_dict"] = """
 SELECT doc_id, lang, n_chars FROM documents

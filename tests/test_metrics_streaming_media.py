@@ -168,3 +168,22 @@ def test_resize_meta(spark):
            for r in resize_meta(mm.media_table(spark, rows), 512).collect()}
     assert out[1] == (512, 256)
     assert out[2] == (100, 50)
+
+
+def test_ndcg_binary_df_matches_scalar(spark):
+    """DataFrame NDCG@k with binary relevance equals the scalar
+    ndcg_at_k on the equivalent 0/1 gain list."""
+    from velesdb_spark import metrics as M
+
+    # query 1: truth {1,2,3}, results ranked [2, 9, 1, 8] → gains [1,0,1,0]
+    results = spark.createDataFrame(
+        [(1, 2, 1), (1, 9, 2), (1, 1, 3), (1, 8, 4)], "qid int, id int, rank int")
+    truth = spark.createDataFrame([(1, 1), (1, 2), (1, 3)], "qid int, id int")
+    got = {r.qid: r.ndcg for r in
+           M.ndcg_binary_df(results, truth, 4).collect()}
+    # scalar form: gains in ranked order, ideal = all 3 relevant first but
+    # cut at k=4 → idcg over [1,1,1,0]
+    import math
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))
+    assert abs(got[1] - dcg / idcg) < 1e-12

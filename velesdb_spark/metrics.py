@@ -97,6 +97,35 @@ def recall_precision_mrr_df(results: DataFrame, truth: DataFrame,
     )
 
 
+def ndcg_binary_df(results: DataFrame, truth: DataFrame, k: int,
+                   qid_col: str = "qid", id_col: str = "id",
+                   rank_col: str = "rank") -> DataFrame:
+    """Per-query NDCG@k with binary relevance (metrics.rs ndcg with 0/1
+    gains): DCG = Σ 1/log2(rank+1) over relevant hits within the top k;
+    IDCG places all relevant docs first, cut at k. Returns (qid, ndcg)."""
+    t = truth.select(F.col(qid_col).alias("_q"), F.col(id_col).alias("_tid"))
+    truth_sizes = t.groupBy("_q").agg(F.count("*").alias("_nt"))
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(qid_col).alias("_q"), F.col(id_col).alias("_rid"),
+        F.col(rank_col).alias("_rk"))
+    dcg = (r.join(t, (r["_q"] == t["_q"]) & (r["_rid"] == t["_tid"]))
+           .select(r["_q"].alias("_q"), "_rk")
+           .groupBy("_q")
+           .agg(F.sum(F.lit(1.0) / F.log2(F.col("_rk") + 1)).alias("_dcg")))
+    # IDCG@k = Σ_{i=1..min(nt,k)} 1/log2(i+1), computed with a native
+    # sequence aggregate (no UDF)
+    ideal_n = F.least(F.col("_nt"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1))
+    return (truth_sizes.join(dcg, "_q", "left")
+            .select(F.col("_q").alias(qid_col),
+                    F.when(F.col("_nt") > 0,
+                           F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg)
+                    .otherwise(0.0).alias("ndcg")))
+
+
 def evaluate_knn_recall(df: DataFrame, approx_results: DataFrame,
                         queries: list[tuple[int, list[float]]], k: int,
                         metric: str = "cosine", vector_col: str = "embedding",
