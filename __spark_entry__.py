@@ -561,6 +561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
             F.round("jaccard", 6).alias("jaccard"))
 
+    # near-dup CLUSTERING: pair list → connected components (min-label
+    # propagation, iterative joins) → (doc, cluster representative); the
+    # keep/drop layer a 100 TB dedup actually needs
+    q["dedup_clusters"] = lambda s, d: dd.connected_components(
+        dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id")) \
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+
     q["minhash_first_hash"] = lambda s, d: dd.minhash_signatures_df(
         _t(s, d, "documents"), "text", "doc_id", 1).select(
             F.col("_id").alias("doc_id"), F.col("_sig")[0].alias("mh0"))
@@ -1109,6 +1116,39 @@ SELECT p.id_a, p.id_b,
 FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
+
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+pr AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION SELECT id_b, id_a FROM pr
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, rc.r FROM reach rc JOIN edges e ON e.b = rc.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 
     o["minhash_first_hash"] = f"""
 WITH toks AS (

@@ -157,3 +157,48 @@ def test_ivf_index_search(spark):
     want = [(r.vec_id, round(r.score, 6))
             for r in knn(df, q, 5, "cosine", "embedding", "vec_id").collect()]
     assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation equals a reference union-find on a graph with
+    a chain, a triangle, an isolated pair, and a star."""
+    from velesdb_spark.functions.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+             (10, 11), (11, 12), (10, 12),    # triangle
+             (20, 21),                        # pair
+             (30, 31), (30, 32), (30, 33)]    # star
+    pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id
+           for r in connected_components(pdf).collect()}
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_dedup_keep_representatives(spark):
+    from velesdb_spark.functions.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 99]],
+        "id bigint, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint")
+    kept = sorted(r.id for r in
+                  dedup_keep_representatives(df, pairs).collect())
+    # components {1,2,3} and {10,11} keep their min; 99 untouched
+    assert kept == [1, 10, 99]

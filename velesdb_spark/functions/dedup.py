@@ -294,3 +294,58 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, cluster_id) where
+    cluster_id = the minimum member id (deterministic representative).
+
+    Min-label propagation over iterative joins: every node starts labeled
+    with itself; each round each node takes the min label in its closed
+    neighborhood; converged when no label changes. Rounds ≤ graph diameter —
+    near-dup components are shallow (dozens of docs), so this terminates in
+    a handful of rounds even on web-scale corpora. Each round is one
+    shuffle-join on the edge list + one map-side-combinable min-aggregate;
+    localCheckpoint truncates the lineage so plans don't grow unboundedly
+    (the standard Spark iterative-algorithm pattern).
+    """
+    edges = (pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+             .union(pairs.select(F.col(id_b).alias("_src"),
+                                 F.col(id_a).alias("_dst")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("_src").alias("_id")).distinct()
+              .withColumn("_lbl", F.col("_id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (src → dst), dst's label flows to src
+        nbr = (edges.join(labels.withColumnRenamed("_id", "_dst"), "_dst")
+               .select(F.col("_src").alias("_id"), "_lbl"))
+        # checkpoint BEFORE the convergence probe so each round materializes
+        # the new labels exactly once (the probe and the next round both
+        # read the checkpointed result)
+        new_labels = (labels.union(nbr)
+                      .groupBy("_id").agg(F.min("_lbl").alias("_lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "_id")
+                   .filter(F.col("n._lbl") != F.col("o._lbl"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("_id").alias("id"),
+                         F.col("_lbl").alias("cluster_id"))
+
+
+def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
+                               id_col: str = "id") -> DataFrame:
+    """Drop every near-duplicate except its component's minimum-id doc:
+    the keep/drop decision layer over any pair generator (minhash, ngram,
+    simhash, embedding). Docs in no pair are kept."""
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(drop.withColumnRenamed("id", id_col),
+                   on=id_col, how="left_anti")
