@@ -585,6 +585,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("avg_wlen", 6).alias("avg_wlen"),
             F.round("sw_ratio", 6).alias("sw_ratio"))
 
+    # overlapping token-window chunking (training-data prep; md5 of each
+    # chunk keeps driver rows small)
+    q["chunk_docs"] = lambda s, d: ta.chunk_documents_df(
+        _t(s, d, "documents"), 50, 10, "text", "doc_id").select(
+            F.col("_id").alias("doc_id"), "chunk_idx",
+            F.md5("chunk_text").alias("chunk_md5"), "chunk_tokens")
+
+    # PII redaction over text + synthesized contact lines (the static
+    # corpus has no PII, so deterministic per-doc email/phone suffixes
+    # exercise the redaction for real)
+    def _pii(s, d):
+        synth = F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or (555) 123-4567"))
+        return (_t(s, d, "documents")
+                .select("doc_id",
+                        F.md5(ta.pii_scrub(synth)).alias("scrubbed_md5")))
+
+    q["pii_scrub"] = _pii
+
     q["lang_id"] = lambda s, d: ta.text_stats_df(
         _t(s, d, "documents"), "text", "doc_id").select(
             F.col("_id").alias("doc_id"), "lang")
@@ -1116,6 +1137,40 @@ SELECT p.id_a, p.id_b,
 FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
+
+    words_raw = _DK_WORDS.format(c="lower(text)")
+    o["chunk_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_raw} AS t FROM documents
+), ch AS (
+  SELECT doc_id,
+    CASE WHEN len(t) > 0 THEN
+      [array_to_string(t[s:s+49], ' ')
+       for s in range(1, greatest(len(t) - 10, 1) + 1, 40)]
+    ELSE [] END AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(range(0, len(chunks))) AS chunk_idx,
+         unnest(chunks) AS c
+  FROM ch
+)
+SELECT doc_id, chunk_idx, md5(c) AS chunk_md5,
+       len(string_split(c, ' ')) AS chunk_tokens
+FROM ex"""
+
+    o["pii_scrub"] = r"""
+SELECT doc_id, md5(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or (555) 123-4567',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      '(\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS scrubbed_md5
+FROM documents"""
 
     o["dedup_clusters"] = f"""
 WITH RECURSIVE toks AS (

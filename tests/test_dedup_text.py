@@ -202,3 +202,45 @@ def test_dedup_keep_representatives(spark):
                   dedup_keep_representatives(df, pairs).collect())
     # components {1,2,3} and {10,11} keep their min; 99 untouched
     assert kept == [1, 10, 99]
+
+
+def test_chunk_tokens_windows(spark):
+    from velesdb_spark.functions.text_analysis import chunk_documents_df
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),   # 10 tokens
+         (2, "x y"),                   # shorter than one chunk
+         (3, ""),                      # no chunks
+         (4, None)],                   # no chunks
+        "id bigint, text string")
+    out = chunk_documents_df(df, chunk_size=4, overlap=1, id_col="id")
+    rows = {(r._id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+            for r in out.collect()}
+    # stride 3, starts while s <= max(10-1,1)=9 → 1,4,7
+    assert rows[(1, 0)] == ("a b c d", 4)
+    assert rows[(1, 1)] == ("d e f g", 4)
+    assert rows[(1, 2)] == ("g h i j", 4)
+    assert rows[(2, 0)] == ("x y", 2)
+    assert not any(k[0] in (3, 4) for k in rows)
+    assert len(rows) == 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents_df(df, chunk_size=4, overlap=4)
+
+
+def test_pii_scrub(spark):
+    from velesdb_spark.functions.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "ssn 123-45-6789 phone (555) 123-4567 alt 555-123-4567"),
+         (3, "server at 10.0.255.3 port"),
+         (4, "clean text stays clean")],
+        "id bigint, text string")
+    got = {r.id: r.s for r in
+           df.select("id", pii_scrub(F.col("text")).alias("s")).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "ssn [SSN] phone [PHONE] alt [PHONE]"
+    assert got[3] == "server at [IP] port"
+    assert got[4] == "clean text stays clean"

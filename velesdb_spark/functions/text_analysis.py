@@ -140,3 +140,56 @@ def normalized_text(col: Column) -> Column:
     whitespace, strip punctuation."""
     return F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}\s]", " "), r"\s+", " "))
+
+
+def chunk_tokens(col: Column, chunk_size: int = 100,
+                 overlap: int = 20) -> Column:
+    """Overlapping token-window chunks as ARRAY<STRING> (each chunk the
+    space-joined token window) — the training-data chunking primitive.
+
+    Windows start every (chunk_size - overlap) tokens; starts run while
+    start <= max(n_tokens - overlap, 1), so the final (possibly short)
+    window is emitted and empty texts produce no chunks. Pure JVM array
+    expressions (sequence/transform/slice) — no UDF, chunking stays inside
+    whole-stage codegen at any corpus size.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = word_tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(stride))
+
+    def _window(s):
+        return F.array_join(F.slice(toks, s, chunk_size), " ")
+
+    return F.when(n > 0, F.transform(starts, _window)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def chunk_documents_df(df, chunk_size: int = 100, overlap: int = 20,
+                       text_col: str = "text", id_col: str = "id"):
+    """Explode documents into (id, chunk_idx, chunk_text, chunk_tokens)."""
+    chunks = chunk_tokens(F.col(text_col), chunk_size, overlap)
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+            .withColumn("chunk_tokens",
+                        F.size(F.split(F.col("chunk_text"), " "))))
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact common PII patterns (training-data hygiene): emails →
+    [EMAIL], SSN-shaped → [SSN], phone-shaped → [PHONE], IPv4 → [IP].
+    Patterns use the RE2-compatible subset so the same regexes run in
+    Spark (Java regex) and DuckDB (RE2) for oracle parity; applied in a
+    fixed order (email first — its local part can contain digits that
+    phone patterns would otherwise bite)."""
+    out = F.regexp_replace(
+        col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]")
+    out = F.regexp_replace(out, r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]")
+    out = F.regexp_replace(
+        out, r"(\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]")
+    out = F.regexp_replace(
+        out, r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]")
+    return out
