@@ -145,3 +145,44 @@ def test_match_default_limit(g):
     cat, _, _ = g
     out = translate("MATCH (a) RETURN a.name AS name", cat)
     assert out.count() == 10  # all nodes, under default limit 100
+
+
+def test_traverse_dfs_matches_reference_algorithm(spark):
+    """DFS (graph_api.rs:204-257): stack order, visited-set, path
+    tracking, result cap — vs an independent pure-Python replay."""
+    from velesdb_spark.database import Collection
+
+    #      1 -> 2 -> 4
+    #      1 -> 3 -> 4 (blocked by visited once 4 seen)
+    #      3 -> 5 ; 5 -> 6 (depth 3)
+    edges = [(1, 1, 2, "E"), (2, 1, 3, "E"), (3, 2, 4, "E"),
+             (4, 3, 4, "E"), (5, 3, 5, "E"), (6, 5, 6, "E")]
+    col = Collection(spark, "g", df=spark.createDataFrame(
+        [(i, [1.0]) for i in range(1, 7)], "id bigint, vector array<float>"))
+    col.add_edges(spark.createDataFrame(
+        edges, "id bigint, src bigint, dst bigint, label string"))
+
+    got = col.traverse_dfs(1, max_depth=3)
+
+    # independent replay with the same adjacency order (ascending edge id)
+    adj = {}
+    for _eid, s, d, _l in edges:
+        adj.setdefault(s, []).append(d)
+    visited, stack, want = {1}, [(1, 0, [1])], []
+    while stack:
+        node, depth, path = stack.pop()
+        if depth >= 3:
+            continue
+        for t in adj.get(node, []):
+            if t in visited:
+                continue
+            visited.add(t)
+            want.append({"target_id": t, "depth": depth + 1,
+                         "path": path + [t]})
+            stack.append((t, depth + 1, path + [t]))
+    assert got == want
+    assert {r["target_id"] for r in got} == {2, 3, 4, 5, 6}
+
+    # rel-type filter and limit
+    assert col.traverse_dfs(1, max_depth=3, rel_types=["X"]) == []
+    assert len(col.traverse_dfs(1, max_depth=3, limit=2)) == 2

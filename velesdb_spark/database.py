@@ -272,6 +272,52 @@ class Collection:
                      rel_types: Sequence[str] = (), direction: str = "out") -> DataFrame:
         return graph_ops.bfs(self.edges, [start_id], 1, max_depth, rel_types, direction)
 
+    def traverse_dfs(self, start_id: int, max_depth: int = 3,
+                     rel_types: Sequence[str] = (),
+                     limit: int = 100) -> list[dict]:
+        """DFS with visited-set and path tracking (graph_api.rs:204-257).
+
+        DFS order is inherently sequential (stack discipline), so there is
+        no distributed formulation that preserves the reference's result
+        order. Scale approach: a distributed BFS first prunes the graph to
+        the ≤max_depth reachable subgraph (bounded by depth, tiny relative
+        to the full edge table), then the reference's exact stack algorithm
+        replays on that subgraph driver-side. Neighbor order = ascending
+        edge id (the reference's insertion order; ids are its insertion
+        sequence). Returns [{target_id, depth, path}] like TraversalResult.
+        """
+        reach = graph_ops.bfs(self.edges, [start_id], 1, max_depth,
+                              rel_types, "out").select("node_id")
+        nodes = {start_id} | {r.node_id for r in reach.collect()}
+        e = self.edges
+        if rel_types:
+            e = e.filter(F.col("label").isin(list(rel_types)))
+        adj: dict[int, list[int]] = {}
+        for r in (e.filter(F.col("src").isin(list(nodes)))
+                  .select("src", "dst", "id")
+                  .orderBy("src", "id").collect()):
+            adj.setdefault(r.src, []).append(r.dst)
+
+        visited = {start_id}
+        stack = [(start_id, 0, [start_id])]
+        results: list[dict] = []
+        while stack:
+            node, depth, path = stack.pop()
+            if len(results) >= limit:
+                break
+            if depth >= max_depth:
+                continue
+            for target in adj.get(node, []):
+                if target in visited:
+                    continue
+                visited.add(target)
+                new_path = path + [target]
+                results.append({"target_id": target, "depth": depth + 1,
+                                "path": new_path})
+                if len(results) < limit:
+                    stack.append((target, depth + 1, new_path))
+        return results
+
     # ------------------------------------------------------------ VelesQL
     def _catalog(self) -> Catalog:
         cat = Catalog()
