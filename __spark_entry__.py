@@ -585,6 +585,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("avg_wlen", 6).alias("avg_wlen"),
             F.round("sw_ratio", 6).alias("sw_ratio"))
 
+    # multimodal plumbing end-to-end: documents' bytes as opaque media
+    # content → Arrow-batched mapInPandas decode (deterministic md5 fake —
+    # real decoders plug in via register_decoder) → 16-dim features. The
+    # md5 fake makes even the stubbed decode value-checkable in DuckDB.
+    def _media_features(s, d):
+        from velesdb_spark.multimodal.media import decode_and_featurize
+
+        media = _t(s, d, "documents").select(
+            F.col("doc_id").alias("id"), F.lit("image").alias("modality"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"))
+        feats = decode_and_featurize(media)
+        return feats.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
+            F.round(F.col("feature")[7].cast("double"), 6).alias("f7"),
+            F.round(F.col("feature")[15].cast("double"), 6).alias("f15"),
+            "n_bytes")
+
+    q["media_features"] = _media_features
+
     # overlapping token-window chunking (training-data prep; md5 of each
     # chunk keeps driver rows small)
     q["chunk_docs"] = lambda s, d: ta.chunk_documents_df(
@@ -1137,6 +1157,18 @@ SELECT p.id_a, p.id_b,
 FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
+
+    def _hexb(i):
+        # i-th digest byte as the engine's FLOAT feature value: the f32
+        # cast emulates FEATURES_SCHEMA's FloatType before rounding
+        return (f"round(CAST(CAST(CAST(('0x' || substr(md5(coalesce(text, '')), "
+                f"{2 * i - 1}, 2)) AS INT) / CAST(255.0 AS DOUBLE) AS FLOAT) "
+                f"AS DOUBLE), 6)")
+
+    o["media_features"] = f"""
+SELECT doc_id, {_hexb(1)} AS f0, {_hexb(8)} AS f7, {_hexb(16)} AS f15,
+       strlen(coalesce(text, '')) AS n_bytes
+FROM documents"""
 
     words_raw = _DK_WORDS.format(c="lower(text)")
     o["chunk_docs"] = f"""

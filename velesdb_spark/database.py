@@ -176,6 +176,13 @@ class Collection:
                                 higher_is_better=higher_is_better(self.metric))
         return fused.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
 
+    def multi_query_search_ids(self, vectors: Iterable[Sequence[float]],
+                               k: int = 10, strategy: str = "rrf",
+                               **params) -> DataFrame:
+        """ids + fused scores only (bindings collection.rs:458)."""
+        return self.multi_query_search(vectors, k, strategy, **params) \
+            .select(self.id_col, "score")
+
     # ------------------------------------------------------------ text
     def _bm25_index(self) -> Bm25Index:
         if self._bm25 is None:
