@@ -186,3 +186,43 @@ def test_traverse_dfs_matches_reference_algorithm(spark):
     # rel-type filter and limit
     assert col.traverse_dfs(1, max_depth=3, rel_types=["X"]) == []
     assert len(col.traverse_dfs(1, max_depth=3, limit=2)) == 2
+
+
+def test_graph_schema_validation(spark):
+    """schema.rs strict/schemaless: per-item validate calls + the
+    distributed violations pass."""
+    import pytest as _pt
+
+    from velesdb_spark.operators.graph_schema import (
+        EdgeType, GraphSchema, NodeType, SchemaValidationError)
+
+    sch = (GraphSchema.strict()
+           .with_node_type(NodeType("Person", {"name": "string"}))
+           .with_node_type(NodeType("Doc"))
+           .with_edge_type(EdgeType("WROTE", "Person", "Doc")))
+
+    sch.validate_node_type("Person")
+    sch.validate_edge_type("WROTE", "Person", "Doc")
+    with _pt.raises(SchemaValidationError):
+        sch.validate_node_type("Alien")
+    with _pt.raises(SchemaValidationError):
+        sch.validate_edge_type("WROTE", "Doc", "Person")
+    with _pt.raises(SchemaValidationError):
+        sch.validate_edge_type("LIKES", "Person", "Doc")
+    with _pt.raises(SchemaValidationError):
+        NodeType("X", {"p": "decimal"})
+
+    # schemaless accepts anything
+    GraphSchema.schemaless_schema().validate_edge_type("ANY", "A", "B")
+
+    edges = spark.createDataFrame(
+        [(1, 10, 20, "WROTE"),    # ok
+         (2, 20, 10, "WROTE"),    # endpoints swapped
+         (3, 10, 20, "LIKES")],   # undeclared type
+        "id bigint, src bigint, dst bigint, label string")
+    nodes = spark.createDataFrame(
+        [(10, "Person"), (20, "Doc")], "id bigint, node_type string")
+    viol = {r.id: r.reason for r in sch.violations_df(edges, nodes).collect()}
+    assert set(viol) == {2, 3}
+    assert "undeclared" in viol[3] and "mismatch" in viol[2]
+    assert sch.violations_df(edges.filter("id = 1"), nodes).count() == 0
