@@ -252,3 +252,66 @@ def test_bm25_differential_random_corpus(data, spark):
     assert set(got) == set(want), (docs, query)
     for i in got:
         assert m.isclose(got[i], want[i], rel_tol=1e-9), (docs, query)
+
+
+# --- programmatic filter dicts (functions/filters.py) ---------------------
+
+
+def _dict_leaf(draw):
+    kind = draw(st.integers(min_value=0, max_value=5))
+    if kind == 0:
+        col = draw(st.sampled_from(_NUM_COLS))
+        op = draw(st.sampled_from(["gt", "gte", "lt", "lte", "eq", "neq"]))
+        val = draw(st.integers(min_value=0, max_value=300000))
+        sqlop = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+                 "eq": "=", "neq": "!="}[op]
+        return ({"type": op, "field": col, "value": val},
+                f"{col} {sqlop} {val}")
+    col = draw(st.sampled_from(_STR_COLS))
+    if kind == 1:
+        v = draw(st.sampled_from(["F", "O", "1-URGENT", "zzz"]))
+        return ({"type": "eq", "field": col, "value": v}, f"{col} = '{v}'")
+    if kind == 2:
+        return ({"type": "in", "field": col, "values": ["F", "O"]},
+                f"{col} IN ('F', 'O')")
+    if kind == 3:
+        v = draw(st.sampled_from(["URG", "LOW", "-", "zz"]))
+        return ({"type": "contains", "field": col, "value": v},
+                f"contains({col}, '{v}')")
+    if kind == 4:
+        pat = draw(st.sampled_from(["%URG%", "%LOW", "_-____%"]))
+        return ({"type": "like", "field": col, "pattern": pat},
+                f"{col} LIKE '{pat}'")
+    return ({"type": "is_not_null", "field": col}, f"{col} IS NOT NULL")
+
+
+@st.composite
+def filter_dict(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return _dict_leaf(draw)
+    (da, sa) = draw(filter_dict(depth=depth + 1))
+    (db, sb) = draw(filter_dict(depth=depth + 1))
+    combo = draw(st.sampled_from(["and", "or"]))
+    d = {"type": combo, "conditions": [da, db]}
+    s = f"({sa} {'AND' if combo == 'and' else 'OR'} {sb})"
+    if draw(st.booleans()):
+        return ({"type": "not", "condition": d}, f"NOT {s}")
+    return (d, s)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_filter_dict_differential(data, catalog, oracle_con):
+    """Random reference-format filter dicts vs the same predicate in
+    DuckDB SQL — identical row sets (orders fixture has no NULLs, so the
+    definite-boolean null semantics coincide with SQL here)."""
+    from velesdb_spark.functions.filters import filter_to_column
+
+    d, sql_pred = data.draw(filter_dict())
+    sdf = catalog.resolve("orders").df.filter(filter_to_column(d)) \
+        .select("o_orderkey")
+    got = sorted(r.o_orderkey for r in sdf.collect())
+    want = sorted(r[0] for r in oracle_con.execute(
+        f"SELECT o_orderkey FROM orders WHERE {sql_pred}").fetchall())
+    assert got == want
