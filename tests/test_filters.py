@@ -136,3 +136,26 @@ def test_multi_query_and_hybrid_filtered(spark):
     hres = col.hybrid_search("spark", [1.0, 1.0], k=3, filter_cond=cond)
     rows = hres.collect()
     assert 0 < len(rows) <= 3 and all(r.id % 2 == 1 for r in rows)
+
+
+def test_hybrid_vector_weight_convention(spark):
+    """bindings' single-knob vector_weight (text.rs:133-134): weight
+    clamped to [0,1], text weight = 1 - weight. vw=1 → pure vector
+    ranking; vw=0 → pure text ranking."""
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"term{'s' * (i % 3)} spark doc {i}")
+         for i in range(1, 9)],
+        "id bigint, vector array<float>, text string")
+    col = Collection(spark, "c", metric="euclidean", df=df, text_col="text")
+    pure_v = [r.id for r in
+              col.hybrid_search("spark", [1.0, 1.0], k=3,
+                                vector_weight=5.0).collect()]  # clamps to 1
+    vres = [r.id for r in col.search([1.0, 1.0], 3).collect()]
+    assert pure_v == vres
+    pure_t = [r.id for r in
+              col.hybrid_search("spark", [1.0, 1.0], k=3,
+                                vector_weight=0.0).collect()]
+    tres = [r.id for r in col.text_search("spark", 3).collect()]
+    assert pure_t == tres

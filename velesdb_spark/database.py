@@ -222,10 +222,18 @@ class Collection:
 
     def hybrid_search(self, query: str, vector: Sequence[float], k: int = 10,
                       weight: float = 1.0, text_weight: float = 1.0,
-                      filter_cond=None) -> DataFrame:
+                      filter_cond=None,
+                      vector_weight: Optional[float] = None) -> DataFrame:
         """Vector ∪ BM25 with RRF weight/(rank+60) (text.rs:113-203).
         Optional filter (bindings collection.rs:278) applies to BOTH legs
-        before their top-k — exact, no over-fetch."""
+        before their top-k — exact, no over-fetch.
+
+        vector_weight mirrors the bindings' single-knob convention
+        (collection.rs:278, text.rs:133-134): weight = clamp(vw, 0, 1),
+        text weight = 1 − weight; it overrides weight/text_weight."""
+        if vector_weight is not None:
+            weight = max(0.0, min(1.0, float(vector_weight)))
+            text_weight = 1.0 - weight
         cond = self._as_column(filter_cond)
         if cond is None:
             vres = self.search(vector, k * 2)
@@ -237,8 +245,15 @@ class Collection:
                           on=self.id_col, how="inner")
                     .orderBy(F.desc("_bm25_score"), F.asc(self.id_col))
                     .limit(k * 2))
+        # RRF ranks each leg by score DESC; for distance metrics the vector
+        # leg's better-is-smaller scores must be flipped so rank order
+        # matches the reference's index-returned order (text.rs:152 ranks
+        # follow the metric's direction)
+        vscore = F.col("score") if higher_is_better(self.metric) \
+            else -F.col("score")
         vres = vres.select(
-            F.lit("v").alias("qid"), F.col(self.id_col).alias("id"), "score")
+            F.lit("v").alias("qid"), F.col(self.id_col).alias("id"),
+            vscore.alias("score"))
         tres = tres.select(
             F.lit("t").alias("qid"), F.col(self.id_col).alias("id"),
             F.col("_bm25_score").alias("score"))
