@@ -159,3 +159,32 @@ def test_hybrid_vector_weight_convention(spark):
                                 vector_weight=0.0).collect()]
     tres = [r.id for r in col.text_search("spark", 3).collect()]
     assert pure_t == tres
+
+
+def test_bindings_api_surface(spark):
+    """collection.rs binding methods: info/is_empty/is_metadata_only/
+    upsert_metadata/list_indexes/has_*_index/drop_index."""
+    from velesdb_spark.database import Collection
+
+    col = Collection(spark, "api", dimension=2, metric="cosine")
+    assert col.is_empty() and col.is_metadata_only()
+    col.upsert([{"id": 1, "vector": [1.0, 0.0], "tag": "a"}])
+    assert not col.is_empty() and not col.is_metadata_only()
+    inf = col.info()
+    assert inf["name"] == "api" and inf["metric"] == "cosine" \
+        and inf["dimension"] == 2 and inf["count"] == 1
+
+    col.upsert_metadata([{"id": 2, "payload": {"tag": "b"}}])
+    assert col.count() == 2
+    assert col.get(2)["tag"] == "b" and col.get(2)["vector"] is None
+
+    assert col.list_indexes() == []
+    col.create_property_index("Doc", "tag")
+    col.create_range_index("Doc", "price")
+    assert col.has_property_index("Doc", "tag")
+    assert col.has_range_index("Doc", "price")
+    assert not col.has_property_index("Doc", "price")
+    assert len(col.list_indexes()) == 2
+    col.drop_index("Doc", "tag")
+    assert not col.has_property_index("Doc", "tag")
+    assert len(col.list_indexes()) == 1

@@ -94,6 +94,58 @@ class Collection:
     def count(self) -> int:
         return self.df.count()
 
+    def is_empty(self) -> bool:
+        """bindings is_empty: no points stored."""
+        return self._df is None or self._df.limit(1).count() == 0
+
+    def is_metadata_only(self) -> bool:
+        """bindings is_metadata_only: collection stores no vectors
+        (CollectionType::MetadataOnly, types.rs:32-61)."""
+        return (self._df is None
+                or self.vector_col not in self._df.columns
+                or self.dimension == 0)
+
+    def info(self) -> dict:
+        """bindings info (collection.rs:48-73): name/dimension/metric/
+        storage_mode/count."""
+        return {
+            "name": self.name,
+            "dimension": self.dimension,
+            "metric": self.metric,
+            "storage_mode": "parquet",
+            "count": 0 if self._df is None else self.count(),
+        }
+
+    def upsert_metadata(self, points: Sequence[dict]) -> "Collection":
+        """Metadata-only upsert (collection.rs:133): points carry id +
+        payload fields, no vector; vector column is null for new rows."""
+        rows = []
+        for p in points:
+            r = dict(p.get("payload", {}))
+            r[self.id_col] = p["id"]
+            rows.append(r)
+        return self.upsert(rows)
+
+    # index-management surface: exact execution needs no index structures
+    # (parquet stats + pushdown replace property/range indexes), so these
+    # track declarations for API parity (collection.rs:524+)
+    def list_indexes(self) -> list[dict]:
+        return list(getattr(self, "_declared_indexes", []))
+
+    def has_property_index(self, label: str, prop: str) -> bool:
+        return any(i["index_type"] == "property" and i["label"] == label
+                   and i["property"] == prop for i in self.list_indexes())
+
+    def has_range_index(self, label: str, prop: str) -> bool:
+        return any(i["index_type"] == "range" and i["label"] == label
+                   and i["property"] == prop for i in self.list_indexes())
+
+    def drop_index(self, label: str, prop: str) -> "Collection":
+        self._declared_indexes = [
+            i for i in self.list_indexes()
+            if not (i["label"] == label and i["property"] == prop)]
+        return self
+
     def flush(self) -> "Collection":
         if self.path:
             self.df.write.mode("overwrite").parquet(os.path.join(self.path, "points"))
@@ -380,10 +432,27 @@ class Collection:
     # index hints are no-ops: Parquet column stats + predicate pushdown play
     # the role of property/range indexes (graph/property_index.rs,
     # range_index.rs)
-    def create_property_index(self, *_a, **_k) -> "Collection":
+    def _declare_index(self, index_type: str, label: str, prop: str) -> None:
+        lst = getattr(self, "_declared_indexes", [])
+        entry = {"label": label, "property": prop, "index_type": index_type,
+                 "cardinality": 0, "memory_bytes": 0}
+        if not any(i["label"] == label and i["property"] == prop
+                   and i["index_type"] == index_type for i in lst):
+            lst.append(entry)
+        self._declared_indexes = lst
+
+    def create_property_index(self, label: str = "", prop: str = "",
+                              *_a, **_k) -> "Collection":
+        """Accepted declaration; execution relies on parquet column stats +
+        predicate pushdown instead of a bitmap index (property_index.rs)."""
+        if label or prop:
+            self._declare_index("property", label, prop)
         return self
 
-    def create_range_index(self, *_a, **_k) -> "Collection":
+    def create_range_index(self, label: str = "", prop: str = "",
+                           *_a, **_k) -> "Collection":
+        if label or prop:
+            self._declare_index("range", label, prop)
         return self
 
 
