@@ -254,6 +254,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) "
         "ORDER BY o_orderkey LIMIT 100")
 
+    # classic TPC-H-shape analytics (DataFrame entry point — beyond the
+    # reference's VelesQL surface, these exercise multi-way join + agg +
+    # top-k exactly as a 100 TB warehouse load would: filtered dims
+    # broadcast, facts shuffle once on the join key, partial aggs map-side)
+    def _tpch_q3(s, d):
+        cutoff = F.lit("1998-07-01").cast("timestamp")
+        cust = _t(s, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        ords = _t(s, d, "orders").filter(F.col("o_orderdate") < cutoff)
+        li = _t(s, d, "lineitem").filter(F.col("l_shipdate") > cutoff)
+        return (li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 4)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+                .limit(10)
+                .select("l_orderkey", "revenue", "o_orderdate",
+                        "o_orderpriority"))
+
+    q["tpch_q3"] = _tpch_q3
+
+    def _tpch_q5(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1997-01-01").cast("timestamp")
+        ords = _t(s, d, "orders").filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        return (_t(s, d, "customer")
+                .join(ords, F.col("c_custkey") == F.col("o_custkey"))
+                .join(_t(s, d, "lineitem"),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+                .join(_t(s, d, "supplier"),
+                      (F.col("l_suppkey") == F.col("s_suppkey"))
+                      & (F.col("c_nationkey") == F.col("s_nationkey")))
+                .join(_t(s, d, "nation"),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(_t(s, d, "region"),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .filter(F.col("r_name") == "ASIA")
+                .groupBy("n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 4)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+    q["tpch_q5"] = _tpch_q5
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -840,6 +887,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
         "JOIN nation b ON a.n_regionkey = b.n_regionkey "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
+
+    o["tpch_q3"] = """
+SELECT l_orderkey,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["tpch_q5"] = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
     o["join_using"] = (
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "

@@ -32,6 +32,7 @@ def main() -> None:
     qs = entry_mod.queries()
     headline = [
         "groupby_agg",        # TPC-H Q1-style full lineitem aggregation
+        "tpch_q3",            # 3-way join + agg + top-10 (shipping priority)
         "having_filter",      # groupBy + HAVING on orders
         "join_two_dims",      # 2-dim star join
         "scalar_subquery",    # subquery + filter scan
