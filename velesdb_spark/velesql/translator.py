@@ -53,6 +53,10 @@ class TableInfo:
     vector_col: str = "vector"
     id_col: str = "id"
     text_col: Optional[str] = None  # BM25 target; None → first string column
+    # date-typed partition column paired with the timestamp column; temporal
+    # predicates derive a redundant bound on it so the scan prunes
+    # partitions (the 100 TB layout: events partitioned by day)
+    partition_date_col: Optional[str] = None
 
 
 @dataclass
@@ -462,8 +466,23 @@ class _SearchState:
             return base, ~_never_null(p)
         if isinstance(cond, ast.Compare):
             dtype = dict(base.dtypes).get(cond.column.split(".")[0].split("[")[0])
-            return base, tr._compare_col(
-                _col(cond.column), cond.op, tr.value(cond.value), dtype=dtype)
+            val = tr.value(cond.value)
+            pred = tr._compare_col(_col(cond.column), cond.op, val, dtype=dtype)
+            # partition pruning: a temporal bound on the timestamp column
+            # implies a (redundant, pruning-eligible) bound on the paired
+            # date partition column
+            pcol = self.info.partition_date_col
+            if (isinstance(val, TemporalEpoch) and pcol
+                    and pcol in base.columns
+                    and dtype and dtype.startswith("timestamp")):
+                day = F.to_date(F.timestamp_seconds(F.lit(int(val))))
+                if cond.op in (">", ">="):
+                    pred = pred & (F.col(pcol) >= day)
+                elif cond.op in ("<", "<="):
+                    pred = pred & (F.col(pcol) <= day)
+                elif cond.op == "=":
+                    pred = pred & (F.col(pcol) == day)
+            return base, pred
         if isinstance(cond, ast.In):
             if isinstance(cond.values, ast.Subquery):
                 # membership subquery as a flag join (semi-join shape that
