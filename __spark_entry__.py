@@ -589,6 +589,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = _ann_lsh
 
+    # ANN quality harness end-to-end: LSH results vs engine-computed exact
+    # ground truth (metrics.evaluate_knn_recall). Rows-only by design —
+    # replicating multiprobe LSH in SQL is the one thing DuckDB can't
+    # mirror — but the recall/precision/MRR values are deterministic
+    # (seeded hyperplanes), so cross-round drift would surface as a
+    # value-hash change in the rows-only record.
+    def _ann_recall(s, d):
+        from velesdb_spark.functions.similarity import LshIndex
+        from velesdb_spark.metrics import evaluate_knn_recall
+
+        emb = _t(s, d, "embeddings")
+        idx = LshIndex(emb, "embedding", "vec_id", nbits=6)
+        qs_ = [(0, QV1), (1, QV2), (2, QV3)]
+        approx = None
+        for qid, v in qs_:
+            part = idx.search(v, 10, multiprobe=5) \
+                .select(F.lit(qid).alias("qid"), "vec_id", "score")
+            approx = part if approx is None else approx.unionByName(part)
+        per_q = evaluate_knn_recall(emb, approx, qs_, 10,
+                                    "cosine", "embedding", "vec_id")
+        return per_q.select(
+            "qid", F.round("recall", 6).alias("recall"),
+            F.round("precision", 6).alias("precision"),
+            F.round("mrr", 6).alias("mrr")).orderBy("qid")
+
+    q["ann_recall_eval"] = _ann_recall
+
     def _ann_ivf(s, d):
         from velesdb_spark.functions.similarity import IvfIndex
 

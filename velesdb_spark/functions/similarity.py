@@ -68,10 +68,17 @@ class LshIndex:
         base = sum(1 << i for i, d in enumerate(dots) if d > 0)
         buckets = [base]
         if multiprobe > 0:
-            # flip the bits with the smallest |dot| first (closest boundaries)
-            order = np.argsort(np.abs(dots))
-            for i in order[:multiprobe]:
+            # multiprobe LSH (Lv et al., VLDB'07 shape): perturb the bits
+            # whose hyperplane margins are smallest — all single flips of
+            # the multiprobe closest boundaries, then all pair flips among
+            # them (a query near 2 boundaries differs in 2 bits)
+            order = np.argsort(np.abs(dots))[:multiprobe]
+            for i in order:
                 buckets.append(base ^ (1 << int(i)))
+            for ai in range(len(order)):
+                for bi in range(ai + 1, len(order)):
+                    buckets.append(
+                        base ^ (1 << int(order[ai])) ^ (1 << int(order[bi])))
         return buckets
 
     def search(self, q: Sequence[float], k: int = 10, multiprobe: int = 1) -> DataFrame:
