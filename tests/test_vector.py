@@ -183,3 +183,29 @@ def test_knn_vs_duckdb(catalog, duck):
         SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {vec_sql}), 6) AS score
         FROM embeddings ORDER BY list_cosine_similarity(embedding::DOUBLE[], {vec_sql}) DESC, vec_id
         LIMIT 10""")
+
+
+def test_f16_half_precision_roundtrip(spark):
+    """half_precision.rs f16 storage: 2 bytes/dim, round-trip error within
+    half-precision epsilon, nulls preserved."""
+    import math
+
+    from velesdb_spark.functions.quantization import (f16_pack_udf,
+                                                      f16_unpack_udf)
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, -2.5, 0.1234567, 65504.0]),
+         (2, None)],
+        "id bigint, v array<float>")
+    packed = df.select("id", f16_pack_udf()(F.col("v")).alias("b"))
+    out = {r.id: r for r in packed.select(
+        "id", F.length("b").alias("nbytes"),
+        f16_unpack_udf()(F.col("b")).alias("back")).collect()}
+    assert out[1].nbytes == 10  # 5 dims × 2 bytes
+    orig = [0.0, 1.0, -2.5, 0.1234567, 65504.0]
+    for a, b in zip(orig, out[1].back):
+        if a == 0:
+            assert b == 0
+        else:
+            assert math.isclose(a, b, rel_tol=1e-3)
+    assert out[2].nbytes is None and out[2].back is None

@@ -71,3 +71,39 @@ def packed_hamming(a: Column, b: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+
+def f16_pack(vec_series):
+    """Half-precision storage (half_precision.rs): pandas_udf body packing
+    ARRAY<FLOAT> → BINARY of little-endian f16 (2 bytes/dim, 2× smaller
+    than f32 at ~1e-3 relative error). Arrow-batched; numpy does the
+    conversion vectorized per batch."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.Series([
+        None if v is None else np.asarray(v, dtype=np.float16).tobytes()
+        for v in vec_series])
+
+
+def f16_unpack(bin_series):
+    """BINARY f16 → list[float32] (the dequantized read path)."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.Series([
+        None if b is None else
+        np.frombuffer(b, dtype=np.float16).astype(np.float32).tolist()
+        for b in bin_series])
+
+
+def f16_pack_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(f16_pack, "binary")
+
+
+def f16_unpack_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(f16_unpack, "array<float>")
