@@ -36,6 +36,7 @@ from velesdb_spark.velesql import ast
 
 DEFAULT_MAX_DEPTH = 3
 SAFETY_DEPTH_CAP = 100  # traversal.rs safety cap
+FUSED_DEPTH_MAX = 4  # ≤ this depth: fused expansion + min-depth aggregate
 DEFAULT_MATCH_LIMIT = 100  # match_exec.rs:110
 
 
@@ -75,6 +76,29 @@ def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
     else:
         spark = edges.sparkSession
         starts = spark.createDataFrame([(int(i),) for i in start_ids], "start_id bigint")
+
+    if max_depth <= FUSED_DEPTH_MAX:
+        # shallow walks (the default max 3): expand every level with only a
+        # per-level distinct, then resolve visited-set semantics with ONE
+        # min-depth aggregate — node-at-min-depth is exactly what the
+        # per-level anti-join maintenance computes, at 2 fewer shuffles per
+        # level. Deep walks keep the iterative visited subtraction below,
+        # where frontier shrinkage pays for the extra joins.
+        frontier = starts.select("start_id", F.col("start_id").alias("_cur"))
+        levels = []
+        for depth in range(1, max_depth + 1):
+            nxt = _step(frontier, edges, direction, rel_types).select(
+                "start_id", F.col("_next").alias("_node")).distinct()
+            levels.append(nxt.withColumn("depth", F.lit(depth)))
+            frontier = nxt.select("start_id", F.col("_node").alias("_cur"))
+        alll = levels[0]
+        for lv in levels[1:]:
+            alll = alll.union(lv)
+        return (alll.groupBy("start_id", "_node")
+                .agg(F.min("depth").alias("depth"))
+                .filter((F.col("depth") >= min_depth)
+                        & (F.col("_node") != F.col("start_id")))
+                .select("start_id", F.col("_node").alias("node_id"), "depth"))
 
     frontier = starts.select("start_id", F.col("start_id").alias("_cur"))
     # reached: (start_id, node_id, depth) at first encounter
