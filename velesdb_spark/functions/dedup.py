@@ -173,26 +173,29 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     as a count (shingles are distinct per doc), and |A∪B| = |A|+|B|−|A∩B|
     from a tiny per-doc size table. One shuffle on the shingle hash, one on
     the pair key — both map-side combinable."""
-    base = staged_shingles(df, text_col, id_col, n)
-    # persist: base feeds the size table and BOTH sides of the self-join —
-    # without it the tokenize/shingle pipeline runs 3× (at 100 TB the
-    # postings table would be written out, not recomputed)
-    base = base.persist()
-    sizes = base.select("_id", F.size("_sh").alias("_sz"))
-    # join key only (results carry ids + jaccard, never the hash): xxhash64
-    # longs shuffle ~4x less than md5 hex strings and compare as ints
-    ex = base.select("_id", F.explode("_sh").alias("_s")).withColumn("_s", F.xxhash64("_s"))
-    a = ex.withColumnRenamed("_id", "id_a")
-    b = ex.withColumnRenamed("_id", "id_b")
+    # persist the shingle arrays: BOTH sides of the self-join derive from
+    # them — unpersisted, the tokenize/shingle pipeline recomputes per side
+    # and Catalyst loses the size stats that keep the join strategy sane
+    # (at 100 TB this table would be written out, not recomputed)
+    base = staged_shingles(df, text_col, id_col, n).persist()
+    # exploded postings carry the doc's shingle-set size INLINE (8 bytes/row)
+    # so |A∪B| falls out of the pair aggregate via first() — no post-agg
+    # size joins, the whole op is one self-join + one groupBy. Join key is
+    # xxhash64 of the shingle (longs shuffle ~4x less than md5 hex strings
+    # and compare as ints).
+    ex = base.select("_id", F.size("_sh").alias("_sz"),
+                     F.explode("_sh").alias("_s")) \
+        .withColumn("_s", F.xxhash64("_s"))
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_s")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_s")
     inter = (
         a.join(b, "_s").filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"),
+             F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"))
     )
     return (
-        inter
-        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
-        .select(
+        inter.select(
             "id_a", "id_b",
             (F.col("_inter").cast("double")
              / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"))
