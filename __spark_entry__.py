@@ -679,6 +679,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = _media_features
 
+    # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
+    # per language by quality score — the curation primitive for keeping
+    # only the best documents per stratum
+    def _top_per_lang(s, d):
+        from pyspark.sql import Window
+
+        docs = _t(s, d, "documents")
+        scored = docs.select(
+            "doc_id", "lang",
+            F.round(ta.quality_score(F.col("text")), 6).alias("quality"))
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("quality"), F.asc("doc_id"))
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .select("lang", "rk", "doc_id", "quality")
+                .orderBy("lang", "rk"))
+
+    q["top_per_group"] = _top_per_lang
+
     # overlapping token-window chunking (training-data prep; md5 of each
     # chunk keeps driver rows small)
     q["chunk_docs"] = lambda s, d: ta.chunk_documents_df(
@@ -1127,6 +1146,37 @@ SELECT doc_id, round(CAST(
   + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
   AS DOUBLE), 6) AS quality
 FROM m"""
+
+    o["top_per_group"] = f"""
+WITH toks AS (SELECT doc_id, lang, text, {words_l} AS t FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    len(t) AS n_tok,
+    CASE WHEN len(t) > 0
+      THEN len(list_filter(t, x -> list_contains({sw_en_list}, x))) * 1.0 / len(t)
+      ELSE 0.0 END AS sw,
+    CASE WHEN length(text) > 0
+      THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1.0 / length(text)
+      ELSE 0.0 END AS pr,
+    CASE WHEN len(t) > 0
+      THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+      ELSE 0.0 END AS awl
+  FROM toks),
+scored AS (
+  SELECT doc_id, lang, round(CAST(
+      0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.0 END)
+    + 0.2 * (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+    + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+    AS DOUBLE), 6) AS quality
+  FROM m),
+rk AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM scored)
+SELECT lang, rk, doc_id, quality FROM rk WHERE rk <= 3
+ORDER BY lang, rk"""
 
     toks = _DK_BM25_TOKS.format(c="text")
     o["match_predicate"] = f"""
