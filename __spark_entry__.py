@@ -771,9 +771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _t(s, d, "documents")
         top = bm25_scan_search(docs, "spark query join", 20, "doc_id", "text")
-        w = Window.orderBy(F.desc("_bm25_score"), F.asc("doc_id"))
-        results = top.withColumn("rank", F.row_number().over(w)) \
-            .select(F.lit(1).alias("qid"), F.col("doc_id").alias("id"), "rank")
+        # rank window partitioned by qid (Q=1 here, but the unpartitioned
+        # form moves everything to one partition — wrong pattern to copy)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("_bm25_score"), F.asc("doc_id"))
+        results = top.withColumn("qid", F.lit(1)) \
+            .withColumn("rank", F.row_number().over(w)) \
+            .select("qid", F.col("doc_id").alias("id"), "rank")
         toks = tokenize(F.col("text"))
         truth = docs.filter(F.array_contains(toks, "spark")
                             & F.array_contains(toks, "join")) \

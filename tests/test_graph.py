@@ -188,6 +188,25 @@ def test_traverse_dfs_matches_reference_algorithm(spark):
     assert len(col.traverse_dfs(1, max_depth=3, limit=2)) == 2
 
 
+def test_traverse_dfs_max_visited_guard(spark):
+    """Hub graph trips the max_visited guard (streaming.rs:99-247) instead
+    of collecting the whole neighborhood to the driver."""
+    from velesdb_spark.database import Collection
+
+    # star: node 0 -> 1..40
+    edges = [(i, 0, i, "E") for i in range(1, 41)]
+    col = Collection(spark, "hub", df=spark.createDataFrame(
+        [(i, [1.0]) for i in range(0, 41)], "id bigint, vector array<float>"))
+    col.add_edges(spark.createDataFrame(
+        edges, "id bigint, src bigint, dst bigint, label string"))
+
+    with pytest.raises(ValueError, match="max_visited"):
+        col.traverse_dfs(0, max_depth=2, max_visited=10)
+    # raising the cap succeeds and returns all 40 leaves
+    got = col.traverse_dfs(0, max_depth=2, max_visited=1000, limit=1000)
+    assert {r["target_id"] for r in got} == set(range(1, 41))
+
+
 def test_graph_schema_validation(spark):
     """schema.rs strict/schemaless: per-item validate calls + the
     distributed violations pass."""

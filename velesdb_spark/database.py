@@ -348,7 +348,7 @@ class Collection:
 
     def traverse_dfs(self, start_id: int, max_depth: int = 3,
                      rel_types: Sequence[str] = (),
-                     limit: int = 100) -> list[dict]:
+                     limit: int = 100, max_visited: int = 100_000) -> list[dict]:
         """DFS with visited-set and path tracking (graph_api.rs:204-257).
 
         DFS order is inherently sequential (stack discipline), so there is
@@ -362,7 +362,19 @@ class Collection:
         """
         reach = graph_ops.bfs(self.edges, [start_id], 1, max_depth,
                               rel_types, "out").select("node_id")
-        nodes = {start_id} | {r.node_id for r in reach.collect()}
+        # hard cap BEFORE anything crosses to the driver (the reference's
+        # max_visited guard, collection/graph/streaming.rs:99-247): a
+        # depth-3 neighborhood of a hub node can be millions of rows, and
+        # collecting it would OOM the driver. limit(n+1) keeps the probe
+        # itself bounded.
+        probe = reach.limit(max_visited + 1).collect()
+        if len(probe) > max_visited:
+            raise ValueError(
+                f"traverse_dfs: reachable subgraph exceeds max_visited="
+                f"{max_visited} nodes within depth {max_depth}; raise "
+                f"max_visited or lower max_depth (driver-side replay is "
+                f"bounded by design)")
+        nodes = {start_id} | {r.node_id for r in probe}
         e = self.edges
         if rel_types:
             e = e.filter(F.col("label").isin(list(rel_types)))

@@ -194,13 +194,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         .agg(F.count("*").alias("_inter"),
              F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"))
     )
-    return (
+    out = (
         inter.select(
             "id_a", "id_b",
             (F.col("_inter").cast("double")
              / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # expose the persisted handle so long-lived callers (bench loops,
+    # sessions) can release the cached shingles once the result is
+    # materialized: df._staged_persist.unpersist()
+    out._staged_persist = base
+    return out
 
 
 def simhash32(col: Column) -> Column:

@@ -138,7 +138,9 @@ def evaluate_knn_recall(df: DataFrame, approx_results: DataFrame,
 
     exact = knn_batch(df, queries, k, metric, vector_col, id_col) \
         .select("qid", F.col(id_col).alias("id"))
-    w = Window.partitionBy("qid").orderBy(F.desc("score"))
+    # (score, id) tie-break — ties would otherwise get nondeterministic
+    # ranks and make MRR vary between runs
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
     ranked = approx_results.withColumn("rank", F.row_number().over(w)) \
         .select("qid", F.col(id_col).alias("id"), "rank")
     return recall_precision_mrr_df(ranked, exact)
