@@ -723,12 +723,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "text", "doc_id").select(
             F.col("_id").alias("doc_id"), "lang")
 
-    def _emb_dups(s, d):
+    def _emb_dups_lsh(s, d):
+        # the SCALE path gated against a brute-force oracle: banded
+        # hyperplane LSH (L tables × b sign bits, shuffle carries id/table/
+        # bucket longs only) over the embeddings table augmented with
+        # planted exact-direction duplicates (0.5·v — float-exact scaling,
+        # so every sign bit matches and LSH recall is provably 1.0; the
+        # DuckDB oracle is the O(N²) brute join on the same augmentation)
+        emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+        dup = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: (x * F.lit(0.5)).cast("float"))
+            .alias("embedding"))
         return dd.embedding_near_dups(
-            _t(s, d, "embeddings"), 0.40, "embedding", "vec_id") \
+            emb.unionByName(dup), 0.999, "embedding", "vec_id",
+            method="lsh", dim=64) \
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
-    q["embedding_near_dups"] = _emb_dups
+    q["embedding_near_dups_lsh"] = _emb_dups_lsh
 
     def _train_split(s, d):
         # deterministic reproducible train/val/test assignment by md5
@@ -1456,11 +1469,18 @@ WITH toks AS (SELECT doc_id, {words_plain} AS t FROM documents),
 scored AS (SELECT doc_id, t, {m} AS m FROM toks)
 SELECT doc_id, CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang FROM scored"""
 
-    o["embedding_near_dups"] = """
+    o["embedding_near_dups_lsh"] = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40"""
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999"""
 
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -87,6 +87,27 @@ def test_embedding_near_dups_brute_vs_lsh(spark):
     lsh = {(r.id_a, r.id_b) for r in
            dedup.embedding_near_dups(df, 0.99, method="lsh").collect()}
     assert lsh <= brute  # LSH is a recall-trading subset
+    # banded LSH at b=8, L=16 has recall 1-(1-(1-θ/π)^8)^16 ≈ 0.9999 at
+    # cosine .99 — on 3 rows it must find the pair
+    assert lsh == brute
+
+
+def test_embedding_lsh_exact_direction_recall_one(spark):
+    """Planted exact-direction duplicates (0.5·v, float-exact) collide in
+    every hash table: LSH recall is provably 1.0, result == brute."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [(i, rng.randn(16).astype("float32").tolist()) for i in range(40)]
+    dup = [(i + 1000, [x * 0.5 for x in v]) for i, v in base]
+    df = spark.createDataFrame(base + dup,
+                               "id bigint, embedding array<float>")
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.embedding_near_dups(df, 0.999, method="lsh", dim=16).collect()}
+    brute = {(r.id_a, r.id_b) for r in
+             dedup.embedding_near_dups(df, 0.999, method="brute").collect()}
+    assert {(i, i + 1000) for i, _ in base} <= lsh
+    assert lsh == brute
 
 
 def test_token_count_parity(docs, duck):

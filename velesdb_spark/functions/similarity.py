@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +32,32 @@ LSH_SEED = 42
 def _hyperplanes(dim: int, nbits: int = DEFAULT_NBITS, seed: int = LSH_SEED) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(nbits, dim)
+
+
+def multi_table_buckets(vec: Column, dim: int, nbits: int = DEFAULT_NBITS,
+                        tables: int = 16, seed: int = LSH_SEED) -> Column:
+    """Banded-LSH signatures: array<bigint> of length `tables`, entry t =
+    the nbits sign-bit bucket of hash table t.
+
+    One Arrow-batched numpy matmul per batch ((n, dim) @ (dim, T·b) BLAS
+    gemm) instead of T·b separate higher-order aggregate expressions —
+    the dense random projection is exactly the shape vectorized Pandas UDFs
+    exist for (~100× the interpreted-lambda path). Scale-invariance note:
+    rows of one gemm are summed in the same k-order, so sign(P·(c·v)) ==
+    sign(P·v) for c a power of two — planted exact-direction duplicates
+    collide in every table with probability 1.
+    """
+    planes = _hyperplanes(dim, nbits * tables, seed)  # (T·b, dim)
+    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (mat @ planes.T) > 0.0            # (n, T·b)
+        buckets = bits.reshape(len(v), tables, nbits) @ weights  # (n, T)
+        return pd.Series(list(buckets))
+
+    return _sig(vec)
 
 
 def hyperplane_bucket(vec: Column, dim: int, nbits: int = DEFAULT_NBITS,
