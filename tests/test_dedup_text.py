@@ -110,6 +110,23 @@ def test_embedding_lsh_exact_direction_recall_one(spark):
     assert lsh == brute
 
 
+def test_lsh_params_autoscale():
+    """nbits/tables sized from the recall formula: low thresholds get more
+    tables (or smaller bands), and the promised recall holds analytically."""
+    import math
+
+    for t in (0.5, 0.8, 0.9, 0.95, 0.99, 0.999):
+        b, L = dedup.lsh_params_for(t, target_recall=0.95)
+        p = (1 - math.acos(t) / math.pi) ** b
+        recall = 1 - (1 - p) ** L
+        assert recall >= 0.95, (t, b, L, recall)
+        assert L <= 128
+    # tables must grow as the threshold drops (harder problem)
+    _, l_hi = dedup.lsh_params_for(0.95)
+    _, l_lo = dedup.lsh_params_for(0.5)
+    assert l_lo > l_hi
+
+
 def test_token_count_parity(docs, duck):
     sdf = docs.select("doc_id", ta.token_count(F.col("text")).alias("n_tokens")) \
         .orderBy("doc_id").limit(100)

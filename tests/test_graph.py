@@ -200,8 +200,13 @@ def test_traverse_dfs_max_visited_guard(spark):
     col.add_edges(spark.createDataFrame(
         edges, "id bigint, src bigint, dst bigint, label string"))
 
-    with pytest.raises(ValueError, match="max_visited"):
-        col.traverse_dfs(0, max_depth=2, max_visited=10)
+    # overflow degrades gracefully (streaming.rs visited_overflow: truncate
+    # and keep traversing bounded by max_depth) — warns, returns results
+    # from the truncated subgraph, never collects past the cap
+    with pytest.warns(UserWarning, match="max_visited"):
+        got = col.traverse_dfs(0, max_depth=2, max_visited=10, limit=1000)
+    assert 0 < len(got) <= 10
+    assert all(r["depth"] == 1 for r in got)
     # raising the cap succeeds and returns all 40 leaves
     got = col.traverse_dfs(0, max_depth=2, max_visited=1000, limit=1000)
     assert {r["target_id"] for r in got} == set(range(1, 41))

@@ -16,6 +16,7 @@ last-writer-wins by id (MERGE semantics — crud.rs:19-118).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Iterable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -362,24 +363,35 @@ class Collection:
         """
         reach = graph_ops.bfs(self.edges, [start_id], 1, max_depth,
                               rel_types, "out").select("node_id")
-        # hard cap BEFORE anything crosses to the driver (the reference's
+        # cap BEFORE anything crosses to the driver (the reference's
         # max_visited guard, collection/graph/streaming.rs:99-247): a
         # depth-3 neighborhood of a hub node can be millions of rows, and
         # collecting it would OOM the driver. limit(n+1) keeps the probe
-        # itself bounded.
+        # itself bounded. On overflow we DEGRADE GRACEFULLY like
+        # streaming.rs (visited_overflow: truncate the subgraph, keep
+        # traversing bounded by max_depth) rather than erroring —
+        # graph_api.rs traverse_dfs (204-257) never fails on size, it
+        # returns the first `limit` results.
         probe = reach.limit(max_visited + 1).collect()
-        if len(probe) > max_visited:
-            raise ValueError(
+        overflow = len(probe) > max_visited
+        if overflow:
+            warnings.warn(
                 f"traverse_dfs: reachable subgraph exceeds max_visited="
-                f"{max_visited} nodes within depth {max_depth}; raise "
-                f"max_visited or lower max_depth (driver-side replay is "
-                f"bounded by design)")
-        nodes = {start_id} | {r.node_id for r in probe}
+                f"{max_visited} nodes within depth {max_depth}; replaying "
+                f"DFS on a truncated subgraph (results beyond the cap may "
+                f"be missed — raise max_visited for exactness)")
+        nodes = {start_id} | {r.node_id for r in probe[:max_visited]}
         e = self.edges
         if rel_types:
             e = e.filter(F.col("label").isin(list(rel_types)))
+        # dst filter too: any traversable dst is within max_depth and hence
+        # in nodes — without it, all out-edges of depth==max_depth boundary
+        # nodes are pulled to the driver but never expanded (a hub at the
+        # boundary could still blow driver memory past the node-count guard)
+        node_list = list(nodes)
         adj: dict[int, list[int]] = {}
-        for r in (e.filter(F.col("src").isin(list(nodes)))
+        for r in (e.filter(F.col("src").isin(node_list)
+                           & F.col("dst").isin(node_list))
                   .select("src", "dst", "id")
                   .orderBy("src", "id").collect()):
             adj.setdefault(r.src, []).append(r.dst)

@@ -163,16 +163,32 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
 
 
+_STAGED_HANDLES: list[DataFrame] = []
+
+
+def release_staged() -> None:
+    """Unpersist every shingle cache registered by ngram_jaccard_pairs calls
+    that did not take the handle themselves (bench loops / long sessions call
+    this between iterations)."""
+    while _STAGED_HANDLES:
+        _STAGED_HANDLES.pop().unpersist()
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "id",
-                        n: int = DEFAULT_SHINGLE) -> DataFrame:
+                        n: int = DEFAULT_SHINGLE,
+                        return_handle: bool = False):
     """All-pairs exact n-gram Jaccard ≥ threshold via inverted shingle index.
 
     No O(N²) crossJoin and no shingle-array transfer: candidate pairs come
     from docs sharing ≥1 shingle; |A∩B| falls out of the same exploded join
     as a count (shingles are distinct per doc), and |A∪B| = |A|+|B|−|A∩B|
     from a tiny per-doc size table. One shuffle on the shingle hash, one on
-    the pair key — both map-side combinable."""
+    the pair key — both map-side combinable.
+
+    With return_handle=True returns (pairs_df, persisted_shingles) so the
+    caller owns the cache lifetime; otherwise the handle is tracked in a
+    module registry released by release_staged()."""
     # persist the shingle arrays: BOTH sides of the self-join derive from
     # them — unpersisted, the tokenize/shingle pipeline recomputes per side
     # and Catalyst loses the size stats that keep the join strategy sane
@@ -201,10 +217,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
              / (F.col("_sa") + F.col("_sb") - F.col("_inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    # expose the persisted handle so long-lived callers (bench loops,
-    # sessions) can release the cached shingles once the result is
-    # materialized: df._staged_persist.unpersist()
-    out._staged_persist = base
+    if return_handle:
+        return out, base
+    _STAGED_HANDLES.append(base)
     return out
 
 
@@ -275,17 +290,49 @@ def simhash_dedup_pairs(df: DataFrame, max_hamming: int = 3,
     )
 
 
+def lsh_params_for(threshold: float, target_recall: float = 0.95,
+                   max_tables: int = 128) -> tuple[int, int]:
+    """(nbits, tables) sized from the banded-LSH recall formula.
+
+    Per-table collision probability for a pair at cosine t is
+    p = (1 - arccos(t)/π)^b; over L tables recall = 1-(1-p)^L. Pick the
+    LARGEST b (best candidate precision: random pairs collide at ~2^-b per
+    table) whose required L = ceil(log(1-r)/log(1-p)) fits max_tables.
+    Examples: t=0.95 → (16, 15); t=0.8 → (16, 116); t=0.5 → (8, 76)."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    frac = 1.0 - math.acos(t) / math.pi
+    for b in range(16, 3, -1):
+        p = frac ** b
+        if p >= 1.0:
+            return b, 1
+        if p <= 0.0:
+            continue
+        need = math.ceil(math.log(max(1.0 - target_recall, 1e-12))
+                         / math.log(1.0 - p))
+        if need <= max_tables:
+            return b, max(int(need), 1)
+    # very low thresholds: even b=4 cannot reach target recall within the
+    # table budget — take the budget and document the shortfall in recall
+    return 4, max_tables
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         vector_col: str = "embedding", id_col: str = "id",
-                        method: str = "lsh", tables: int = 16,
-                        nbits: int = 8, dim: int | None = None) -> DataFrame:
+                        method: str = "lsh", tables: int | None = None,
+                        nbits: int | None = None, dim: int | None = None,
+                        target_recall: float = 0.95) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     'lsh' (default, the scale path) = banded random-hyperplane LSH: L
     independent hash tables of b sign bits each (same banding idea as
     MinHash LSH). A pair collides in one table with p = (1-θ/π)^b,
-    θ = arccos(cosine); over L tables recall = 1-(1-p)^L — at cosine 0.95
-    with b=8, L=16 that is ≥ 0.9999. Candidates are exact-cosine verified,
+    θ = arccos(cosine); over L tables recall = 1-(1-p)^L. When nbits/tables
+    are not given they are SIZED FROM THE THRESHOLD via lsh_params_for so
+    recall ≥ target_recall at the decision boundary for any threshold (low
+    thresholds automatically get smaller bands / more tables; passing
+    explicit nbits/tables overrides). Candidates are exact-cosine verified,
     so precision is 1.0 and recall is the only approximation. Exact-direction
     duplicates (v vs c·v, c>0) are caught with provable recall 1.0: IEEE
     scaling by powers of two commutes with rounding, so every sign bit — and
@@ -301,6 +348,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
     if method == "lsh":
+        auto_b, auto_t = lsh_params_for(threshold, target_recall)
+        nbits = nbits if nbits is not None else auto_b
+        tables = tables if tables is not None else auto_t
         d = dim or len(df.select(vector_col).first()[0])
         # (id, table, bucket) postings: one Arrow matmul computes all T
         # signatures, posexplode fans them out; one row per (vector, table)
