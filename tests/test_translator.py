@@ -147,6 +147,68 @@ def test_scalar_subquery(catalog, duck):
         "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey LIMIT 25")
 
 
+def test_exists_correlated(catalog, duck):
+    """EXISTS decorrelated to a flag join (subquery_optimizer.rs:10-42
+    PerRow surface, executed set-at-a-time)."""
+    sdf = translate(
+        "SELECT c_custkey FROM customer AS c WHERE EXISTS "
+        "(SELECT o_orderkey FROM orders AS o WHERE o.o_custkey = c.c_custkey "
+        "AND o_totalprice > 200000.0) ORDER BY c_custkey LIMIT 100000", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o_totalprice > 200000.0) ORDER BY c_custkey")
+
+
+def test_not_exists_correlated(catalog, duck):
+    sdf = translate(
+        "SELECT s_suppkey FROM supplier AS s WHERE NOT EXISTS "
+        "(SELECT n_nationkey FROM nation AS n WHERE n.n_nationkey = "
+        "s.s_nationkey AND n_regionkey = 0) ORDER BY s_suppkey LIMIT 100000",
+        catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT s_suppkey FROM supplier s WHERE NOT EXISTS "
+        "(SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey "
+        "AND n_regionkey = 0) ORDER BY s_suppkey")
+
+
+def test_correlated_scalar_subquery(catalog, duck):
+    """col > (SELECT AVG(...) WHERE inner.k = outer.k) — groupBy + left
+    join decorrelation, one shuffle on the correlation key."""
+    sdf = translate(
+        "SELECT o_orderkey FROM orders AS o WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders AS o2 "
+        "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 100000",
+        catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders o WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey")
+
+
+def test_correlated_count_lhs(catalog, duck):
+    """(SELECT COUNT(*) ...) = 0 LHS form — empty groups must read as
+    COUNT=0, not NULL (the decorrelation count bug)."""
+    sdf = translate(
+        "SELECT c_custkey FROM customer AS c WHERE "
+        "(SELECT COUNT(*) FROM orders AS o WHERE o.o_custkey = c.c_custkey "
+        "AND o_totalprice > 300000.0) = 0 ORDER BY c_custkey LIMIT 100000",
+        catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT c_custkey FROM customer c WHERE "
+        "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o_totalprice > 300000.0) = 0 ORDER BY c_custkey")
+
+
+def test_correlated_unsupported_predicate(catalog):
+    """Non-equality correlation is rejected with a clear error."""
+    with pytest.raises(TranslationError, match="conjunctive equality"):
+        translate(
+            "SELECT c_custkey FROM customer AS c WHERE EXISTS "
+            "(SELECT o_orderkey FROM orders AS o WHERE o.o_totalprice > "
+            "c.c_acctbal)", catalog)
+
+
 def test_params(catalog, duck):
     sdf = translate("SELECT o_orderkey FROM orders WHERE o_orderstatus = $st "
                     "ORDER BY o_orderkey LIMIT 10", catalog, {"st": "O"})

@@ -138,6 +138,26 @@ class Similarity:
 
 
 @dataclass(frozen=True)
+class SubqueryCompare:
+    """(SELECT agg(...) ...) op value — scalar subquery on the left-hand
+    side of a comparison (the COUNT(*)-guard idiom)."""
+
+    sub: Subquery
+    op: str
+    value: Value
+
+
+@dataclass(frozen=True)
+class Exists:
+    """EXISTS (SELECT ...) — correlated or not. Correlated equality
+    predicates (inner.col = outer.col) are decorrelated to a semi-join-shaped
+    flag join at translation (the PerRow strategy surface of the reference's
+    velesql/subquery_optimizer.rs:10-42, executed set-at-a-time here)."""
+
+    stmt: "Select"
+
+
+@dataclass(frozen=True)
 class And:
     conditions: tuple
 

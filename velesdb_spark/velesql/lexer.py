@@ -29,7 +29,7 @@ KEYWORDS = {
     "FULL", "OUTER", "ON", "USING", "UNION", "ALL", "INTERSECT", "EXCEPT",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "NEAR", "NEAR_FUSED", "MATCH",
     "RETURN", "WITH", "FUSION", "NOW", "INTERVAL", "ASC", "DESC", "SIMILARITY",
-    "EXPLAIN", "ANALYZE",
+    "EXPLAIN", "ANALYZE", "EXISTS",
 }
 
 _TOKEN_RE = re.compile(

@@ -360,10 +360,22 @@ class _Parser:
         if self.accept_kw("NOT"):
             return ast.Not(self.primary_expr())
         if self.at_punct("("):
+            if self.peek().kind == "KW" and self.peek().value == "SELECT":
+                # (SELECT ...) op value — LHS scalar subquery
+                self.advance()
+                stmt = self.select_stmt()
+                self.expect_punct(")")
+                op = self.compare_op()
+                return ast.SubqueryCompare(ast.Subquery(stmt), op, self.value())
             self.advance()
             inner = self.or_expr()
             self.expect_punct(")")
             return inner
+        if self.accept_kw("EXISTS"):
+            self.expect_punct("(")
+            stmt = self.select_stmt()
+            self.expect_punct(")")
+            return ast.Exists(stmt)
         if self.at_kw("SIMILARITY") and self.peek().value == "(":
             return self.similarity_expr()
         # vector NEAR / NEAR_FUSED: 'vector' lexes as IDENT

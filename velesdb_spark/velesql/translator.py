@@ -148,10 +148,11 @@ class Translator:
     # ------------------------------------------------------------ SELECT
     def select(self, s: ast.Select, apply_default_limit: bool = True) -> DataFrame:
         info = self.catalog.resolve(s.table)
-        base = info.df
         base_alias = s.table_alias or s.table
+        # always alias the base relation so alias-qualified refs resolve —
+        # required for correlated subqueries referencing the outer alias
+        base = info.df.alias(base_alias)
         if s.joins:
-            base = base.alias(base_alias)
             for j in s.joins:
                 rinfo = self.catalog.resolve(j.table)
                 right = rinfo.df.alias(j.alias or j.table)
@@ -163,7 +164,8 @@ class Translator:
                     base = base.join(right, on=cond, how=how)
 
         # --- special predicates → score columns
-        st = _SearchState(self, info)
+        outer_aliases = {base_alias} | {j.alias or j.table for j in s.joins}
+        st = _SearchState(self, info, outer_aliases)
         pred = None
         if s.where is not None:
             base, pred = st.prepare(base, s.where)
@@ -380,14 +382,74 @@ class Translator:
         return {">": c > lit, ">=": c >= lit, "<": c < lit, "<=": c <= lit}[op]
 
 
+def _qualifier(name: str) -> Optional[str]:
+    return name.split(".")[0] if "." in name else None
+
+
+def _references_aliases(cond, aliases: set) -> bool:
+    """Does any predicate in the tree reference a column qualified with one
+    of `aliases`?"""
+    if isinstance(cond, (ast.And, ast.Or)):
+        return any(_references_aliases(c, aliases) for c in cond.conditions)
+    if isinstance(cond, ast.Not):
+        return _references_aliases(cond.condition, aliases)
+    col = getattr(cond, "column", None)
+    if isinstance(col, str) and _qualifier(col) in aliases:
+        return True
+    val = getattr(cond, "value", None)
+    if isinstance(val, ast.ColumnRef) and _qualifier(val.name) in aliases:
+        return True
+    return False
+
+
+def _split_correlation(stmt: ast.Select, outer_aliases: set):
+    """Split a subquery's WHERE into correlated equality pairs
+    [(outer_col, inner_col)] and the residual inner-only condition.
+
+    The decorrelable class is conjunctive equalities between one inner and
+    one outer column — the same PerRow surface the reference plans
+    (velesql/subquery_optimizer.rs:10-42), executed set-at-a-time as a join
+    instead of a per-row re-execution. The inner relation's own alias shadows
+    an identically-named outer alias (SQL scoping)."""
+    inner_names = {stmt.table, stmt.table_alias or stmt.table}
+    outer = outer_aliases - inner_names
+    if stmt.where is None:
+        return [], None
+    conjuncts = (list(stmt.where.conditions)
+                 if isinstance(stmt.where, ast.And) else [stmt.where])
+    pairs, residual = [], []
+    for c in conjuncts:
+        if isinstance(c, ast.Compare) and c.op == "=":
+            lq = _qualifier(c.column)
+            if isinstance(c.value, ast.ColumnRef):
+                rq = _qualifier(c.value.name)
+                if rq in outer and lq not in outer:
+                    pairs.append((c.value.name, c.column))
+                    continue
+                if lq in outer and rq not in outer:
+                    pairs.append((c.column, c.value.name))
+                    continue
+        if _references_aliases(c, outer):
+            raise TranslationError(
+                "correlated subqueries support conjunctive equality "
+                f"correlation only; unsupported predicate: {c!r}")
+        residual.append(c)
+    res = None
+    if residual:
+        res = residual[0] if len(residual) == 1 else ast.And(tuple(residual))
+    return pairs, res
+
+
 class _SearchState:
     """Collects NEAR / NEAR_FUSED / similarity() / MATCH predicates from the
     WHERE tree (the reference's extraction.rs:25-120), turns each into a score
     column on the base DataFrame, and exposes the final implicit ordering."""
 
-    def __init__(self, tr: Translator, info: TableInfo):
+    def __init__(self, tr: Translator, info: TableInfo,
+                 outer_aliases: Optional[set] = None):
         self.tr = tr
         self.info = info
+        self.outer_aliases = outer_aliases or set()
         self.counter = 0
         self.near_score: Optional[str] = None
         self.text_score: Optional[str] = None
@@ -465,6 +527,11 @@ class _SearchState:
             # from a three-valued leaf must read as false before negating
             return base, ~_never_null(p)
         if isinstance(cond, ast.Compare):
+            if isinstance(cond.value, ast.Subquery):
+                pairs, residual = _split_correlation(
+                    cond.value.stmt, self.outer_aliases)
+                if pairs:
+                    return self._correlated_scalar(base, cond, pairs, residual)
             dtype = dict(base.dtypes).get(cond.column.split(".")[0].split("[")[0])
             val = tr.value(cond.value)
             pred = tr._compare_col(_col(cond.column), cond.op, val, dtype=dtype)
@@ -535,7 +602,116 @@ class _SearchState:
             return self._fused(base, cond)
         if isinstance(cond, ast.MatchText):
             return self._match_text(base, cond)
+        if isinstance(cond, ast.Exists):
+            return self._exists(base, cond)
+        if isinstance(cond, ast.SubqueryCompare):
+            return self._subquery_compare(base, cond)
         raise TranslationError(f"unsupported condition: {cond!r}")
+
+    # -- subqueries: decorrelation to joins ------------------------------
+    def _inner_frame(self, stmt: ast.Select, residual):
+        """The subquery's relation with its inner-only predicates applied
+        (runs fully distributed; correlation handled by the caller's join)."""
+        tr = self.tr
+        info = tr.catalog.resolve(stmt.table)
+        inner = info.df.alias(stmt.table_alias or stmt.table)
+        if residual is not None:
+            ist = _SearchState(tr, info)
+            inner, ipred = ist.prepare(inner, residual)
+            if ipred is not None:
+                inner = inner.filter(ipred)
+        return inner
+
+    def _corr_join(self, base: DataFrame, subdf: DataFrame, keys, pairs,
+                   drop: list) -> DataFrame:
+        jc = None
+        for k, (outer_col, _) in zip(keys, pairs):
+            c = _col(outer_col) == F.col(k)
+            jc = c if jc is None else jc & c
+        return base.join(subdf, jc, "left").drop(*drop)
+
+    def _exists(self, base: DataFrame, cond: ast.Exists):
+        """EXISTS (correlated or not) as a flag join — semi-join shape that
+        still composes under OR/NOT (NOT EXISTS = negated flag ≡ anti-join);
+        AQE broadcasts small deduped key sets."""
+        tr = self.tr
+        pairs, residual = _split_correlation(cond.stmt, self.outer_aliases)
+        if not pairs:
+            # non-correlated: one distributed probe for ≥1 row, folded to a
+            # constant predicate
+            import dataclasses
+
+            probe = tr.select(
+                dataclasses.replace(cond.stmt, where=residual, limit=1,
+                                    order_by=(), columns=()),
+                apply_default_limit=False)
+            return base, F.lit(bool(probe.take(1)))
+        inner = self._inner_frame(cond.stmt, residual)
+        flag = self._next("ex")
+        keys = [f"{flag}_k{i}" for i in range(len(pairs))]
+        subdf = (inner.select(*[F.col(ic).alias(k)
+                                for k, (_, ic) in zip(keys, pairs)])
+                 .distinct().withColumn(flag, F.lit(True)))
+        base = self._corr_join(base, subdf, keys, pairs, drop=keys)
+        return base, _never_null(F.col(flag))
+
+    def _decorrelated_scalar(self, base: DataFrame, stmt: ast.Select,
+                             pairs, residual) -> tuple[DataFrame, Column]:
+        """(SELECT agg(x) FROM t WHERE t.k = outer.k ...) as a per-outer-row
+        scalar Column: decorrelate to groupBy-on-correlation-keys + left
+        join. One shuffle on the correlation key instead of a per-outer-row
+        re-execution."""
+        if (len(stmt.columns) != 1
+                or not isinstance(stmt.columns[0], ast.Aggregate)):
+            raise TranslationError(
+                "correlated scalar subquery must select exactly one aggregate")
+        agg = stmt.columns[0]
+        inner = self._inner_frame(stmt, residual)
+        tag = self._next("cs")
+        keys = [f"{tag}_k{i}" for i in range(len(pairs))]
+        fn = {"count": F.count, "sum": F.sum, "avg": F.avg,
+              "min": F.min, "max": F.max}[agg.func]
+        aggcol = fn(F.lit(1) if agg.arg == "*" else F.col(agg.arg))
+        subdf = (inner.groupBy(*[F.col(ic).alias(k)
+                                 for k, (_, ic) in zip(keys, pairs)])
+                 .agg(aggcol.alias(tag)))
+        base = self._corr_join(base, subdf, keys, pairs, drop=keys)
+        scalar = F.col(tag)
+        if agg.func == "count":
+            # empty correlation groups are COUNT = 0, not NULL (the classic
+            # decorrelation count bug)
+            scalar = F.coalesce(scalar, F.lit(0))
+        return base, scalar
+
+    _COMPARE_OPS = {"=": Column.__eq__, "!=": Column.__ne__,
+                    "<>": Column.__ne__, ">": Column.__gt__,
+                    ">=": Column.__ge__, "<": Column.__lt__,
+                    "<=": Column.__le__}
+
+    def _correlated_scalar(self, base: DataFrame, cond: ast.Compare,
+                           pairs, residual):
+        base, scalar = self._decorrelated_scalar(base, cond.value.stmt,
+                                                 pairs, residual)
+        if cond.op not in self._COMPARE_OPS:
+            raise TranslationError(f"unsupported operator {cond.op!r} on "
+                                   "correlated scalar subquery")
+        return base, self._COMPARE_OPS[cond.op](_col(cond.column), scalar)
+
+    def _subquery_compare(self, base: DataFrame, cond: ast.SubqueryCompare):
+        """(SELECT ...) op value with the subquery on the LHS."""
+        tr = self.tr
+        if cond.op not in self._COMPARE_OPS:
+            raise TranslationError(f"unsupported operator {cond.op!r} on "
+                                   "scalar subquery comparison")
+        rhs = tr.value(cond.value)
+        pairs, residual = _split_correlation(cond.sub.stmt, self.outer_aliases)
+        if pairs:
+            base, scalar = self._decorrelated_scalar(base, cond.sub.stmt,
+                                                     pairs, residual)
+            return base, self._COMPARE_OPS[cond.op](scalar, F.lit(rhs))
+        # non-correlated: both sides constants
+        lhs = tr.value(cond.sub)
+        return base, self._COMPARE_OPS[cond.op](F.lit(lhs), F.lit(rhs))
 
     def _fused(self, base: DataFrame, cond: ast.VectorFusedSearch):
         tr = self.tr
