@@ -1,8 +1,9 @@
 """Local mini-driver: run every __spark_entry__ query against its DuckDB
 oracle (row count + column names + order-insensitive values) at a given SF.
 
-Usage: python tools/check_entry.py [sf_dir] [name1,name2,...]
-(the optional second arg restricts the sweep to the named queries)
+Usage: python tools/check_entry.py [sf_dir] [name1,name2,...] [--json out.json]
+(the optional second arg restricts the sweep to the named queries; --json
+writes a CORRECTNESS-shaped record per query for committed evidence)
 """
 
 from __future__ import annotations
@@ -37,6 +38,13 @@ def canon(rows):
 
 
 def main():
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sys.argv = [sys.argv[0]] + args
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("check-entry", cpus=8)
     con = duckdb.connect()
@@ -53,6 +61,15 @@ def main():
             sys.exit(2)
         qs = {k: v for k, v in qs.items() if k in only}
     ok = bad = 0
+    records: dict = {}
+
+    def rec(name, **kw):
+        base = {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": None,
+                "sec": None}
+        base.update(kw)
+        records[name] = base
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -62,10 +79,14 @@ def main():
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
+            rec(name, err="spark error", sec=round(time.time() - t0, 1))
             bad += 1
             continue
         if name not in oracles:
-            print(f"okNR {name}: rows={len(srows)} (no oracle) {time.time()-t0:.1f}s")
+            dt = round(time.time() - t0, 1)
+            print(f"okNR {name}: rows={len(srows)} (no oracle) {dt}s")
+            rec(name, rows_match=True, spark_rows=len(srows),
+                err="rows-only (no oracle)", sec=dt)
             ok += 1
             continue
         try:
@@ -74,24 +95,32 @@ def main():
             orows = [tuple(r) for r in res.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, err=f"oracle error: {e}", spark_rows=len(srows),
+                sec=round(time.time() - t0, 1))
             bad += 1
             continue
-        if scols != ocols:
+        dt = round(time.time() - t0, 1)
+        rows_match = len(srows) == len(orows)
+        schema_match = scols == ocols
+        hash_match = None
+        if not schema_match:
             print(f"FAIL {name}: columns {scols} vs {ocols}")
-            bad += 1
-            continue
-        if len(srows) != len(orows):
+        elif not rows_match:
             print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}")
+        else:
+            sc, oc = canon(srows), canon(orows)
+            hash_match = sc == oc
+            if not hash_match:
+                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                print(f"FAIL {name}: values differ, e.g. {diff}")
+        rec(name, rows_match=rows_match, schema_match=schema_match,
+            hash_match=hash_match, spark_rows=len(srows),
+            oracle_rows=len(orows), sec=dt)
+        if schema_match and rows_match and hash_match:
+            print(f"ok   {name}: rows={len(srows)} {dt}s")
+            ok += 1
+        else:
             bad += 1
-            continue
-        sc, oc = canon(srows), canon(orows)
-        if sc != oc:
-            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-            print(f"FAIL {name}: values differ, e.g. {diff}")
-            bad += 1
-            continue
-        print(f"ok   {name}: rows={len(srows)} {time.time()-t0:.1f}s")
-        ok += 1
 
     # smoke entry()
     try:
@@ -103,6 +132,12 @@ def main():
         traceback.print_exc(limit=3)
         bad += 1
     print(f"\n{ok} ok, {bad} failed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": records}, f, indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if bad else 0)
 
 
