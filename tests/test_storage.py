@@ -1,0 +1,101 @@
+"""Durable CRUD: log-structured parquet store + snapshot compaction
+(reference semantics: storage/log_payload.rs:83-363, crud.rs:19-118)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from velesdb_spark.database import Collection, Database
+from velesdb_spark.storage import LogStore
+
+
+def _rows(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_logstore_upsert_delete_lww(spark, tmp_path):
+    st = LogStore(spark, str(tmp_path / "t"), id_col="id")
+    st.append_upsert(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"))
+    st.append_upsert(spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id bigint, v string"))
+    st.append_delete([3])
+    got = _rows(st.read())
+    assert set(got) == {1, 2, 4}
+    assert got[2]["v"] == "B"  # last writer wins
+    # delete-then-reinsert resurrects
+    st.append_upsert(spark.createDataFrame([(3, "c2")], "id bigint, v string"))
+    assert _rows(st.read())[3]["v"] == "c2"
+
+
+def test_logstore_compact_and_reopen(spark, tmp_path):
+    path = str(tmp_path / "t")
+    st = LogStore(spark, path, id_col="id")
+    st.append_upsert(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id bigint, v string"))
+    st.append_delete([0, 1])
+    st.compact()
+    m = json.load(open(os.path.join(path, "MANIFEST.json")))
+    assert m["segments"] == [] and m["snapshot"] == "snapshot/v=1"
+    # a fresh store handle (≅ new SparkSession) sees the same data
+    st2 = LogStore(spark, path, id_col="id")
+    assert set(_rows(st2.read())) == set(range(2, 10))
+    # post-compaction writes keep working and re-compact to v=2
+    st2.append_upsert(spark.createDataFrame([(2, "V2")], "id bigint, v string"))
+    assert _rows(st2.read())[2]["v"] == "V2"
+    st2.compact()
+    assert json.load(open(os.path.join(path, "MANIFEST.json")))["snapshot"] \
+        == "snapshot/v=2"
+    st2.vacuum()
+    assert os.listdir(os.path.join(path, "snapshot")) == ["v=2"]
+    assert os.listdir(os.path.join(path, "log")) == []
+
+
+def test_logstore_schema_evolution(spark, tmp_path):
+    """Later segments may add payload columns (metadata-only upserts);
+    earlier rows read them as NULL."""
+    st = LogStore(spark, str(tmp_path / "t"), id_col="id")
+    st.append_upsert(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    st.append_upsert(spark.createDataFrame(
+        [(2, "b", 7)], "id bigint, v string, extra int"))
+    got = _rows(st.read())
+    assert got[1]["extra"] is None and got[2]["extra"] == 7
+
+
+def test_collection_durable_crud_survives_reopen(spark, tmp_path):
+    """upsert → search read-your-writes after a Database.open from disk —
+    the continuous-ingestion flow the round-1 verdict flagged."""
+    root = str(tmp_path / "db")
+    db = Database(spark, root)
+    col = db.create_collection("docs", dimension=4)
+    col.upsert([{"id": 1, "vector": [1.0, 0.0, 0.0, 0.0], "tag": "x"},
+                {"id": 2, "vector": [0.0, 1.0, 0.0, 0.0], "tag": "y"}])
+    col.delete([2])
+    col.upsert([{"id": 3, "vector": [0.9, 0.1, 0.0, 0.0], "tag": "z"}])
+    # reopen WITHOUT flush: the log alone reconstructs state
+    db2 = Database.open(spark, root)
+    col2 = db2.get_collection("docs")
+    assert {r["id"] for r in col2.df.collect()} == {1, 3}
+    top = col2.search([1.0, 0.0, 0.0, 0.0], k=1).collect()
+    assert top[0]["id"] == 1
+    # flush = compaction; reopen again, same data, empty log
+    col2.flush()
+    db3 = Database.open(spark, root)
+    assert {r["id"] for r in db3.get_collection("docs").df.collect()} == {1, 3}
+    m = json.load(open(os.path.join(root, "docs", "points_log",
+                                    "MANIFEST.json")))
+    assert m["segments"] == []
+
+
+def test_collection_in_memory_unchanged(spark):
+    """No path → the in-memory union CRUD keeps its old behavior."""
+    col = Collection(spark, "mem", dimension=2)
+    col.upsert([{"id": 1, "vector": [1.0, 0.0]}])
+    col.upsert([{"id": 1, "vector": [0.0, 1.0]}])
+    assert col.store is None
+    rows = col.df.collect()
+    assert len(rows) == 1 and rows[0]["vector"] == [0.0, 1.0]

@@ -47,6 +47,18 @@ class Collection:
         self._df = df
         self._edges = edges
         self._bm25: Optional[Bm25Index] = None
+        # durable log-structured store (storage.py): source of truth when a
+        # path is given and no explicit in-memory frame overrides it. A
+        # legacy flat `points/` parquet dir (pre-log layout) keeps the old
+        # in-memory + overwrite-flush behavior.
+        self.store = None
+        if path and df is None and not os.path.isdir(os.path.join(path, "points")):
+            from velesdb_spark.storage import LogStore
+
+            self.store = LogStore(spark, os.path.join(path, "points_log"),
+                                  id_col=id_col)
+            if self.store.exists():
+                self._df = self.store.read()
 
     # ------------------------------------------------------------ data
     @property
@@ -72,7 +84,12 @@ class Collection:
             if bad:
                 raise ValueError(
                     f"vector dimension mismatch (expected {self.dimension})")
-        if self._df is None:
+        if self.store is not None:
+            # durable path: append an immutable log segment, commit the
+            # manifest, re-resolve the read view (read-your-writes)
+            self.store.append_upsert(new)
+            self._df = self.store.read()
+        elif self._df is None:
             self._df = new
         else:
             # last-writer-wins by id: new batch shadows old rows
@@ -84,7 +101,13 @@ class Collection:
     upsert_bulk = upsert
 
     def delete(self, ids: Sequence[int]) -> "Collection":
-        self._df = self.df.filter(~F.col(self.id_col).isin([int(i) for i in ids]))
+        if self.store is not None:
+            # durable path: tombstone log segment
+            self.store.append_delete(ids)
+            self._df = self.store.read()
+        else:
+            self._df = self.df.filter(
+                ~F.col(self.id_col).isin([int(i) for i in ids]))
         self._bm25 = None
         return self
 
@@ -148,7 +171,16 @@ class Collection:
         return self
 
     def flush(self) -> "Collection":
-        if self.path:
+        """Durable store: snapshot compaction (log folds into a new
+        snapshot version, log truncates — log_payload.rs:316-363). Legacy
+        path: full overwrite of the flat points dir."""
+        if self.store is not None:
+            self.store.compact()
+            self._df = self.store.read()
+            if self._edges is not None and self.path:
+                self._edges.write.mode("overwrite").parquet(
+                    os.path.join(self.path, "edges"))
+        elif self.path:
             self.df.write.mode("overwrite").parquet(os.path.join(self.path, "points"))
             if self._edges is not None:
                 self._edges.write.mode("overwrite").parquet(os.path.join(self.path, "edges"))
@@ -493,14 +525,20 @@ class Database:
         db = cls(spark, path)
         if path and os.path.isdir(path):
             for name in os.listdir(path):
-                pdir = os.path.join(path, name, "points")
-                if os.path.isdir(pdir):
-                    df = spark.read.parquet(pdir)
-                    edir = os.path.join(path, name, "edges")
-                    edges = spark.read.parquet(edir) if os.path.isdir(edir) else None
+                cdir = os.path.join(path, name)
+                edir = os.path.join(cdir, "edges")
+                edges = spark.read.parquet(edir) if os.path.isdir(edir) else None
+                if os.path.exists(os.path.join(cdir, "points_log",
+                                               "MANIFEST.json")):
+                    # durable log-structured layout: the Collection's store
+                    # resolves the read view from the manifest
+                    col = Collection(spark, name, path=cdir)
+                    col._edges = edges
+                    db.collections[name] = col
+                elif os.path.isdir(os.path.join(cdir, "points")):
+                    df = spark.read.parquet(os.path.join(cdir, "points"))
                     db.collections[name] = Collection(
-                        spark, name, df=df, edges=edges,
-                        path=os.path.join(path, name))
+                        spark, name, df=df, edges=edges, path=cdir)
         return db
 
     def create_collection(self, name: str, dimension: Optional[int] = None,
