@@ -659,23 +659,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("avg_wlen", 6).alias("avg_wlen"),
             F.round("sw_ratio", 6).alias("sw_ratio"))
 
-    # multimodal plumbing end-to-end: documents' bytes as opaque media
-    # content → Arrow-batched mapInPandas decode (deterministic md5 fake —
-    # real decoders plug in via register_decoder) → 16-dim features. The
-    # md5 fake makes even the stubbed decode value-checkable in DuckDB.
+    # multimodal end-to-end, BOTH decode paths in one gated query:
+    # - 'image': documents' bytes as opaque content → md5-fake fallback
+    #   (the compressed-format stand-in), value-checked in DuckDB
+    # - 'audio': REAL pure-NumPy WAV decode (multimodal/media.py
+    #   decode_wav) over deterministically synthesized PCM16 — the sample
+    #   formula is integer arithmetic, so DuckDB reproduces the decoded
+    #   features exactly. Arrow-batched mapInPandas either way.
     def _media_features(s, d):
-        from velesdb_spark.multimodal.media import decode_and_featurize
+        from velesdb_spark.multimodal.media import (decode_and_featurize,
+                                                    synth_wav_col)
 
-        media = _t(s, d, "documents").select(
+        docs = _t(s, d, "documents")
+        img = docs.select(
             F.col("doc_id").alias("id"), F.lit("image").alias("modality"),
             F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"))
-        feats = decode_and_featurize(media)
-        return feats.select(
-            F.col("id").alias("doc_id"),
+        wav = docs.select(
+            F.col("doc_id").alias("id"), F.lit("audio").alias("modality"),
+            synth_wav_col(F.col("doc_id")).alias("content"))
+        imgf = decode_and_featurize(img).select(
+            F.lit("image").alias("modality"), F.col("id").alias("doc_id"),
             F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
             F.round(F.col("feature")[7].cast("double"), 6).alias("f7"),
             F.round(F.col("feature")[15].cast("double"), 6).alias("f15"),
             "n_bytes")
+        # sketch features scale back to raw PCM units (×32768): the values
+        # are then small integers, so cross-engine round() has no ties
+        wavf = decode_and_featurize(wav).select(
+            F.lit("audio").alias("modality"), F.col("id").alias("doc_id"),
+            F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
+            F.round((F.col("feature")[7] * 32768).cast("double"), 6).alias("f7"),
+            F.round((F.col("feature")[15] * 32768).cast("double"), 6).alias("f15"),
+            "n_bytes")
+        return imgf.unionByName(wavf)
 
     q["media_features"] = _media_features
 
@@ -1498,9 +1514,20 @@ WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
                 f"{2 * i - 1}, 2)) AS INT) / CAST(255.0 AS DOUBLE) AS FLOAT) "
                 f"AS DOUBLE), 6)")
 
+    # image branch: md5-fake features; audio branch: the REAL WAV decoder's
+    # output reproduced from the synth sample formula
+    # sample[i] = (doc_id*31 + i*7) % 2003 - 1001 (n=64, stride 7 sketch:
+    # feature[7] = sample[0], feature[15] = sample[56]; 44B header + 128B
+    # PCM16 data = 172 bytes)
     o["media_features"] = f"""
-SELECT doc_id, {_hexb(1)} AS f0, {_hexb(8)} AS f7, {_hexb(16)} AS f15,
-       strlen(coalesce(text, '')) AS n_bytes
+SELECT 'image' AS modality, doc_id, {_hexb(1)} AS f0, {_hexb(8)} AS f7,
+       {_hexb(16)} AS f15, strlen(coalesce(text, '')) AS n_bytes
+FROM documents
+UNION ALL
+SELECT 'audio', doc_id, 64.0,
+       CAST((doc_id * 31) % 2003 - 1001 AS DOUBLE),
+       CAST((doc_id * 31 + 392) % 2003 - 1001 AS DOUBLE),
+       172
 FROM documents"""
 
     words_raw = _DK_WORDS.format(c="lower(text)")

@@ -2,18 +2,25 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch shapes)
-is real and tested; the actual media decode is STUBBED behind
-``DECODERS`` because image/audio libraries are not available in this
-container — swap in PIL/torchaudio/decord implementations by registering a
-decoder. A deterministic fake decoder is provided so pipelines are testable
-end-to-end.
+is real and tested. Decode: REAL pure-NumPy decoders for the uncompressed
+public formats this container can handle without media libraries — BMP
+(8/24-bpp) and WAV (PCM16) — dispatched by magic bytes; compressed formats
+(png/jpeg/mp4) fall back to a deterministic md5 fake so pipelines stay
+testable end-to-end. Swap in PIL/torchaudio/decord implementations by
+registering a decoder.
 """
 
 from velesdb_spark.multimodal.media import (  # noqa: F401
     MEDIA_SCHEMA,
+    audio_decoder,
     decode_and_featurize,
+    decode_bmp,
+    decode_wav,
     fake_image_decoder,
     frame_sample,
+    image_decoder,
     media_table,
     register_decoder,
+    synth_wav,
+    synth_wav_col,
 )
