@@ -212,6 +212,31 @@ def test_traverse_dfs_max_visited_guard(spark):
     assert {r["target_id"] for r in got} == set(range(1, 41))
 
 
+def test_bfs_skew_salting_powerlaw(spark):
+    """Power-law graph: salted expansion returns identical results to the
+    plain plan, the salt key reaches the join, and the literal-start path
+    broadcasts the frontier (edges never shuffle)."""
+    from velesdb_spark.operators.graph import bfs
+
+    # hub 0 → 1..500 (heavy key), plus a chain 1→501→502 for depth-2 rows
+    edges = [(i, 0, i, "E") for i in range(1, 501)]
+    edges += [(1001, 1, 501, "E"), (1002, 501, 502, "E")]
+    edf = spark.createDataFrame(edges, "id bigint, src bigint, dst bigint, label string")
+
+    plain = {(r.start_id, r.node_id, r.depth)
+             for r in bfs(edf, [0, 1], 1, 2).collect()}
+    salted = {(r.start_id, r.node_id, r.depth)
+              for r in bfs(edf, [0, 1], 1, 2, salt=4).collect()}
+    assert salted == plain and len(plain) > 500
+
+    salted_plan = bfs(edf, [0, 1], 1, 2, salt=4) \
+        ._jdf.queryExecution().toString()
+    assert "_bfs_salt" in salted_plan
+    plain_plan = bfs(edf, [0, 1], 1, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plain_plan
+
+
 def test_graph_schema_validation(spark):
     """schema.rs strict/schemaless: per-item validate calls + the
     distributed violations pass."""

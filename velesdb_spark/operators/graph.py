@@ -41,36 +41,68 @@ DEFAULT_MATCH_LIMIT = 100  # match_exec.rs:110
 
 
 def _step(frontier: DataFrame, edges: DataFrame, direction: str,
-          rel_types: Sequence[str], cur: str = "_cur") -> DataFrame:
-    """One hop: frontier(_cur, ...) ⋈ edges → next nodes in ``_next``."""
+          rel_types: Sequence[str], cur: str = "_cur",
+          salt: int = 0, broadcast_frontier: bool = False) -> DataFrame:
+    """One hop: frontier(_cur, ...) ⋈ edges → next nodes in ``_next``.
+
+    Skew story for power-law graphs (a hub's edge list lands on one shuffle
+    key), three mitigations layered:
+    - AQE skew-join (session default) splits oversized partitions at runtime
+    - ``broadcast_frontier``: hint the (typically tiny) frontier as the
+      build side — the edge table never shuffles at all, so hub skew is
+      moot; the right choice for explicit start lists
+    - ``salt=R``: replicate each frontier row R ways and bucket the edge
+      table by xxhash64 of the FAR endpoint % R, deterministically
+      splitting a hub's edges across R tasks — for frontiers too large to
+      broadcast joined against heavy-hub edge tables
+    """
     e = edges
     if rel_types:
         e = e.filter(F.col("label").isin(list(rel_types)))
+    fr = frontier
+    if salt > 1:
+        fr = frontier.withColumn(
+            "_bfs_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    elif broadcast_frontier:
+        fr = F.broadcast(frontier)
+    on = [cur, "_bfs_salt"] if salt > 1 else cur
+
+    def side(key: str, far: str) -> DataFrame:
+        sel = e.select(F.col(key).alias(cur), F.col(far).alias("_next"))
+        if salt > 1:
+            sel = sel.withColumn(
+                "_bfs_salt",
+                F.pmod(F.xxhash64(F.col("_next")), F.lit(salt)).cast("int"))
+        return fr.join(sel, on=on, how="inner")
+
     outs = []
     if direction in ("out", "both"):
-        outs.append(
-            frontier.join(e.select(F.col("src").alias(cur), F.col("dst").alias("_next")),
-                          on=cur, how="inner"))
+        outs.append(side("src", "dst"))
     if direction in ("in", "both"):
-        outs.append(
-            frontier.join(e.select(F.col("dst").alias(cur), F.col("src").alias("_next")),
-                          on=cur, how="inner"))
+        outs.append(side("dst", "src"))
     nxt = outs[0]
     for o in outs[1:]:
         nxt = nxt.union(o)
-    return nxt
+    return nxt.drop("_bfs_salt") if salt > 1 else nxt
 
 
 def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
         min_depth: int = 1, max_depth: int = DEFAULT_MAX_DEPTH,
-        rel_types: Sequence[str] = (), direction: str = "out") -> DataFrame:
+        rel_types: Sequence[str] = (), direction: str = "out",
+        salt: int = 0) -> DataFrame:
     """Multi-source BFS → (start_id, node_id, depth).
 
     Visited-set semantics per start: each node appears once, at its minimum
     depth; start nodes excluded (streaming.rs BfsIterator). ``start_ids`` may
     be a DataFrame with column ``start_id`` or a Python sequence.
+
+    ``salt=R`` splits hub-key edge lists across R tasks in every expansion
+    (see _step); with the default 0, explicit start lists broadcast the
+    frontier (no edge shuffle) and AQE handles residual skew.
     """
     max_depth = min(max_depth, SAFETY_DEPTH_CAP)
+    literal_starts = not isinstance(start_ids, DataFrame)
+    bcast = literal_starts and salt <= 1
     if isinstance(start_ids, DataFrame):
         starts = start_ids.select(F.col("start_id").cast("long"))
     else:
@@ -87,7 +119,9 @@ def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
         frontier = starts.select("start_id", F.col("start_id").alias("_cur"))
         levels = []
         for depth in range(1, max_depth + 1):
-            nxt = _step(frontier, edges, direction, rel_types).select(
+            nxt = _step(frontier, edges, direction, rel_types,
+                        salt=salt,
+                        broadcast_frontier=bcast and depth == 1).select(
                 "start_id", F.col("_next").alias("_node")).distinct()
             levels.append(nxt.withColumn("depth", F.lit(depth)))
             frontier = nxt.select("start_id", F.col("_node").alias("_cur"))
@@ -105,7 +139,8 @@ def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
     reached: Optional[DataFrame] = None
     visited = starts.select("start_id", F.col("start_id").alias("_node"))
     for depth in range(1, max_depth + 1):
-        nxt = _step(frontier, edges, direction, rel_types).select(
+        nxt = _step(frontier, edges, direction, rel_types,
+                    salt=salt, broadcast_frontier=bcast and depth == 1).select(
             "start_id", F.col("_next").alias("_node")).distinct()
         # drop already-visited (per start)
         nxt = nxt.join(visited, on=["start_id", "_node"], how="left_anti")
