@@ -158,6 +158,34 @@ def test_match_directions():
     assert q2.rels[0].direction == "both"
 
 
+def test_exists_parses():
+    q = parse("SELECT c_custkey FROM customer AS c WHERE EXISTS "
+              "(SELECT o_orderkey FROM orders AS o WHERE o.o_custkey = "
+              "c.c_custkey) OR c_acctbal > 0.0")
+    top = q.where
+    assert isinstance(top, ast.Or)
+    ex = top.conditions[0]
+    assert isinstance(ex, ast.Exists)
+    assert ex.stmt.table == "orders" and ex.stmt.table_alias == "o"
+    # NOT EXISTS wraps naturally
+    q2 = parse("SELECT x FROM t WHERE NOT EXISTS (SELECT y FROM u)")
+    assert isinstance(q2.where, ast.Not)
+    assert isinstance(q2.where.condition, ast.Exists)
+
+
+def test_lhs_scalar_subquery_parses():
+    q = parse("SELECT c_custkey FROM customer AS c WHERE "
+              "(SELECT COUNT(*) FROM orders AS o WHERE o.o_custkey = "
+              "c.c_custkey) = 0")
+    sc = q.where
+    assert isinstance(sc, ast.SubqueryCompare)
+    assert sc.op == "=" and sc.value == 0
+    assert sc.sub.stmt.columns[0].func == "count"
+    # parenthesized plain conditions still parse as grouping
+    q2 = parse("SELECT a FROM t WHERE (b > 1 OR c < 2) AND d = 3")
+    assert isinstance(q2.where, ast.And)
+
+
 def test_errors():
     with pytest.raises(VelesQLSyntaxError):
         parse("SELECT FROM t")

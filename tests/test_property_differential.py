@@ -145,7 +145,7 @@ def test_groupby_having_differential(data, catalog, oracle_con):
 @pytest.fixture(scope="module")
 def oracle_con2():
     con = duckdb.connect()
-    for t in ("nation", "supplier", "customer"):
+    for t in ("nation", "supplier", "customer", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 
@@ -315,3 +315,42 @@ def test_filter_dict_differential(data, catalog, oracle_con):
     want = sorted(r[0] for r in oracle_con.execute(
         f"SELECT o_orderkey FROM orders WHERE {sql_pred}").fetchall())
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_correlated_subquery_differential(data, catalog, oracle_con2):
+    """Random correlated EXISTS / NOT EXISTS / correlated-scalar shapes vs
+    DuckDB — the decorrelation must agree for arbitrary inner predicates
+    and comparison operators."""
+    shape = data.draw(st.sampled_from(["exists", "not_exists", "scalar",
+                                       "count_lhs"]))
+    thr = data.draw(st.integers(min_value=0, max_value=400000))
+    if shape in ("exists", "not_exists"):
+        neg = "NOT " if shape == "not_exists" else ""
+        inner_op = data.draw(st.sampled_from([">", "<", ">=", "="]))
+        sql = (f"SELECT c_custkey FROM customer AS c WHERE {neg}EXISTS "
+               f"(SELECT o_orderkey FROM orders AS o WHERE o.o_custkey = "
+               f"c.c_custkey AND o_totalprice {inner_op} {thr}.0) "
+               f"ORDER BY c_custkey LIMIT 100000")
+        oracle = sql.replace("LIMIT 100000", "")
+    elif shape == "scalar":
+        agg = data.draw(st.sampled_from(["AVG", "MIN", "MAX", "SUM"]))
+        op = data.draw(st.sampled_from([">", "<", ">=", "<="]))
+        sql = (f"SELECT o_orderkey FROM orders AS o WHERE o_totalprice {op} "
+               f"(SELECT {agg}(o_totalprice) FROM orders AS o2 "
+               f"WHERE o2.o_custkey = o.o_custkey) "
+               f"ORDER BY o_orderkey LIMIT 100000")
+        oracle = sql.replace("o_orderkey LIMIT 100000", "o_orderkey")
+    else:
+        cmp_n = data.draw(st.integers(min_value=0, max_value=3))
+        op = data.draw(st.sampled_from(["=", ">", "<="]))
+        sql = (f"SELECT c_custkey FROM customer AS c WHERE "
+               f"(SELECT COUNT(*) FROM orders AS o WHERE o.o_custkey = "
+               f"c.c_custkey AND o_totalprice > {thr}.0) {op} {cmp_n} "
+               f"ORDER BY c_custkey LIMIT 100000")
+        oracle = sql.replace("LIMIT 100000", "")
+    got = [r[0] for r in translate(sql, catalog).collect()]
+    want = [r[0] for r in oracle_con2.execute(oracle).fetchall()]
+    assert got == want, f"sql: {sql}"

@@ -91,6 +91,29 @@ def test_collection_durable_crud_survives_reopen(spark, tmp_path):
     assert m["segments"] == []
 
 
+def test_collection_durable_edges(spark, tmp_path):
+    """Graph edge CRUD routes through its own log store: add/remove
+    survive reopen; flush compacts the edge log too."""
+    root = str(tmp_path / "db")
+    db = Database(spark, root)
+    col = db.create_collection("g", dimension=2)
+    col.upsert([{"id": 1, "vector": [1.0, 0.0]},
+                {"id": 2, "vector": [0.0, 1.0]}])
+    col.add_edges([{"id": 10, "src": 1, "dst": 2, "label": "E"},
+                   {"id": 11, "src": 2, "dst": 1, "label": "E"}])
+    col.remove_edge(11)
+    db2 = Database.open(spark, root)
+    col2 = db2.get_collection("g")
+    assert {r["id"] for r in col2.edges.collect()} == {10}
+    got = col2.traverse_bfs(1, max_depth=1).collect()
+    assert {r.node_id for r in got} == {2}
+    col2.flush()
+    m = json.load(open(os.path.join(root, "g", "edges_log", "MANIFEST.json")))
+    assert m["segments"] == []
+    db3 = Database.open(spark, root)
+    assert {r["id"] for r in db3.get_collection("g").edges.collect()} == {10}
+
+
 def test_collection_in_memory_unchanged(spark):
     """No path → the in-memory union CRUD keeps its old behavior."""
     col = Collection(spark, "mem", dimension=2)

@@ -70,12 +70,15 @@ def main():
         base.update(kw)
         records[name] = base
 
+    from velesdb_spark.functions.dedup import release_staged
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = [c.lower() for c in sdf.columns]
+            release_staged()  # free any shingle caches the query persisted
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)

@@ -52,6 +52,7 @@ class Collection:
         # legacy flat `points/` parquet dir (pre-log layout) keeps the old
         # in-memory + overwrite-flush behavior.
         self.store = None
+        self.edge_store = None
         if path and df is None and not os.path.isdir(os.path.join(path, "points")):
             from velesdb_spark.storage import LogStore
 
@@ -59,6 +60,10 @@ class Collection:
                                   id_col=id_col)
             if self.store.exists():
                 self._df = self.store.read()
+            self.edge_store = LogStore(
+                spark, os.path.join(path, "edges_log"), id_col="id")
+            if edges is None and self.edge_store.exists():
+                self._edges = self.edge_store.read()
 
     # ------------------------------------------------------------ data
     @property
@@ -177,7 +182,10 @@ class Collection:
         if self.store is not None:
             self.store.compact()
             self._df = self.store.read()
-            if self._edges is not None and self.path:
+            if self.edge_store is not None and self.edge_store.exists():
+                self.edge_store.compact()
+                self._edges = self.edge_store.read()
+            elif self._edges is not None and self.path:
                 self._edges.write.mode("overwrite").parquet(
                     os.path.join(self.path, "edges"))
         elif self.path:
@@ -351,8 +359,15 @@ class Collection:
     # ------------------------------------------------------------ graph
     def add_edges(self, edges: DataFrame | Sequence[dict]) -> "Collection":
         new = edges if isinstance(edges, DataFrame) else self.spark.createDataFrame(edges)
-        self._edges = new if self._edges is None else \
-            self._edges.unionByName(new, allowMissingColumns=True)
+        use_store = self.edge_store is not None and (
+            self._edges is None or self.edge_store.exists())
+        if use_store:
+            # durable edge log (same LWW-by-edge-id store as points)
+            self.edge_store.append_upsert(new)
+            self._edges = self.edge_store.read()
+        else:
+            self._edges = new if self._edges is None else \
+                self._edges.unionByName(new, allowMissingColumns=True)
         return self
 
     def get_outgoing(self, node_id: int, label: Optional[str] = None) -> DataFrame:
@@ -367,7 +382,11 @@ class Collection:
         return self.edges.filter(F.col("label") == label)
 
     def remove_edge(self, edge_id: int) -> "Collection":
-        self._edges = self.edges.filter(F.col("id") != int(edge_id))
+        if self.edge_store is not None and self.edge_store.exists():
+            self.edge_store.append_delete([edge_id])
+            self._edges = self.edge_store.read()
+        else:
+            self._edges = self.edges.filter(F.col("id") != int(edge_id))
         return self
 
     def node_degree(self, node_id: int, direction: str = "both") -> int:
@@ -530,10 +549,12 @@ class Database:
                 edges = spark.read.parquet(edir) if os.path.isdir(edir) else None
                 if os.path.exists(os.path.join(cdir, "points_log",
                                                "MANIFEST.json")):
-                    # durable log-structured layout: the Collection's store
-                    # resolves the read view from the manifest
+                    # durable log-structured layout: the Collection's stores
+                    # resolve the read views from their manifests (edge log
+                    # preferred over a legacy flat edges dir)
                     col = Collection(spark, name, path=cdir)
-                    col._edges = edges
+                    if col._edges is None and edges is not None:
+                        col._edges = edges
                     db.collections[name] = col
                 elif os.path.isdir(os.path.join(cdir, "points")):
                     df = spark.read.parquet(os.path.join(cdir, "points"))

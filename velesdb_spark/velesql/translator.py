@@ -532,6 +532,7 @@ class _SearchState:
                     cond.value.stmt, self.outer_aliases)
                 if pairs:
                     return self._correlated_scalar(base, cond, pairs, residual)
+                return self._lazy_scalar(base, cond)
             dtype = dict(base.dtypes).get(cond.column.split(".")[0].split("[")[0])
             val = tr.value(cond.value)
             pred = tr._compare_col(_col(cond.column), cond.op, val, dtype=dtype)
@@ -697,6 +698,26 @@ class _SearchState:
                                    "correlated scalar subquery")
         return base, self._COMPARE_OPS[cond.op](_col(cond.column), scalar)
 
+    def _scalar_join(self, base: DataFrame, stmt: ast.Select) \
+            -> tuple[DataFrame, Column]:
+        """Non-correlated scalar subquery as a LAZY broadcast 1-row left
+        join (keeps explain() side-effect-free and the whole plan
+        distributed; an empty subquery yields a NULL scalar, which matches
+        SQL three-valued comparison semantics under OR/NOT)."""
+        sub = self.tr.select(stmt, apply_default_limit=False)
+        if len(sub.columns) != 1:
+            raise TranslationError("scalar subquery must return one column")
+        tag = self._next("sq")
+        one = F.broadcast(sub.limit(1).withColumnRenamed(sub.columns[0], tag))
+        return base.join(one, F.lit(True), "left"), F.col(tag)
+
+    def _lazy_scalar(self, base: DataFrame, cond: ast.Compare):
+        if cond.op not in self._COMPARE_OPS:
+            raise TranslationError(f"unsupported operator {cond.op!r} on "
+                                   "scalar subquery comparison")
+        base, scalar = self._scalar_join(base, cond.value.stmt)
+        return base, self._COMPARE_OPS[cond.op](_col(cond.column), scalar)
+
     def _subquery_compare(self, base: DataFrame, cond: ast.SubqueryCompare):
         """(SELECT ...) op value with the subquery on the LHS."""
         tr = self.tr
@@ -709,9 +730,9 @@ class _SearchState:
             base, scalar = self._decorrelated_scalar(base, cond.sub.stmt,
                                                      pairs, residual)
             return base, self._COMPARE_OPS[cond.op](scalar, F.lit(rhs))
-        # non-correlated: both sides constants
-        lhs = tr.value(cond.sub)
-        return base, self._COMPARE_OPS[cond.op](F.lit(lhs), F.lit(rhs))
+        # non-correlated: lazy broadcast 1-row join, constant per row
+        base, scalar = self._scalar_join(base, cond.sub.stmt)
+        return base, self._COMPARE_OPS[cond.op](scalar, F.lit(rhs))
 
     def _fused(self, base: DataFrame, cond: ast.VectorFusedSearch):
         tr = self.tr
