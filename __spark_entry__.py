@@ -976,6 +976,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups_brute"] = _emb_dups_brute
 
+    # quantized search paths value-checked end-to-end (quantization.rs
+    # SQ8/Binary): SQ8 round-trips through quantize→dequantize then scores
+    # cosine (the reference's approximate-score mode); binary packs sign
+    # bits into u64 words and scores with XOR+popcount (same result as the
+    # unpacked hamming oracle by construction)
+    def _knn_sq8(s, d):
+        from velesdb_spark.functions.distance import cosine_similarity
+        from velesdb_spark.functions.quantization import (sq8_dequantize,
+                                                          sq8_quantize)
+
+        df = _t(s, d, "embeddings")
+        deq = sq8_dequantize(sq8_quantize(F.col("embedding")))
+        scored = df.withColumn(
+            "score",
+            cosine_similarity(deq, F.array(*[F.lit(float(x)) for x in QV1])))
+        return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+                .select("vec_id", F.round("score", 6).alias("score")))
+
+    q["knn_sq8"] = _knn_sq8
+
+    def _knn_binary_packed(s, d):
+        from velesdb_spark.functions.quantization import (binary_quantize,
+                                                          packed_hamming)
+
+        df = _t(s, d, "embeddings")
+        qv = binary_quantize(F.array(*[F.lit(float(x)) for x in QV2]), 64)
+        scored = df.withColumn(
+            "score",
+            packed_hamming(binary_quantize(F.col("embedding"), 64), qv))
+        return (scored.orderBy(F.asc("score"), F.asc("vec_id")).limit(10)
+                .select("vec_id", F.col("score").cast("long").alias("score")))
+
+    q["knn_binary_packed"] = _knn_binary_packed
+
     # --- merged gate queries -------------------------------------------
     # The driver's correctness gate runs the FIRST 50 queries() entries
     # only (observed in rounds 1-2: both cut at exactly 50). Variant
@@ -1815,6 +1849,29 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+    o["knn_sq8"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+), p AS (
+  SELECT vec_id, embedding, mn,
+         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+  FROM base
+), dq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> mn + round((CAST(x AS DOUBLE) - mn) / scale) * scale) AS deq
+  FROM p
+)
+SELECT vec_id, round(list_cosine_similarity(deq, {_sql_vec(QV1)}), 6) AS score
+FROM dq
+ORDER BY list_cosine_similarity(deq, {_sql_vec(QV1)}) DESC, vec_id LIMIT 10"""
+
+    # packed XOR+popcount hamming == per-dimension sign-mismatch count
+    o["knn_binary_packed"] = o["knn_hamming"]
 
     # --- merged gate oracles (tagged unions of the component oracles) --
     o["outer_joins"] = " UNION ALL ".join(
