@@ -642,6 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id")) \
         .select(F.col("id").alias("doc_id"), "cluster_id")
 
+    # keep/drop decision layer over the pair generator: every near-dup
+    # except its component's min-id representative is dropped (left_anti)
+    q["dedup_keep_reps"] = lambda s, d: dd.dedup_keep_representatives(
+        _t(s, d, "documents").select("doc_id"),
+        dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id"),
+        "doc_id").orderBy("doc_id")
+
     q["minhash_first_hash"] = lambda s, d: dd.minhash_signatures_df(
         _t(s, d, "documents"), "text", "doc_id", 1).select(
             F.col("_id").alias("doc_id"), F.col("_sig")[0].alias("mh0"))
@@ -877,6 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # read_events_stream flips this session-global read conf; batch
             # reads of the same table must see ns timestamps again
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)  # drained → stage gone
         return (s.table(name)
                 .select(F.col("w.start").alias("hour_start"), "event_type", "n"))
 
@@ -1630,6 +1640,12 @@ reach(id, r) AS (
   SELECT e.a, rc.r FROM reach rc JOIN edges e ON e.b = rc.id
 )
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+
+    o["dedup_keep_reps"] = f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({o['dedup_clusters']}) WHERE cluster_id <> doc_id)
+ORDER BY doc_id"""
 
     o["minhash_first_hash"] = f"""
 WITH toks AS (

@@ -577,5 +577,14 @@ class Database:
     def list_collections(self) -> list[str]:
         return sorted(self.collections)
 
-    def drop_collection(self, name: str) -> None:
+    def drop_collection(self, name: str, delete_files: bool = False) -> None:
+        """Remove from the directory; with delete_files=True also remove
+        the on-disk stores (the reference's drop deletes collection files —
+        opt-in here because readers may hold older manifests)."""
         self.collections.pop(name, None)
+        if delete_files and self.path:
+            import shutil
+
+            target = os.path.join(self.path, name)
+            if os.path.isdir(target):
+                shutil.rmtree(target)
