@@ -964,7 +964,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "ORDER BY c_custkey LIMIT 100000") \
             .select(F.lit("count_zero").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
-        return ex.unionByName(nex).unionByName(sc).unionByName(cnt)
+        cin = _vql(s, d,
+                   "SELECT o_orderkey FROM orders AS o WHERE o_orderkey IN "
+                   "(SELECT o_orderkey FROM orders AS o2 WHERE o2.o_custkey "
+                   "= o.o_custkey AND o_totalprice > 200000.0) "
+                   "ORDER BY o_orderkey LIMIT 100000") \
+            .select(F.lit("corr_in").alias("kind"),
+                    F.col("o_orderkey").alias("ckey"))
+        return (ex.unionByName(nex).unionByName(sc).unionByName(cnt)
+                .unionByName(cin))
 
     q["correlated_subquery"] = _correlated
 
@@ -1851,7 +1859,11 @@ SELECT 'scalar', o_orderkey FROM orders o WHERE o_totalprice >
 UNION ALL
 SELECT 'count_zero', c_custkey FROM customer c WHERE
   (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
-   AND o_totalprice > 300000.0) = 0"""
+   AND o_totalprice > 300000.0) = 0
+UNION ALL
+SELECT 'corr_in', o_orderkey FROM orders o WHERE o_orderkey IN
+  (SELECT o_orderkey FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+   AND o_totalprice > 200000.0)"""
 
     o["embedding_near_dups_brute"] = """
 WITH aug AS (

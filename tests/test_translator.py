@@ -244,6 +244,20 @@ def test_correlated_plans_are_hash_joins(catalog):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_correlated_in_subquery(catalog, duck):
+    """x IN (SELECT y FROM t WHERE t.k = outer.k): correlation equalities
+    become extra keys on the membership flag join."""
+    sdf = translate(
+        "SELECT o_orderkey FROM orders AS o WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM orders AS o2 WHERE o2.o_custkey = "
+        "o.o_custkey AND o_totalprice > 200000.0) "
+        "ORDER BY o_orderkey LIMIT 100000", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders o WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM orders o2 WHERE o2.o_custkey = "
+        "o.o_custkey AND o_totalprice > 200000.0) ORDER BY o_orderkey")
+
+
 def test_correlated_unsupported_predicate(catalog):
     """Non-equality correlation is rejected with a clear error."""
     with pytest.raises(TranslationError, match="conjunctive equality"):

@@ -554,11 +554,33 @@ class _SearchState:
         if isinstance(cond, ast.In):
             if isinstance(cond.values, ast.Subquery):
                 # membership subquery as a flag join (semi-join shape that
-                # still composes under OR/NOT; AQE broadcasts small sides)
-                sub = tr.select(cond.values.stmt, apply_default_limit=False)
+                # still composes under OR/NOT; AQE broadcasts small sides).
+                # Correlated IN decorrelates the same way EXISTS does: the
+                # correlation equalities just become extra join keys.
+                stmt = cond.values.stmt
+                pairs, residual = _split_correlation(stmt, self.outer_aliases)
+                flag = self._next("in")
+                if pairs:
+                    inner = self._inner_frame(stmt, residual)
+                    if len(stmt.columns) != 1 or not isinstance(
+                            stmt.columns[0], ast.Column):
+                        raise TranslationError(
+                            "correlated IN subquery must select one column")
+                    keys = [f"{flag}_k{i}" for i in range(len(pairs))]
+                    sel = [F.col(stmt.columns[0].name).alias(flag + "_key")]
+                    sel += [F.col(ic).alias(k)
+                            for k, (_, ic) in zip(keys, pairs)]
+                    subdf = (inner.select(*sel).distinct()
+                             .withColumn(flag, F.lit(True)))
+                    jc = _col(cond.column) == F.col(flag + "_key")
+                    for k, (oc, _) in zip(keys, pairs):
+                        jc = jc & (_col(oc) == F.col(k))
+                    base = base.join(subdf, jc, "left") \
+                        .drop(flag + "_key", *keys)
+                    return base, _never_null(F.col(flag))
+                sub = tr.select(stmt, apply_default_limit=False)
                 if len(sub.columns) != 1:
                     raise TranslationError("IN subquery must return one column")
-                flag = self._next("in")
                 subdf = (sub.distinct()
                          .withColumnRenamed(sub.columns[0], flag + "_key")
                          .withColumn(flag, F.lit(True)))
