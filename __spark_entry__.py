@@ -892,6 +892,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hourly"] = _stream_hourly
 
+    def _stream_dedup(s, d):
+        # REAL streaming dedup: the same events file staged TWICE → every
+        # event arrives in two micro-batches → dropDuplicatesWithinWatermark
+        # (watermark-bounded state) must restore exact uniqueness; the
+        # oracle is the plain batch count. The ingestion-feed dedup shape
+        # for continuous training-data pipelines.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from velesdb_spark.streaming.events import (read_events_stream,
+                                                    streaming_dedup)
+
+        stage = tempfile.mkdtemp(prefix="events_dup_")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events1.parquet")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events2.parquet")
+        prior = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            ev = read_events_stream(s, stage)
+            dedup = streaming_dedup(ev, ["event_id"])
+            name = "stream_dedup_" + uuid.uuid4().hex[:8]
+            qr = (dedup.writeStream.format("memory").queryName(name)
+                  .outputMode("append").trigger(availableNow=True).start())
+            if not qr.awaitTermination(120):
+                qr.stop()
+                raise TimeoutError("stream_dedup drain exceeded 120s")
+        finally:
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            shutil.rmtree(stage, ignore_errors=True)
+        return (s.table(name).groupBy("event_type")
+                .agg(F.count("*").alias("n")).orderBy("event_type"))
+
+    q["stream_dedup"] = _stream_dedup
+
     def _events_sliding(s, d):
         # 1h windows sliding 15min (batch-mode F.window; same op streams
         # with a watermark — streaming/events.py sliding_avg)
@@ -1811,6 +1846,10 @@ FROM b GROUP BY 1 ORDER BY 1"""
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2"""
+
+    o["stream_dedup"] = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type"""
 
     # each event falls in exactly 4 sliding windows (1h span / 15min slide)
     o["events_sliding"] = """

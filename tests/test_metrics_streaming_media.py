@@ -119,6 +119,33 @@ def test_running_user_counts_stateful(spark, tmp_path):
     q.stop()
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate deliveries across micro-batches collapse to one row per
+    key; watermark bounds the dedup state."""
+    from velesdb_spark.streaming import events as ev
+
+    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 3, "click", 1.0, "{}")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    df.coalesce(1).write.parquet(str(tmp_path / "f2"))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    import os
+    for i, src in enumerate(["f1", "f2"]):
+        for f in os.listdir(tmp_path / src):
+            if f.endswith(".parquet"):
+                os.symlink(tmp_path / src / f, stage / f"{i}_{f}")
+    stream = ev.read_events_stream(spark, str(stage))
+    dd = ev.streaming_dedup(stream, ["event_id"])
+    ev.run_to_memory(dd, "t_stream_dedup", mode="append")
+    got = spark.table("t_stream_dedup").collect()
+    assert len(got) == 20
+    assert sorted(r.event_id for r in got) == list(range(20))
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_media_decode_plumbing(spark):

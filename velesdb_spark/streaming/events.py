@@ -14,6 +14,8 @@ Patterns:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -118,6 +120,18 @@ def running_user_counts(events: DataFrame) -> DataFrame:
             update, RUNNING_OUT_SCHEMA, RUNNING_STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
     )
+
+
+def streaming_dedup(stream: DataFrame, keys: Sequence[str],
+                    watermark_col: str = "ts",
+                    watermark: str = "90 days") -> DataFrame:
+    """Streaming exact dedup: emit the first arrival per key, drop
+    re-deliveries within the watermark horizon
+    (dropDuplicatesWithinWatermark — state is bounded by the watermark
+    instead of growing forever, the property that matters on an unbounded
+    100 TB ingest feed). Batch equivalent: dropDuplicates(keys)."""
+    return (stream.withWatermark(watermark_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
 
 
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update",
