@@ -596,23 +596,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (seeded hyperplanes), so cross-round drift would surface as a
     # value-hash change in the rows-only record.
     def _ann_recall(s, d):
-        from velesdb_spark.functions.similarity import LshIndex
+        # BOTH approximate scale paths against engine-exact ground truth
+        from velesdb_spark.functions.similarity import IvfIndex, LshIndex
         from velesdb_spark.metrics import evaluate_knn_recall
 
+        from velesdb_spark.operators.topk import knn_batch
+
         emb = _t(s, d, "embeddings")
-        idx = LshIndex(emb, "embedding", "vec_id", nbits=6)
-        qs_ = [(0, QV1), (1, QV2), (2, QV3)]
-        approx = None
-        for qid, v in qs_:
-            part = idx.search(v, 10, multiprobe=5) \
-                .select(F.lit(qid).alias("qid"), "vec_id", "score")
-            approx = part if approx is None else approx.unionByName(part)
-        per_q = evaluate_knn_recall(emb, approx, qs_, 10,
-                                    "cosine", "embedding", "vec_id")
-        return per_q.select(
-            "qid", F.round("recall", 6).alias("recall"),
-            F.round("precision", 6).alias("precision"),
-            F.round("mrr", 6).alias("mrr")).orderBy("qid")
+        qs_ = [(0, QV1), (1, QV2)]
+        # dim passed explicitly: skips the .first() dim-inference job
+        lsh = LshIndex(emb, "embedding", "vec_id", nbits=6, dim=len(QV1))
+        # max_iter=2: centroids only shape the lists; exact re-rank inside
+        # probed lists sets precision. Persist the assignment so both
+        # searches reuse one k-means pass.
+        ivf = IvfIndex(emb, "embedding", "vec_id", n_centroids=8, max_iter=2)
+        ivf.assigned = ivf.assigned.persist()
+        # one exact ground-truth pass shared by both method evaluations
+        exact = knn_batch(emb, qs_, 10, "cosine", "embedding", "vec_id") \
+            .select("qid", F.col("vec_id").alias("id")).persist()
+        out = None
+        for method, search in (
+                ("lsh", lambda v: lsh.search(v, 10, multiprobe=5)),
+                ("ivf", lambda v: ivf.search(v, 10, nprobe=3))):
+            approx = None
+            for qid, v in qs_:
+                part = search(v) \
+                    .select(F.lit(qid).alias("qid"), "vec_id", "score")
+                approx = part if approx is None else approx.unionByName(part)
+            per_q = evaluate_knn_recall(emb, approx, qs_, 10,
+                                        "cosine", "embedding", "vec_id",
+                                        exact=exact) \
+                .select(F.lit(method).alias("method"), "qid",
+                        F.round("recall", 6).alias("recall"),
+                        F.round("precision", 6).alias("precision"),
+                        F.round("mrr", 6).alias("mrr"))
+            out = per_q if out is None else out.unionByName(per_q)
+        return out.orderBy("method", "qid")
 
     q["ann_recall_eval"] = _ann_recall
 

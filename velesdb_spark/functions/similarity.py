@@ -140,28 +140,47 @@ class LshIndex:
         return idx
 
 
+def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """JVM-side argmin over centroids: squared-L2 reduces to
+    -2·x·c + ||c||² (the ||x||² term is constant per row). One dot product
+    per centroid, all inside whole-stage codegen — no Python per row."""
+    scores = []
+    for c in centroids:
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scores.append(-2.0 * dot + float(c @ c))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
 class IvfIndex:
-    """Inverted-file ANN: k-means centroids, probe nprobe nearest lists."""
+    """Inverted-file ANN (FAISS IVF-flat shape): centroids trained by seeded
+    k-means on a bounded driver-side sample, list assignment as a JVM argmin
+    expression, probe re-ranks exactly inside the nprobe nearest lists.
+
+    Scale: training collects at most ``train_sample`` vectors (chosen by a
+    deterministic hash top-k — a partial top-k scan, no full sort), so the
+    k-means cost is constant in table size; assignment is one narrow
+    codegen'd map over the full table. At 100 TB only the assignment scan
+    grows, and it is embarrassingly parallel.
+    """
 
     def __init__(self, df: DataFrame, vector_col: str = "embedding",
                  id_col: str = "id", n_centroids: int = 16, seed: int = LSH_SEED,
-                 max_iter: int = 8):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
+                 max_iter: int = 8, train_sample: int = 4096):
         self.vector_col = vector_col
         self.id_col = id_col
-        feats = df.withColumn("_feat", array_to_vector(
-            F.transform(F.col(vector_col), lambda x: x.cast("double"))))
-        # few iterations suffice: centroids only shape the lists, exact
-        # re-rank inside probed lists sets precision
-        km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat",
-                    predictionCol="_list", maxIter=max_iter)
-        self.model = km.fit(feats)
-        self.assigned = self.model.transform(feats).drop("_feat")
-        self.centroids = np.array([
-            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-            for c in self.model.clusterCenters()])
+        # deterministic sample: top train_sample rows by xxhash64(id) —
+        # TakeOrderedAndProject, not a full sort
+        sample = (df.select(F.col(vector_col).alias("_v"),
+                            F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+                  .orderBy("_h").limit(train_sample).collect())
+        pts = np.array([r["_v"] for r in sample], dtype=float)
+        self.centroids = _kmeans_np(pts, n_centroids, seed, max_iter)
+        self.assigned = df.withColumn(
+            "_list", _nearest_centroid_expr(F.col(vector_col), self.centroids))
 
     def search(self, q: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         qa = np.asarray(q, dtype=float)
@@ -172,6 +191,55 @@ class IvfIndex:
             "score", cosine_similarity(F.col(self.vector_col), vector_lit(q)))
         return (scored.orderBy(F.desc("score"), F.asc(self.id_col)).limit(k)
                 .drop("_list"))
+
+    def save(self, path: str) -> str:
+        """Write lists partitioned by ``_list`` (a probe reads only its
+        lists' files) plus the centroid table alongside."""
+        self.assigned.write.mode("overwrite").partitionBy("_list") \
+            .parquet(path + "/lists")
+        spark = self.assigned.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "list_id INT, centroid ARRAY<DOUBLE>")
+        cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        return path
+
+    @classmethod
+    def load(cls, spark, path: str, vector_col: str = "embedding",
+             id_col: str = "id") -> "IvfIndex":
+        idx = cls.__new__(cls)
+        idx.vector_col = vector_col
+        idx.id_col = id_col
+        cent = sorted(spark.read.parquet(path + "/centroids").collect(),
+                      key=lambda r: r["list_id"])
+        idx.centroids = np.array([r["centroid"] for r in cent])
+        idx.assigned = spark.read.parquet(path + "/lists")
+        return idx
+
+
+def _kmeans_np(pts: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded Lloyd's k-means over an in-memory sample (k-means++-lite init:
+    farthest-point from a seeded start). Deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(pts))
+    # farthest-point init from a seeded random start
+    first = int(rng.integers(len(pts)))
+    cents = [pts[first]]
+    d2 = np.full(len(pts), np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((pts - cents[-1]) ** 2).sum(axis=1))
+        cents.append(pts[int(np.argmax(d2))])
+    cents = np.array(cents)
+    for _ in range(max_iter):
+        # assign: (n, k) squared distances via ||x||²-2x·c+||c||²
+        d = (pts ** 2).sum(1)[:, None] - 2 * pts @ cents.T + (cents ** 2).sum(1)
+        lab = d.argmin(axis=1)
+        new = np.array([pts[lab == j].mean(axis=0) if (lab == j).any()
+                        else cents[j] for j in range(k)])
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
 
 
 def cosine_topk_join(left: DataFrame, right: DataFrame, k: int,

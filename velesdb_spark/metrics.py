@@ -129,15 +129,18 @@ def ndcg_binary_df(results: DataFrame, truth: DataFrame, k: int,
 def evaluate_knn_recall(df: DataFrame, approx_results: DataFrame,
                         queries: list[tuple[int, list[float]]], k: int,
                         metric: str = "cosine", vector_col: str = "embedding",
-                        id_col: str = "id") -> DataFrame:
+                        id_col: str = "id",
+                        exact: DataFrame | None = None) -> DataFrame:
     """Recall of an ANN result set against exact ground truth computed by the
-    engine itself (operators/topk.knn_batch)."""
+    engine itself (operators/topk.knn_batch). Pass ``exact`` to reuse one
+    ground-truth computation across several method evaluations."""
     from pyspark.sql import Window
 
     from velesdb_spark.operators.topk import knn_batch
 
-    exact = knn_batch(df, queries, k, metric, vector_col, id_col) \
-        .select("qid", F.col(id_col).alias("id"))
+    if exact is None:
+        exact = knn_batch(df, queries, k, metric, vector_col, id_col) \
+            .select("qid", F.col(id_col).alias("id"))
     # (score, id) tie-break — ties would otherwise get nondeterministic
     # ranks and make MRR vary between runs
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
