@@ -645,6 +645,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = _ann_ivf
 
+    # IVF top-k similarity JOIN, oracle-gated: each left row probes its
+    # nprobe nearest inverted lists; pairs drop |L|·|R| → ~nprobe/n_lists.
+    # Gated at nprobe == n_centroids where probing degenerates to the
+    # exact brute join, so the whole probe/assign/rank machinery is
+    # value-checked against DuckDB; partial-probe recall is covered by
+    # tests + ann_recall_eval.
+    def _ivf_topk(s, d):
+        from velesdb_spark.functions.similarity import ivf_topk_join
+
+        emb = _t(s, d, "embeddings")
+        return ivf_topk_join(emb.filter(F.col("vec_id") < 8), emb, k=5,
+                             n_centroids=4, nprobe=4,
+                             left_id="vec_id", right_id="vec_id") \
+            .select("vec_id_l", "vec_id_r",
+                    F.round("score", 6).alias("score"), "rank")
+
+    q["ivf_topk"] = _ivf_topk
+
     # --- dedup / text analysis ----------------------------------------
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(
         _t(s, d, "documents"), "text", "doc_id")
@@ -800,6 +818,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("split"))
 
     q["train_split"] = _train_split
+
+    # sequence packing (training-batch assembly): closed-form offset
+    # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
+    # shards, one window per shard, no sequential pass (packing.py)
+    def _seq_packing(s, d):
+        from velesdb_spark.functions.packing import pack_sequences
+
+        return pack_sequences(_t(s, d, "documents"), budget=256,
+                              text_col="text", id_col="doc_id",
+                              n_shards=4, shard_hash="md5") \
+            .select("shard", "doc_id", "n_tokens", "tok_start", "pack_id")
+
+    q["seq_packing"] = _seq_packing
+
+    # cross-document repeated-span removal (Lee et al. block-hash shape):
+    # keep the first (doc,pos) occurrence of every 10-token block across
+    # the corpus, reassemble docs from surviving spans (packing.py)
+    def _span_dedup(s, d):
+        from velesdb_spark.functions.packing import dedup_spans
+
+        return dedup_spans(_t(s, d, "documents"), mode="token_block",
+                           block=10, id_col="doc_id") \
+            .select("doc_id", F.md5("text").alias("text_md5"),
+                    "n_spans", "n_kept")
+
+    q["span_dedup"] = _span_dedup
 
     # --- events / time ------------------------------------------------
     def _events_window(s, d):
@@ -1177,17 +1221,21 @@ _GATE_ORDER = [
     "join_two_dims", "self_join", "join_using", "outer_joins",
     "semi_anti_join", "set_ops", "in_subquery", "correlated_subquery",
     "tpch_q3", "tpch_q5",
-    # vector search
+    # vector search ("ivf_topk" replaced rows-only "ann_methods": same
+    # LSH+IVF machinery, but value-checked against the DuckDB brute join)
     "knn_cosine", "knn_metrics", "near_velesql", "similarity_filters",
-    "near_fused", "batch_knn", "ann_recall_eval", "ann_methods",
+    "near_fused", "batch_knn", "ann_recall_eval", "ivf_topk",
     # text search
     "bm25_index_topk", "match_predicate", "hybrid_rrf",
     # graph
     "graph_match_2hop", "graph_bfs", "match_reverse", "hybrid_match_near",
-    # LLM data pipeline
+    # LLM data pipeline ("seq_packing"/"span_dedup" replaced
+    # "content_fingerprint" (its hash machinery is what exact_dedup
+    # groups by) and "top_per_group" (window top-k also gated via
+    # search_eval ranks) — both stay declared + swept below)
     "exact_dedup", "ngram_jaccard", "dedup_clusters", "minhash_first_hash",
-    "simhash", "content_fingerprint", "token_stats", "media_features",
-    "top_per_group", "chunk_docs", "pii_scrub", "lang_id",
+    "simhash", "seq_packing", "token_stats", "media_features",
+    "span_dedup", "chunk_docs", "pii_scrub", "lang_id",
     "embedding_near_dups_lsh", "train_split", "search_eval",
     "filter_api_dict", "json_path_props",
     # streaming / temporal
@@ -1861,6 +1909,71 @@ SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n
 FROM b GROUP BY 1 ORDER BY 1"""
+
+    words_pack = _DK_WORDS.format(c="lower(text)")
+    o["seq_packing"] = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({words_pack}) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 4 AS INT) AS shard
+  FROM documents),
+cum AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS tok_start
+  FROM toks)
+SELECT shard, doc_id, n_tokens, tok_start,
+       CAST(floor(tok_start / 256.0) AS BIGINT) AS pack_id
+FROM cum"""
+
+    # keeper = lexicographic min (doc, pos), encoded as doc*2^20+pos
+    # (pos < 2^20 always at oracle scale); spans are 10-token blocks
+    o["span_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_pack} AS t FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN
+           [array_to_string(t[s:s+9], ' ')
+            for s in range(1, greatest(len(t), 1) + 1, 10)]
+         ELSE [] END AS spans
+  FROM toks),
+ex AS (
+  SELECT doc_id, unnest(range(0, len(spans))) AS pos,
+         unnest(spans) AS span
+  FROM sp),
+keep AS (
+  SELECT span, min(doc_id * 1048576 + pos) AS keykeep FROM ex GROUP BY span),
+agg AS (
+  SELECT e.doc_id,
+         coalesce(string_agg(
+           CASE WHEN e.doc_id * 1048576 + e.pos = k.keykeep THEN e.span END,
+           ' ' ORDER BY e.pos), '') AS text,
+         count(*) AS n_spans,
+         count(CASE WHEN e.doc_id * 1048576 + e.pos = k.keykeep
+               THEN 1 END) AS n_kept
+  FROM ex e JOIN keep k USING (span) GROUP BY e.doc_id)
+SELECT d.doc_id, md5(coalesce(a.text, '')) AS text_md5,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["ivf_topk"] = """
+WITH l AS (
+  SELECT vec_id AS lid, embedding AS lv FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT l.lid, r.vec_id AS rid,
+         list_cosine_similarity(l.lv::DOUBLE[], r.embedding::DOUBLE[]) AS s
+  FROM l, embeddings r),
+rk AS (
+  SELECT lid, rid, s,
+         row_number() OVER (PARTITION BY lid ORDER BY s DESC, rid) AS rn
+  FROM p)
+SELECT lid AS vec_id_l, rid AS vec_id_r, round(s, 6) AS score,
+       CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 5"""
 
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n

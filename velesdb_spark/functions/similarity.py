@@ -242,6 +242,61 @@ def _kmeans_np(pts: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     return cents
 
 
+def _nprobe_lists_expr(vec: Column, centroids: np.ndarray,
+                       nprobe: int) -> Column:
+    """ARRAY<INT> of the nprobe nearest centroid list-ids for a vector —
+    same squared-L2 reduction as _nearest_centroid_expr, sorted as
+    (distance, list_id) structs so ties break deterministically. All
+    JVM-side; no Python per row."""
+    entries = []
+    for i, c in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        entries.append(F.struct(
+            (-2.0 * dot + float(c @ c)).alias("d"),
+            F.lit(i).alias("i")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["i"])
+
+
+def ivf_topk_join(left: DataFrame, right: DataFrame, k: int,
+                  n_centroids: int = 8, nprobe: int = 2,
+                  left_vec: str = "embedding", right_vec: str = "embedding",
+                  left_id: str = "id", right_id: str = "id",
+                  seed: int = LSH_SEED) -> DataFrame:
+    """Approximate top-k similarity join: right rows land in IVF lists,
+    each left row probes only its ``nprobe`` nearest lists — pair count
+    drops from |L|·|R| to ~|L|·|R|·nprobe/n_centroids, and the join is a
+    plain equi-join on list id (shuffle co-locates by list; at 100 TB the
+    right side is written partitioned by list and probes prune files).
+
+    nprobe = n_centroids degenerates to the exact brute join (useful to
+    oracle-gate the probe machinery); smaller nprobe trades recall.
+    Output schema matches cosine_topk_join.
+    """
+    from pyspark.sql import Window
+
+    idx = IvfIndex(right, right_vec, right_id, n_centroids, seed=seed)
+    r = idx.assigned.select(F.col(right_id).alias("_rid"),
+                            F.col(right_vec).alias("_rv"), "_list")
+    l = left.select(
+        F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lv"),
+        F.explode(_nprobe_lists_expr(F.col(left_vec), idx.centroids,
+                                     nprobe)).alias("_list"))
+    scored = l.join(r, "_list").withColumn(
+        "score", cosine_similarity(F.col("_lv"), F.col("_rv")))
+    w = Window.partitionBy("_lid").orderBy(F.desc("score"), F.asc("_rid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_lid").alias(left_id + "_l"),
+                F.col("_rid").alias(right_id + "_r"), "score",
+                F.col("_rn").alias("rank"))
+    )
+
+
 def cosine_topk_join(left: DataFrame, right: DataFrame, k: int,
                      left_vec: str = "embedding", right_vec: str = "embedding",
                      left_id: str = "id", right_id: str = "id") -> DataFrame:
