@@ -929,7 +929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
 
-        prior = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         try:
             ev = read_events_stream(s, stage)
             agg = (
@@ -944,9 +943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qr.stop()
                 raise TimeoutError("stream_hourly drain exceeded 120s")
         finally:
-            # read_events_stream flips this session-global read conf; batch
-            # reads of the same table must see ns timestamps again
-            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)  # drained → stage gone
@@ -972,7 +968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stage = tempfile.mkdtemp(prefix="events_dup_")
         os.symlink(f"{d}/events.parquet", f"{stage}/events1.parquet")
         os.symlink(f"{d}/events.parquet", f"{stage}/events2.parquet")
-        prior = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         try:
             ev = read_events_stream(s, stage)
             dedup = streaming_dedup(ev, ["event_id"])
@@ -983,7 +978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 qr.stop()
                 raise TimeoutError("stream_dedup drain exceeded 120s")
         finally:
-            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             shutil.rmtree(stage, ignore_errors=True)
         return (s.table(name).groupBy("event_type")
                 .agg(F.count("*").alias("n")).orderBy("event_type"))

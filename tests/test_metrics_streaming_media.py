@@ -124,11 +124,12 @@ def test_streaming_dedup(spark, tmp_path):
     key; watermark bounds the dedup state."""
     from velesdb_spark.streaming import events as ev
 
-    rows = [(i, 1_700_000_000_000_000_000 + i * 10**9, i % 3, "click", 1.0, "{}")
+    rows = [(i, 1_700_000_000_000_000 + i * 10**6, i % 3, "click", 1.0, "{}")
             for i in range(20)]
     df = spark.createDataFrame(
         rows, "event_id bigint, ts bigint, user_id bigint, "
-              "event_type string, value double, props string")
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))  # fixture ts encoding
     df.coalesce(1).write.parquet(str(tmp_path / "f1"))
     df.coalesce(1).write.parquet(str(tmp_path / "f2"))
     stage = tmp_path / "stage"
@@ -144,6 +145,69 @@ def test_streaming_dedup(spark, tmp_path):
     got = spark.table("t_stream_dedup").collect()
     assert len(got) == 20
     assert sorted(r.event_id for r in got) == list(range(20))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two out-of-order micro-batches: a late row beyond the watermark is
+    dropped (its window state was evicted), a late row within it merges.
+
+    Batch 1 ends with max ts 12:00 → watermark 11:30 (30 min delay). The
+    filter engages one batch after the watermark commits (measured Spark
+    behavior), so the late rows ride in batch 3: 10:30 (window 10:00 below
+    watermark → dropped) and 11:45 (window 11:00 still live → merged)."""
+    import os
+
+    from velesdb_spark.streaming import events as ev
+
+    base = 1_700_000_000_000_000  # µs epoch
+    base -= base % 3_600_000_000  # hour-aligned so windows are deterministic
+    m = 60_000_000  # one minute in µs
+
+    def mk(rows, path):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts bigint, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+        df.coalesce(1).write.parquet(str(path))
+
+    mk([(1, base + 0 * m, 1, "click", 1.0, "{}"),
+        (2, base + 10 * m, 1, "click", 1.0, "{}"),
+        (3, base + 20 * m, 1, "click", 1.0, "{}"),
+        (4, base + 60 * m, 1, "click", 1.0, "{}"),
+        (5, base + 70 * m, 1, "click", 1.0, "{}"),
+        (6, base + 120 * m, 1, "click", 1.0, "{}")], tmp_path / "b1")
+    mk([(7, base + 125 * m, 1, "click", 1.0, "{}")], tmp_path / "b2")
+    mk([(8, base + 30 * m, 1, "click", 1.0, "{}"),     # beyond watermark
+        (9, base + 105 * m, 1, "click", 1.0, "{}")], tmp_path / "b3")
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, src in enumerate(["b1", "b2", "b3"]):
+        for f in os.listdir(tmp_path / src):
+            if f.endswith(".parquet"):
+                os.symlink(tmp_path / src / f, stage / f"{i}_{f}")
+                # file-source batch order follows target mtime
+                os.utime(tmp_path / src / f, (1000 + i, 1000 + i))
+
+    stream = ev.read_events_stream(spark, str(stage))  # 1 file per trigger
+    agg = ev.tumbling_counts(stream, "1 hour", "30 minutes")
+    q = ev.run_to_memory(agg, "t_late", mode="update")
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress)
+    # update-mode memory sink appends each batch's updates; max(n) per
+    # window = the final state the operator held for it
+    got = {r.ws: r.n for r in spark.sql(
+        "SELECT window_start AS ws, max(n) AS n FROM t_late GROUP BY 1"
+    ).collect()}
+    import datetime
+    w0 = datetime.datetime.fromtimestamp(base / 1e6)
+    w1 = datetime.datetime.fromtimestamp((base + 60 * m) / 1e6)
+    w2 = datetime.datetime.fromtimestamp((base + 120 * m) / 1e6)
+    assert dropped == 1      # exactly the beyond-watermark replay
+    assert got[w0] == 3      # late replay at 10:30 dropped, count unchanged
+    assert got[w1] == 3      # 11:45 within watermark merged (2 → 3)
+    assert got[w2] == 2      # 12:00 + 12:05
+    q.stop()
 
 
 # ------------------------------------------------------------ multimodal

@@ -31,30 +31,21 @@ EVENTS_SCHEMA = StructType([
     StructField("props", StringType()),
 ])
 
-# The driver's parquet stores ts as INT64 nanos (see sources/testdata.py) —
-# the raw read schema uses LONG and the wrapper converts to TimestampType.
-_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a parquet directory (each new file = a
-    micro-batch; swap for kafka/delta source in production)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+    micro-batch; swap for kafka/delta source in production).
+
+    The fixtures store ``ts`` as parquet ``timestamp[us]`` (verified at every
+    scale factor), which Spark's native TimestampType reads directly — the
+    streaming and batch paths share one schema, so a unit drift in the
+    fixture would fail both gates identically instead of silently diverging.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))  # exact truncation
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
