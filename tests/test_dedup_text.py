@@ -197,6 +197,68 @@ def test_ivf_index_search(spark):
     assert got == want
 
 
+def test_ivf_gemm_matches_expr_paths(spark):
+    """The Arrow-gemm assignment/probe paths (large nlist) must agree with
+    the codegen'd expression paths (small nlist) exactly — same squared-L2
+    argmin, same first-index / (distance, id) tie order."""
+    import numpy as np
+
+    from velesdb_spark.functions import similarity as S
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = rng.randn(6, 8).round(4)
+
+    expr_assign = {r.vec_id: r.l for r in df.select(
+        "vec_id", S._nearest_centroid_expr(F.col("embedding"), cents)
+        .alias("l")).collect()}
+    gemm_assign = {r.vec_id: r.l for r in df.select(
+        "vec_id", S._nearest_centroid_gemm(F.col("embedding"), cents)
+        .alias("l")).collect()}
+    assert expr_assign == gemm_assign
+
+    expr_probe = {r.vec_id: list(r.ls) for r in df.select(
+        "vec_id", S._nprobe_lists_expr(F.col("embedding"), cents, 3)
+        .alias("ls")).collect()}
+    gemm_probe = {r.vec_id: list(r.ls) for r in df.select(
+        "vec_id", S._nprobe_lists_gemm(F.col("embedding"), cents, 3)
+        .alias("ls")).collect()}
+    assert expr_probe == gemm_probe
+
+
+def test_ivf_large_nlist_plan_scales(spark):
+    """nlist=1024 must dispatch to the gemm path: the analyzed plan stays
+    small and builds fast (the expression path would emit 1024 aggregate
+    terms and blow codegen limits), and search still returns sane top-k."""
+    import time
+
+    import numpy as np
+
+    from velesdb_spark.functions import similarity as S
+    from velesdb_spark.functions.similarity import IvfIndex
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)])
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    t0 = time.monotonic()
+    idx = IvfIndex(df, "embedding", "vec_id", n_centroids=1024,
+                   train_sample=2000)
+    plan = idx.assigned._jdf.queryExecution().analyzed().toString()
+    build_s = time.monotonic() - t0
+    assert len(idx.centroids) == 1024
+    assert "pythonUDF" in plan or "_assign" in plan  # gemm path taken
+    assert len(plan) < 20_000      # constant-size plan, not O(nlist) terms
+    assert build_s < 60
+
+    q = [float(round(x, 4)) for x in rng.randn(8)]
+    got = idx.search(q, 5, nprobe=64).collect()
+    assert len(got) == 5
+    assert got == sorted(got, key=lambda r: (-r.score, r.vec_id))
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation equals a reference union-find on a graph with
     a chain, a triangle, an isolated pair, and a star."""

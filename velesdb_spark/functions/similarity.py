@@ -140,10 +140,18 @@ class LshIndex:
         return idx
 
 
+# Above this list count the per-centroid Catalyst expressions get replaced by
+# one Arrow-batched gemm: nlist literal dot-product terms would otherwise grow
+# the codegen'd expression linearly (multi-MB at a realistic 4k-65k lists)
+# and blow whole-stage codegen / optimizer limits long before data size does.
+EXPR_NLIST_MAX = 64
+
+
 def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
     """JVM-side argmin over centroids: squared-L2 reduces to
     -2·x·c + ||c||² (the ||x||² term is constant per row). One dot product
-    per centroid, all inside whole-stage codegen — no Python per row."""
+    per centroid, all inside whole-stage codegen — no Python per row.
+    Used for nlist ≤ EXPR_NLIST_MAX only; see _nearest_centroid_gemm."""
     scores = []
     for c in centroids:
         dot = F.aggregate(
@@ -153,6 +161,32 @@ def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
         scores.append(-2.0 * dot + float(c @ c))
     arr = F.array(*scores)
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def _nearest_centroid_gemm(vec: Column, centroids: np.ndarray) -> Column:
+    """Arrow-batched argmin for large nlist: one (n, dim) @ (dim, nlist)
+    BLAS gemm per batch (the multi_table_buckets pattern). Plan size is
+    constant in nlist — the centroid matrix rides in the UDF closure, not
+    in the Catalyst expression tree."""
+    c_t = np.ascontiguousarray(centroids.T, dtype=np.float64)  # (dim, nlist)
+    norms = (centroids ** 2).sum(axis=1)                       # (nlist,)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d = -2.0 * (mat @ c_t) + norms                         # (n, nlist)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _assign(vec)
+
+
+def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
+    """List assignment, nlist-scalable: codegen'd expression for small
+    nlist (oracle-parity path), Arrow gemm above EXPR_NLIST_MAX. Both
+    compute the same squared-L2 argmin with first-index tie-breaking."""
+    if len(centroids) <= EXPR_NLIST_MAX:
+        return _nearest_centroid_expr(vec, centroids)
+    return _nearest_centroid_gemm(vec, centroids)
 
 
 class IvfIndex:
@@ -180,7 +214,7 @@ class IvfIndex:
         pts = np.array([r["_v"] for r in sample], dtype=float)
         self.centroids = _kmeans_np(pts, n_centroids, seed, max_iter)
         self.assigned = df.withColumn(
-            "_list", _nearest_centroid_expr(F.col(vector_col), self.centroids))
+            "_list", nearest_centroid(F.col(vector_col), self.centroids))
 
     def search(self, q: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         qa = np.asarray(q, dtype=float)
@@ -247,7 +281,7 @@ def _nprobe_lists_expr(vec: Column, centroids: np.ndarray,
     """ARRAY<INT> of the nprobe nearest centroid list-ids for a vector —
     same squared-L2 reduction as _nearest_centroid_expr, sorted as
     (distance, list_id) structs so ties break deterministically. All
-    JVM-side; no Python per row."""
+    JVM-side; no Python per row. nlist ≤ EXPR_NLIST_MAX only."""
     entries = []
     for i, c in enumerate(centroids):
         dot = F.aggregate(
@@ -259,6 +293,32 @@ def _nprobe_lists_expr(vec: Column, centroids: np.ndarray,
             F.lit(i).alias("i")))
     ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
     return F.transform(ranked, lambda s: s["i"])
+
+
+def _nprobe_lists_gemm(vec: Column, centroids: np.ndarray,
+                       nprobe: int) -> Column:
+    """Arrow-batched nprobe selection for large nlist — one gemm per batch,
+    stable argsort so (distance, list_id) tie order matches the expr path."""
+    c_t = np.ascontiguousarray(centroids.T, dtype=np.float64)
+    norms = (centroids ** 2).sum(axis=1)
+    take = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d = -2.0 * (mat @ c_t) + norms
+        idx = np.argsort(d, axis=1, kind="stable")[:, :take].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _probe(vec)
+
+
+def nprobe_lists(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """nprobe nearest list-ids, nlist-scalable (same dispatch rule as
+    nearest_centroid)."""
+    if len(centroids) <= EXPR_NLIST_MAX:
+        return _nprobe_lists_expr(vec, centroids, nprobe)
+    return _nprobe_lists_gemm(vec, centroids, nprobe)
 
 
 def ivf_topk_join(left: DataFrame, right: DataFrame, k: int,
@@ -283,8 +343,8 @@ def ivf_topk_join(left: DataFrame, right: DataFrame, k: int,
                             F.col(right_vec).alias("_rv"), "_list")
     l = left.select(
         F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lv"),
-        F.explode(_nprobe_lists_expr(F.col(left_vec), idx.centroids,
-                                     nprobe)).alias("_list"))
+        F.explode(nprobe_lists(F.col(left_vec), idx.centroids,
+                               nprobe)).alias("_list"))
     scored = l.join(r, "_list").withColumn(
         "score", cosine_similarity(F.col("_lv"), F.col("_rv")))
     w = Window.partitionBy("_lid").orderBy(F.desc("score"), F.asc("_rid"))
