@@ -74,6 +74,27 @@ def test_simhash_dedup(spark):
     assert got == {(1, 2)}
 
 
+def test_simhash_pigeonhole_exact_recall(spark):
+    """Pigeonhole banding must find EVERY pair within the Hamming radius —
+    compare against brute-force all-pairs over real document text at
+    sf0.001 (max_hamming=3, the default, needs 4 blocks; the old 2-half
+    scheme was only exact for radius ≤ 1)."""
+    from itertools import combinations
+
+    from tests.conftest import SF_DIR
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(120))
+    sigs = {r._id: r._simhash for r in
+            dedup.simhash_df(docs, "text", "doc_id").collect()}
+    brute = {(a, b) for a, b in combinations(sorted(sigs), 2)
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r.id_a, r.id_b) for r in
+           dedup.simhash_dedup_pairs(docs, max_hamming=3,
+                                     id_col="doc_id").collect()}
+    assert got == brute  # recall 1.0 AND no false positives past the filter
+
+
 def test_embedding_near_dups_brute_vs_lsh(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -269,21 +269,32 @@ def hamming32(a: Column, b: Column) -> Column:
 
 def simhash_dedup_pairs(df: DataFrame, max_hamming: int = 3,
                         text_col: str = "text", id_col: str = "id") -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming. Buckets by
-    16-bit signature halves (a pair within distance ≤ max_hamming shares at
-    least one exact half when max_hamming ≤ 1 per half; with 2 halves this is
-    exact for max_hamming ≤ 1 and high-recall above) — avoids O(N²)."""
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, found by
+    pigeonhole banding: the 32 bits split into (max_hamming + 1) contiguous
+    blocks, so a pair within the radius differs in at most max_hamming blocks
+    and MUST share at least one block exactly — recall 1.0 by construction,
+    candidate generation stays a bucketed equi-join on (block id, block
+    bits), never O(N²)."""
+    nblocks = max_hamming + 1
+    base, extra = divmod(32, nblocks)
+    sizes = [base + (1 if i < extra else 0) for i in range(nblocks)]
+    starts = [sum(sizes[:i]) for i in range(nblocks)]
+
     sig = simhash_df(df, text_col, id_col).withColumnRenamed("_simhash", "_sh")
-    lo = (F.col("_sh").bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
-    hi = (F.shiftright(F.col("_sh"), 16).bitwiseAND(F.lit(0xFFFF))).alias("_bkt")
-    buckets = sig.select("_id", "_sh", lo, F.lit(0).alias("_half")) \
-        .union(sig.select("_id", "_sh", hi, F.lit(1).alias("_half")))
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("_blk"),
+            F.shiftright(F.col("_sh"), starts[i])
+            .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("_bkt"))
+        for i in range(nblocks)])
+    buckets = (sig.select("_id", "_sh", F.explode(blocks).alias("_e"))
+               .select("_id", "_sh", "_e._blk", "_e._bkt"))
     a = buckets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
-                       "_bkt", "_half")
+                       "_blk", "_bkt")
     b = buckets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
-                       "_bkt", "_half")
+                       "_blk", "_bkt")
     return (
-        a.join(b, ["_bkt", "_half"]).filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["_blk", "_bkt"]).filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming32(F.col("_sha"), F.col("_shb")).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

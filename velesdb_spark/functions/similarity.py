@@ -74,6 +74,27 @@ def hyperplane_bucket(vec: Column, dim: int, nbits: int = DEFAULT_NBITS,
     return bucket
 
 
+def probe_buckets(planes: np.ndarray, q: Sequence[float],
+                  multiprobe: int = 1) -> list[int]:
+    """Bucket ids a query probes: its own sign-bit bucket plus multiprobe
+    perturbations (Lv et al., VLDB'07 shape) — flip the bits whose
+    hyperplane margins are smallest, singles then pairs (a query near two
+    boundaries differs in two bits). Module-level so an external oracle can
+    derive the exact same probe set from the seeded hyperplanes."""
+    dots = planes @ np.asarray(q, dtype=float)
+    base = sum(1 << i for i, d in enumerate(dots) if d > 0)
+    buckets = [base]
+    if multiprobe > 0:
+        order = np.argsort(np.abs(dots))[:multiprobe]
+        for i in order:
+            buckets.append(base ^ (1 << int(i)))
+        for ai in range(len(order)):
+            for bi in range(ai + 1, len(order)):
+                buckets.append(
+                    base ^ (1 << int(order[ai])) ^ (1 << int(order[bi])))
+    return buckets
+
+
 class LshIndex:
     """Bucketed cosine ANN. build() materializes (id, vector, bucket);
     search() probes the query bucket (+ multiprobe) and re-ranks exactly."""
@@ -91,22 +112,7 @@ class LshIndex:
             "_bucket", hyperplane_bucket(F.col(vector_col), self.dim, nbits, seed))
 
     def _query_buckets(self, q: Sequence[float], multiprobe: int = 1) -> list[int]:
-        dots = self.planes @ np.asarray(q, dtype=float)
-        base = sum(1 << i for i, d in enumerate(dots) if d > 0)
-        buckets = [base]
-        if multiprobe > 0:
-            # multiprobe LSH (Lv et al., VLDB'07 shape): perturb the bits
-            # whose hyperplane margins are smallest — all single flips of
-            # the multiprobe closest boundaries, then all pair flips among
-            # them (a query near 2 boundaries differs in 2 bits)
-            order = np.argsort(np.abs(dots))[:multiprobe]
-            for i in order:
-                buckets.append(base ^ (1 << int(i)))
-            for ai in range(len(order)):
-                for bi in range(ai + 1, len(order)):
-                    buckets.append(
-                        base ^ (1 << int(order[ai])) ^ (1 << int(order[bi])))
-        return buckets
+        return probe_buckets(self.planes, q, multiprobe)
 
     def search(self, q: Sequence[float], k: int = 10, multiprobe: int = 1) -> DataFrame:
         buckets = self._query_buckets(q, multiprobe)

@@ -209,9 +209,12 @@ def decode_and_featurize(media: DataFrame, batch_partitions: int | None = None) 
 
         for pdf in batches:
             feats, nbytes = [], []
-            for _, row in pdf.iterrows():
-                dec = _decoder_for(row["modality"])
-                content = row["content"] if row["content"] is not None else b""
+            # plain zip over ndarrays — iterrows() builds a Series per row
+            # and is the slowest loop pandas offers
+            for modality, content in zip(pdf["modality"].to_numpy(),
+                                         pdf["content"].to_numpy()):
+                dec = _decoder_for(modality)
+                content = content if content is not None else b""
                 feats.append(dec(bytes(content), {}))
                 nbytes.append(len(content))
             yield pd.DataFrame({
