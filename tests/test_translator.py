@@ -228,6 +228,95 @@ def test_scalar_subquery_lazy(catalog, spark):
     assert len(rows) == 25
 
 
+def test_exists_non_correlated(catalog, duck):
+    """Non-correlated EXISTS folds to an all-or-nothing filter via a lazy
+    1-row flag join — both the non-empty and empty probe outcomes."""
+    sdf = translate(
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0) "
+        "ORDER BY c_custkey LIMIT 20", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_totalprice > 100000.0) "
+        "ORDER BY c_custkey LIMIT 20")
+    empty = translate(
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice < 0.0) "
+        "ORDER BY c_custkey LIMIT 20", catalog)
+    assert empty.count() == 0
+    not_empty = translate(
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice < 0.0) "
+        "ORDER BY c_custkey LIMIT 20", catalog)
+    assert not_empty.count() == 20
+
+
+def test_between_subquery_bounds(catalog, duck):
+    sdf = translate(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN "
+        "(SELECT AVG(o_totalprice) FROM orders) AND "
+        "(SELECT MAX(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey LIMIT 30", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN "
+        "(SELECT AVG(o_totalprice) FROM orders) AND "
+        "(SELECT MAX(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey LIMIT 30")
+
+
+def test_subquery_op_subquery(catalog, duck):
+    """(SELECT..) op (SELECT..) — both sides lazy 1-row broadcast joins."""
+    sdf = translate(
+        "SELECT o_orderkey FROM orders WHERE "
+        "(SELECT MIN(o_totalprice) FROM orders) < "
+        "(SELECT AVG(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey LIMIT 10", catalog)
+    assert_matches_oracle(sdf, duck,
+        "SELECT o_orderkey FROM orders WHERE "
+        "(SELECT MIN(o_totalprice) FROM orders) < "
+        "(SELECT AVG(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey LIMIT 10")
+
+
+def test_translation_runs_zero_jobs(catalog, spark):
+    """translate() + explain() must be pure plan construction: every
+    subquery shape builds lazy joins, never a driver-side collect. Spark
+    jobs started during translation would land in this job group."""
+    shapes = [
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders) LIMIT 5",
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 0.0) LIMIT 5",
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice < 0.0) LIMIT 5",
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 0.0) LIMIT 5",
+        "SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN "
+        "(SELECT AVG(o_totalprice) FROM orders) AND "
+        "(SELECT MAX(o_totalprice) FROM orders) LIMIT 5",
+        "SELECT o_orderkey FROM orders WHERE "
+        "(SELECT MIN(o_totalprice) FROM orders) < "
+        "(SELECT AVG(o_totalprice) FROM orders) LIMIT 5",
+        "SELECT c_custkey FROM customer AS c WHERE EXISTS "
+        "(SELECT o_orderkey FROM orders AS o "
+        "WHERE o.o_custkey = c.c_custkey) LIMIT 5",
+        "SELECT o_orderkey FROM orders AS o WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders AS o2 "
+        "WHERE o2.o_custkey = o.o_custkey) LIMIT 5",
+    ]
+    sc = spark.sparkContext
+    group = "translation-purity-check"
+    sc.setJobGroup(group, "assert no jobs during translate/explain")
+    try:
+        for sql in shapes:
+            df = translate(sql, catalog)
+            df._jdf.queryExecution().executedPlan().toString()
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs == [], f"translation/explain started Spark jobs: {jobs}"
+
+
 def test_correlated_plans_are_hash_joins(catalog):
     """Decorrelated EXISTS/scalar must plan as hash joins on the
     correlation key — a nested-loop (per-row re-execution) plan would be

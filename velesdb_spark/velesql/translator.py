@@ -591,8 +591,17 @@ class _SearchState:
             vals = [tr.value(v) for v in cond.values]
             return base, _col(cond.column).isin(vals)
         if isinstance(cond, ast.Between):
-            lo, hi = tr.value(cond.low), tr.value(cond.high)
-            return base, _col(cond.column).between(F.lit(lo), F.lit(hi))
+            # subquery bounds become lazy 1-row scalar joins, literal
+            # bounds stay literals
+            if isinstance(cond.low, ast.Subquery):
+                base, lo = self._scalar_join(base, cond.low.stmt)
+            else:
+                lo = F.lit(tr.value(cond.low))
+            if isinstance(cond.high, ast.Subquery):
+                base, hi = self._scalar_join(base, cond.high.stmt)
+            else:
+                hi = F.lit(tr.value(cond.high))
+            return base, _col(cond.column).between(lo, hi)
         if isinstance(cond, ast.Like):
             c = _col(cond.column)
             return base, c.ilike(cond.pattern) if cond.case_insensitive else c.like(cond.pattern)
@@ -660,15 +669,21 @@ class _SearchState:
         tr = self.tr
         pairs, residual = _split_correlation(cond.stmt, self.outer_aliases)
         if not pairs:
-            # non-correlated: one distributed probe for ≥1 row, folded to a
-            # constant predicate
+            # non-correlated: LAZY broadcast 1-row flag join (no job during
+            # translate/explain) — the probe's ≥1-row outcome becomes a
+            # TRUE flag every base row left-joins against; an empty probe
+            # leaves the flag NULL, read back as false by _never_null
             import dataclasses
 
             probe = tr.select(
                 dataclasses.replace(cond.stmt, where=residual, limit=1,
                                     order_by=(), columns=()),
                 apply_default_limit=False)
-            return base, F.lit(bool(probe.take(1)))
+            flag = self._next("ex")
+            one = F.broadcast(
+                probe.limit(1).select(F.lit(True).alias(flag)))
+            return base.join(one, F.lit(True), "left"), \
+                _never_null(F.col(flag))
         inner = self._inner_frame(cond.stmt, residual)
         flag = self._next("ex")
         keys = [f"{flag}_k{i}" for i in range(len(pairs))]
@@ -746,15 +761,19 @@ class _SearchState:
         if cond.op not in self._COMPARE_OPS:
             raise TranslationError(f"unsupported operator {cond.op!r} on "
                                    "scalar subquery comparison")
-        rhs = tr.value(cond.value)
+        if isinstance(cond.value, ast.Subquery):
+            # (SELECT..) op (SELECT..): both sides lazy 1-row joins
+            base, rhs_col = self._scalar_join(base, cond.value.stmt)
+        else:
+            rhs_col = F.lit(tr.value(cond.value))
         pairs, residual = _split_correlation(cond.sub.stmt, self.outer_aliases)
         if pairs:
             base, scalar = self._decorrelated_scalar(base, cond.sub.stmt,
                                                      pairs, residual)
-            return base, self._COMPARE_OPS[cond.op](scalar, F.lit(rhs))
+            return base, self._COMPARE_OPS[cond.op](scalar, rhs_col)
         # non-correlated: lazy broadcast 1-row join, constant per row
         base, scalar = self._scalar_join(base, cond.sub.stmt)
-        return base, self._COMPARE_OPS[cond.op](scalar, F.lit(rhs))
+        return base, self._COMPARE_OPS[cond.op](scalar, rhs_col)
 
     def _fused(self, base: DataFrame, cond: ast.VectorFusedSearch):
         tr = self.tr
