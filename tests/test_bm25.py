@@ -142,3 +142,118 @@ def test_scan_path_matches_index_path(corpus):
         assert set(via_scan) == set(via_index), q
         for i in via_scan:
             assert via_scan[i] == pytest.approx(via_index[i], rel=1e-9), q
+
+
+# ------------------------------------------------------------ incremental
+
+
+def _full_rebuild_scores(spark, docs_dict, query):
+    df = spark.createDataFrame(list(docs_dict.items()), "id bigint, text string")
+    return {r.id: r._bm25_score for r in Bm25Index(df).scores(query).collect()}
+
+
+def test_incremental_index_matches_rebuild(spark, corpus, tmp_path):
+    """Durable snapshot+delta index: every upsert/delete/compact step must
+    score identically to a full rebuild over the same logical corpus."""
+    from velesdb_spark.functions.bm25 import IncrementalBm25Index
+
+    df, docs = corpus
+    path = str(tmp_path / "bm25_inc")
+    idx = IncrementalBm25Index.build(df, path)
+    q = "rust programming"
+
+    def check(state):
+        got = {r.id: r._bm25_score for r in idx.scores(q).collect()}
+        want = _full_rebuild_scores(spark, state, q)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+    state = dict(docs)
+    check(state)
+
+    # upsert: replace doc 2, add doc 8
+    batch = [(2, "rust data pipelines"), (8, "go and rust tooling")]
+    idx.upsert_docs(spark.createDataFrame(batch, "id bigint, text string"))
+    state.update(dict(batch))
+    check(state)
+
+    # upsert replacing a doc with empty text drops it from the index
+    idx.upsert_docs(spark.createDataFrame([(4, "")], "id bigint, text string"))
+    state[4] = ""
+    check(state)
+
+    # delete
+    idx.delete_docs([1])
+    del state[1]
+    check(state)
+
+    # compact folds the log; scores unchanged, log truncated
+    idx.compact()
+    from velesdb_spark.storage import read_manifest
+    m = read_manifest(path)
+    assert m["segments"] == [] and m["snapshot"].endswith("v=2")
+    check(state)
+
+    # reopen from disk
+    idx2 = IncrementalBm25Index(spark, path)
+    got = {r.id: r._bm25_score for r in idx2.scores(q).collect()}
+    assert got == {r.id: r._bm25_score for r in idx.scores(q).collect()}
+
+
+def test_incremental_update_no_retokenize(spark, corpus, tmp_path):
+    """The upsert writes a delta segment computed from only the batch, and
+    the composed search plan re-tokenizes nothing: no split/lower
+    expression anywhere (snapshot + delta are already postings)."""
+    from velesdb_spark.functions.bm25 import IncrementalBm25Index
+
+    df, docs = corpus
+    path = str(tmp_path / "bm25_inc2")
+    idx = IncrementalBm25Index.build(df, path)
+    idx.upsert_docs(spark.createDataFrame(
+        [(9, "spark spark indexes")], "id bigint, text string"))
+
+    # the delta segment holds exactly the new doc's postings
+    seg = spark.read.parquet(f"{path}/log/000001.parquet")
+    rows = {(r._doc_id, r.term, r.tf) for r in seg.collect()}
+    assert rows == {(9, "spark", 2), (9, "indexes", 1)}
+
+    plan = idx.search("spark rust", 5) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in plan and "lower(" not in plan
+
+
+def test_collection_upsert_search_loop_incremental(spark, corpus):
+    """upsert → text_search cycles keep the warm index: the composed index
+    scores match a cold rebuild, and the collection does not re-tokenize
+    the full corpus (the mutation composes onto the cached postings)."""
+    from velesdb_spark.database import Collection
+
+    df, docs = corpus
+    col = Collection(spark, "c", df=df, text_col="text")
+    q = "rust programming"
+    first = {r.id: r.score for r in col.text_search(q, k=10).collect()}
+    warm = col._bm25
+    assert warm is not None
+
+    state = dict(docs)
+    for batch in ([(2, "rust data pipelines")], [(10, "more rust text")]):
+        col.upsert([{"id": i, "text": t} for i, t in batch])
+        state.update(dict(batch))
+        # index was composed, not dropped
+        assert col._bm25 is not None and col._bm25 is not warm
+        got = {r.id: r.score for r in col.text_search(q, k=10).collect()}
+        want = _full_rebuild_scores(spark, state, q)
+        top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+        assert set(got) == set(top)
+        for i in got:
+            assert got[i] == pytest.approx(top[i], rel=1e-9)
+        warm = col._bm25
+
+    col.delete([4])
+    del state[4]
+    assert col._bm25 is not None
+    got = {r.id: r.score for r in col.text_search(q, k=10).collect()}
+    want = _full_rebuild_scores(spark, state, q)
+    top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert set(got) == set(top)

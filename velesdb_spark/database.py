@@ -47,6 +47,7 @@ class Collection:
         self._df = df
         self._edges = edges
         self._bm25: Optional[Bm25Index] = None
+        self._bm25_text_col: Optional[str] = None
         # durable log-structured store (storage.py): source of truth when a
         # path is given and no explicit in-memory frame overrides it. A
         # legacy flat `points/` parquet dir (pre-log layout) keeps the old
@@ -100,7 +101,7 @@ class Collection:
             # last-writer-wins by id: new batch shadows old rows
             old = self._df.join(new.select(self.id_col), on=self.id_col, how="left_anti")
             self._df = old.unionByName(new, allowMissingColumns=True)
-        self._bm25 = None
+        self._refresh_bm25(new_docs=new)
         return self
 
     upsert_bulk = upsert
@@ -113,8 +114,31 @@ class Collection:
         else:
             self._df = self.df.filter(
                 ~F.col(self.id_col).isin([int(i) for i in ids]))
-        self._bm25 = None
+        self._refresh_bm25(deleted_ids=[int(i) for i in ids])
         return self
+
+    def _refresh_bm25(self, new_docs: DataFrame | None = None,
+                      deleted_ids=None) -> None:
+        """Keep the text index warm across mutations: compose the existing
+        (cached) postings with a delta built from ONLY the mutated docs
+        (bm25.Bm25Index.incremental_update) instead of dropping the index
+        and re-tokenizing the corpus on the next search — the batch-scale
+        analogue of the reference's transactional per-upsert index update
+        (crud.rs:19-118). Falls back to rebuild-on-demand when the batch
+        lacks the indexed text column."""
+        if self._bm25 is None:
+            return
+        text_col = self._bm25_text_col
+        try:
+            if new_docs is not None and (
+                    text_col not in new_docs.columns
+                    or self.id_col not in new_docs.columns):
+                raise ValueError("delta lacks indexed columns")
+            self._bm25 = self._bm25.incremental_update(
+                new_docs=new_docs, deleted_ids=deleted_ids,
+                text_col=text_col)
+        except Exception:
+            self._bm25 = None  # next search rebuilds from scratch
 
     def get(self, point_id: int) -> Optional[dict]:
         rows = self.df.filter(F.col(self.id_col) == int(point_id)).limit(1).collect()
@@ -288,6 +312,7 @@ class Collection:
                 text_col = strings[0]
             self._bm25 = Bm25Index(self.df, id_col=self.id_col, text_col=text_col,
                                    cache=True)
+            self._bm25_text_col = text_col
         return self._bm25
 
     def text_search(self, query: str, k: int = 10, filter_cond=None) -> DataFrame:

@@ -138,6 +138,62 @@ class Bm25Index:
         sort at scale)."""
         return self.scores(query).orderBy(F.desc("_bm25_score"), F.asc(self.id_col)).limit(k)
 
+    def incremental_update(self, new_docs: DataFrame | None = None,
+                           deleted_ids=None,
+                           text_col: str = "text") -> "Bm25Index":
+        """Composed index after an upsert/delete batch WITHOUT re-tokenizing
+        the corpus: only ``new_docs`` go through tokenize/explode; the
+        existing postings/doc_lengths (cached by the collection) are reused
+        behind a broadcast anti join on the mutated ids, and term df is
+        adjusted arithmetically. The in-memory twin of
+        IncrementalBm25Index.as_bm25()."""
+        spark = self.spark
+        shadow_parts = []
+        delta = None
+        if new_docs is not None:
+            delta = Bm25Index(new_docs, id_col=self.id_col, text_col=text_col)
+            shadow_parts.append(new_docs.select(
+                F.col(self.id_col).alias("_doc_id")))
+        if deleted_ids:
+            shadow_parts.append(spark.createDataFrame(
+                [(int(i),) for i in deleted_ids], "_doc_id bigint"))
+        if not shadow_parts:
+            return self
+        shadowed = shadow_parts[0]
+        for p in shadow_parts[1:]:
+            shadowed = shadowed.unionByName(p)
+        shadowed = shadowed.distinct()
+
+        out = Bm25Index.__new__(Bm25Index)
+        out.id_col = self.id_col
+        out.spark = spark
+        kept_postings = self.postings.join(
+            F.broadcast(shadowed), "_doc_id", "left_anti")
+        kept_dl = self.doc_lengths.join(
+            F.broadcast(shadowed), "_doc_id", "left_anti")
+        rem_tdf = (self.postings
+                   .join(F.broadcast(shadowed), "_doc_id", "left_semi")
+                   .groupBy("term").agg(F.count("*").alias("_rem")))
+        if delta is not None:
+            out.postings = kept_postings.unionByName(delta.postings)
+            out.doc_lengths = kept_dl.unionByName(delta.doc_lengths)
+            add_tdf = delta.term_df.withColumnRenamed("df", "_add")
+        else:
+            out.postings = kept_postings
+            out.doc_lengths = kept_dl
+            add_tdf = spark.createDataFrame([], "term string, _add bigint")
+        out.term_df = (
+            self.term_df.join(rem_tdf, "term", "full")
+            .join(add_tdf, "term", "full")
+            .select("term", (F.coalesce(F.col("df"), F.lit(0))
+                             - F.coalesce(F.col("_rem"), F.lit(0))
+                             + F.coalesce(F.col("_add"), F.lit(0))).alias("df"))
+            .filter(F.col("df") > 0))
+        # narrow map-combinable agg over the composed (mostly cached) dl set
+        out.stats = out.doc_lengths.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        return out
+
     def save(self, path: str, term_buckets: int = 64) -> str:
         """Materialize the inverted index to parquet. Postings are written
         bucketed by a hash of the term so a query's score join reads only
@@ -178,6 +234,246 @@ class Bm25Index:
         idx.term_df = spark.read.parquet(f"{path}/term_df")
         idx.stats = spark.read.parquet(f"{path}/stats")
         return idx
+
+
+class IncrementalBm25Index:
+    """Incremental BM25 maintenance: snapshot postings + a postings delta
+    log, following the same manifest/segment/compaction protocol as
+    storage.LogStore (the reference updates its text index transactionally
+    per upsert — crud.rs:19-118; this is that contract at batch scale).
+
+    - ``upsert_docs``/``delete_docs`` append one immutable log segment
+      computed from ONLY the mutated docs (tokenize cost ∝ batch size,
+      never corpus size — no full re-index per upsert→search cycle).
+    - Search composes the live view lazily: snapshot postings minus
+      shadowed docs, union the log's last-writer-wins postings; term df
+      and corpus stats are adjusted arithmetically from the (small) delta
+      instead of re-aggregated from the corpus. The snapshot is never
+      shuffled — shadowed-doc removal is a broadcast anti join.
+    - ``compact()`` folds the log into a new snapshot version and
+      truncates the log atomically (manifest rename is the commit point).
+
+    Layout: MANIFEST.json, snapshot/v=N/{postings,doc_lengths,term_df,
+    stats}, log/NNNNNN.parquet with rows (_doc_id, term, tf, dl, _op,
+    _seq); a delete (or an upsert whose new text has no tokens) is a
+    single term=NULL tombstone row.
+    """
+
+    def __init__(self, spark, path: str, id_col: str = "id",
+                 text_col: str = "text"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def build(cls, docs: DataFrame, path: str, id_col: str = "id",
+              text_col: str = "text") -> "IncrementalBm25Index":
+        """Full index build → snapshot v=1 with an empty log."""
+        idx = cls(docs.sparkSession, path, id_col, text_col)
+        idx._write_snapshot(Bm25Index(docs, id_col=id_col, text_col=text_col),
+                            version=1, seq=0)
+        return idx
+
+    def _write_snapshot(self, src, version: int, seq: int) -> None:
+        import os
+
+        from velesdb_spark.storage import commit_manifest
+
+        snap = f"snapshot/v={version}"
+        base = os.path.join(self.path, snap)
+        postings = src.postings.persist()
+        doc_lengths = src.doc_lengths.persist()
+        try:
+            (postings.withColumn("_tb", F.abs(F.xxhash64("term")) % 64)
+             .write.mode("overwrite").partitionBy("_tb")
+             .parquet(f"{base}/postings"))
+            doc_lengths.write.mode("overwrite").parquet(f"{base}/doc_lengths")
+            postings.groupBy("term").agg(F.count("*").alias("df")) \
+                .write.mode("overwrite").parquet(f"{base}/term_df")
+            # sum_dl rides along so stats compose arithmetically with deltas
+            doc_lengths.agg(
+                F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("sum_dl")) \
+                .write.mode("overwrite").parquet(f"{base}/stats")
+        finally:
+            postings.unpersist()
+            doc_lengths.unpersist()
+        commit_manifest(self.path, {"snapshot": snap, "segments": [],
+                                    "seq": seq})
+
+    # ------------------------------------------------------------ writes
+    _LOG_SCHEMA = ("_doc_id bigint, term string, tf bigint, dl bigint, "
+                   "_op string, _seq bigint")
+
+    def _append_segment(self, rows: DataFrame) -> None:
+        import os
+
+        from velesdb_spark.storage import commit_manifest, read_manifest
+
+        os.makedirs(os.path.join(self.path, "log"), exist_ok=True)
+        m = read_manifest(self.path)
+        seq = m["seq"] + 1
+        seg = f"log/{seq:06d}.parquet"
+        rows.withColumn("_seq", F.lit(seq).cast("long")) \
+            .write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        m["seq"] = seq
+        m["segments"] = m["segments"] + [seg]
+        commit_manifest(self.path, m)
+
+    def upsert_docs(self, docs: DataFrame) -> "IncrementalBm25Index":
+        """Append one postings-delta segment for ``docs`` (replaces any
+        prior version of each doc). Tokenization touches only this batch."""
+        toks = docs.select(
+            F.col(self.id_col).alias("_doc_id"),
+            tokenize(F.col(self.text_col)).alias("_toks"))
+        tokens = toks.select("_doc_id", F.size("_toks").alias("dl"),
+                             F.explode_outer("_toks").alias("term"))
+        posting_rows = (
+            tokens.filter(F.col("term").isNotNull())
+            .groupBy("_doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+            .select("_doc_id", "term", "tf", "dl", F.lit("upsert").alias("_op")))
+        # a doc whose new text has no tokens (or NULL text) still shadows
+        # its old postings
+        empty_rows = (
+            toks.filter(F.coalesce(F.size("_toks"), F.lit(0)) <= 0)
+            .select("_doc_id", F.lit(None).cast("string").alias("term"),
+                    F.lit(None).cast("long").alias("tf"),
+                    F.lit(None).cast("long").alias("dl"),
+                    F.lit("delete").alias("_op")))
+        self._append_segment(posting_rows.unionByName(empty_rows))
+        return self
+
+    def delete_docs(self, ids) -> "IncrementalBm25Index":
+        rows = self.spark.createDataFrame(
+            [(int(i), None, None, None, "delete") for i in ids],
+            "_doc_id bigint, term string, tf bigint, dl bigint, _op string")
+        self._append_segment(rows)
+        return self
+
+    # ------------------------------------------------------------ reads
+    def _snapshot_frames(self, m):
+        import os
+
+        if m["snapshot"]:
+            base = os.path.join(self.path, m["snapshot"])
+            return (self.spark.read.parquet(f"{base}/postings").drop("_tb"),
+                    self.spark.read.parquet(f"{base}/doc_lengths"),
+                    self.spark.read.parquet(f"{base}/term_df"),
+                    self.spark.read.parquet(f"{base}/stats"))
+        empty = self.spark.createDataFrame
+        return (empty([], "term string, _doc_id bigint, tf bigint"),
+                empty([], "_doc_id bigint, dl bigint"),
+                empty([], "term string, df bigint"),
+                empty([(0, 0.0, 0)], "n_docs bigint, avgdl double, sum_dl bigint"))
+
+    def as_bm25(self) -> Bm25Index:
+        """Compose the live index view as a Bm25Index (same scores/search).
+
+        Plan shape: snapshot postings/doc_lengths anti-joined against the
+        (small, broadcast) shadowed-doc set ∪ the log's latest postings;
+        term_df and stats adjusted by delta arithmetic — no corpus-wide
+        re-aggregation, no tokenization anywhere."""
+        from pyspark.sql import Window
+
+        from velesdb_spark.storage import read_manifest
+
+        import os
+
+        m = read_manifest(self.path)
+        snap_postings, snap_dl, snap_tdf, snap_stats = self._snapshot_frames(m)
+        idx = Bm25Index.__new__(Bm25Index)
+        idx.id_col = self.id_col
+        idx.spark = self.spark
+        if not m["segments"]:
+            idx.postings = snap_postings
+            idx.doc_lengths = snap_dl
+            idx.term_df = snap_tdf
+            idx.stats = snap_stats.select("n_docs", "avgdl")
+            return idx
+        log = self.spark.read.parquet(
+            *[os.path.join(self.path, s) for s in m["segments"]])
+        # last-writer-wins per doc: all postings rows of the winning seq
+        w = Window.partitionBy("_doc_id")
+        latest = (log.withColumn("_max_seq", F.max("_seq").over(w))
+                  .filter(F.col("_seq") == F.col("_max_seq")))
+        live = latest.filter(F.col("_op") != "delete")
+        shadowed = log.select("_doc_id").distinct()
+        add_postings = live.select("term", "_doc_id", "tf")
+        add_dl = live.select("_doc_id", "dl").distinct()
+        idx.postings = snap_postings.join(
+            F.broadcast(shadowed), "_doc_id", "left_anti") \
+            .unionByName(add_postings)
+        idx.doc_lengths = snap_dl.join(
+            F.broadcast(shadowed), "_doc_id", "left_anti") \
+            .unionByName(add_dl)
+        # term df adjustment: -1 per (removed snapshot doc containing term),
+        # +1 per (added live doc containing term)
+        rem_tdf = (snap_postings
+                   .join(F.broadcast(shadowed), "_doc_id", "left_semi")
+                   .groupBy("term").agg(F.count("*").alias("_rem")))
+        add_tdf = add_postings.groupBy("term").agg(F.count("*").alias("_add"))
+        idx.term_df = (
+            snap_tdf.join(rem_tdf, "term", "full")
+            .join(add_tdf, "term", "full")
+            .select("term", (F.coalesce(F.col("df"), F.lit(0))
+                             - F.coalesce(F.col("_rem"), F.lit(0))
+                             + F.coalesce(F.col("_add"), F.lit(0))).alias("df"))
+            .filter(F.col("df") > 0))
+        # corpus stats adjustment (map-combinable aggs over narrow columns)
+        rem_stats = (snap_dl.join(F.broadcast(shadowed), "_doc_id", "left_semi")
+                     .agg(F.count("*").alias("_rn"),
+                          F.coalesce(F.sum("dl"), F.lit(0)).alias("_rs")))
+        add_stats = add_dl.agg(F.count("*").alias("_an"),
+                               F.coalesce(F.sum("dl"), F.lit(0)).alias("_as"))
+        idx.stats = (snap_stats.crossJoin(rem_stats).crossJoin(add_stats)
+                     .select(
+                         (F.col("n_docs") - F.col("_rn") + F.col("_an"))
+                         .alias("n_docs"),
+                         ((F.col("sum_dl") - F.col("_rs") + F.col("_as"))
+                          / (F.col("n_docs") - F.col("_rn") + F.col("_an")))
+                         .alias("avgdl")))
+        return idx
+
+    def scores(self, query: str) -> DataFrame:
+        return self.as_bm25().scores(query)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        return self.as_bm25().search(query, k)
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self) -> None:
+        """Fold the delta log into a new snapshot version and truncate the
+        log; superseded versions stay until vacuum()."""
+        from velesdb_spark.storage import read_manifest
+
+        m = read_manifest(self.path)
+        if not m["segments"]:
+            return
+        cur = int(m["snapshot"].rsplit("=", 1)[1]) if m["snapshot"] else 0
+        self._write_snapshot(self.as_bm25(), version=cur + 1, seq=m["seq"])
+
+    def vacuum(self) -> None:
+        import os
+        import shutil
+
+        from velesdb_spark.storage import read_manifest
+
+        m = read_manifest(self.path)
+        snapdir = os.path.join(self.path, "snapshot")
+        live = os.path.basename(m["snapshot"]) if m["snapshot"] else None
+        if os.path.isdir(snapdir):
+            for v in os.listdir(snapdir):
+                if v != live:
+                    shutil.rmtree(os.path.join(snapdir, v))
+        live_segs = {os.path.basename(s) for s in m["segments"]}
+        logdir = os.path.join(self.path, "log")
+        if os.path.isdir(logdir):
+            for s in os.listdir(logdir):
+                if s not in live_segs:
+                    seg = os.path.join(logdir, s)
+                    shutil.rmtree(seg) if os.path.isdir(seg) else os.remove(seg)
 
 
 def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",

@@ -37,6 +37,26 @@ _OP = "_veles_op"
 _SEQ = "_veles_seq"
 
 
+def read_manifest(path: str) -> dict:
+    """Load a log-store manifest; empty-state default when absent. Shared
+    by LogStore and the incremental BM25 postings log (functions/bm25.py),
+    which follow the same segment/manifest/compaction protocol."""
+    try:
+        with open(os.path.join(path, "MANIFEST.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"snapshot": None, "segments": [], "seq": 0}
+
+
+def commit_manifest(path: str, m: dict) -> None:
+    """Atomically rename the manifest into place — the commit point."""
+    target = os.path.join(path, "MANIFEST.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, target)  # atomic commit point
+
+
 class LogStore:
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
         # NO filesystem side effects here: a store handle may be created
@@ -52,17 +72,10 @@ class LogStore:
         return os.path.join(self.path, "MANIFEST.json")
 
     def _read_manifest(self) -> dict:
-        try:
-            with open(self._manifest_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"snapshot": None, "segments": [], "seq": 0}
+        return read_manifest(self.path)
 
     def _commit_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)  # atomic commit point
+        commit_manifest(self.path, m)
 
     def exists(self) -> bool:
         return os.path.exists(self._manifest_path)
