@@ -695,6 +695,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_recall"] = _ann_ivf_recall
 
+    # Index advisor (property_index.rs:900-1102) as a distributed
+    # aggregation over a query-log table: the log here is derived
+    # deterministically from orders so DuckDB can mirror the whole
+    # pipeline — pattern groupBy, improvement formula, DDL, priority.
+    def _index_advisor(s, d):
+        from velesdb_spark.plans.advisor import suggest_from_log
+
+        orders = _t(s, d, "orders")
+        ptypes = F.array(F.lit("equality"), F.lit("range"),
+                         F.lit("in"), F.lit("like"))
+        base_pred = F.element_at(
+            ptypes, (F.col("o_orderkey") % 4 + 1).cast("int"))
+        log = orders.select(
+            F.array(F.concat(F.lit("tbl_"), F.col("o_orderpriority")))
+            .alias("labels"),
+            F.array(F.col("o_orderstatus")).alias("properties"),
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.array(base_pred, F.lit("equality")))
+            .otherwise(F.array(base_pred)).alias("predicates"),
+            (F.floor("o_totalprice").cast("long") % 1000).alias("ms"))
+        return (suggest_from_log(log)
+                .select("ddl", "query_count",
+                        F.round("avg_time_ms", 6).alias("avg_ms"),
+                        F.round("estimated_improvement", 6)
+                        .alias("improvement"),
+                        F.round("priority_score", 4).alias("priority")))
+
+    q["index_advisor"] = _index_advisor
+
     def _ann_ivf(s, d):
         from velesdb_spark.functions.similarity import IvfIndex
 
@@ -1301,6 +1330,7 @@ _GATE_ORDER = [
     "quality_score", "content_fingerprint", "knn_sq8", "knn_binary_packed",
     "fuzzy_trigram", "hybrid_weighted", "dedup_keep_reps", "graph_var_length",
     "events_sliding", "events_session", "stream_dedup", "ann_ivf_recall",
+    "index_advisor",
 ]
 
 
@@ -2037,6 +2067,38 @@ SELECT lid AS vec_id_l, rid AS vec_id_r, round(s, 6) AS score,
 FROM rk WHERE rn <= 5"""
 
     o["ann_recall_eval"] = _lsh_recall_oracle()
+
+    o["index_advisor"] = """
+WITH log AS (
+  SELECT ['tbl_' || o_orderpriority] AS labels,
+         [o_orderstatus] AS properties,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN [(['equality','range','in','like'])[CAST(o_orderkey % 4 + 1 AS INT)],
+                    'equality']
+              ELSE [(['equality','range','in','like'])[CAST(o_orderkey % 4 + 1 AS INT)]]
+         END AS predicates,
+         CAST(floor(o_totalprice) AS BIGINT) % 1000 AS ms
+  FROM orders),
+agg AS (
+  SELECT labels, properties, predicates,
+         count(*) AS query_count, sum(ms) AS total_ms
+  FROM log GROUP BY 1, 2, 3),
+imp AS (
+  SELECT *, total_ms / CAST(query_count AS DOUBLE) AS avg_ms,
+         least(list_sum(list_transform(predicates,
+                 p -> CASE p WHEN 'equality' THEN 0.9 WHEN 'range' THEN 0.7
+                             WHEN 'in' THEN 0.6 WHEN 'like' THEN 0.3
+                             ELSE 0.0 END))
+               / greatest(len(predicates), 1), 1.0) AS improvement
+  FROM agg)
+SELECT 'CREATE INDEX idx_' || lower(array_to_string(labels, '_')) || '_'
+         || lower(array_to_string(properties, '_')) || ' ON :' || labels[1]
+         || '(' || array_to_string(properties, ', ') || ')' AS ddl,
+       query_count,
+       round(avg_ms, 6) AS avg_ms,
+       round(improvement, 6) AS improvement,
+       round(query_count * improvement * avg_ms, 4) AS priority
+FROM imp WHERE improvement >= 0.2"""
 
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n

@@ -48,6 +48,9 @@ class Collection:
         self._edges = edges
         self._bm25: Optional[Bm25Index] = None
         self._bm25_text_col: Optional[str] = None
+        from velesdb_spark.plans.advisor import QueryPatternTracker
+
+        self.pattern_tracker = QueryPatternTracker()
         # durable log-structured store (storage.py): source of truth when a
         # path is given and no explicit in-memory frame overrides it. A
         # legacy flat `points/` parquet dir (pre-log layout) keeps the old
@@ -510,8 +513,41 @@ class Collection:
         """Execute VelesQL (SELECT or MATCH) against this collection.
 
         now_epoch pins NOW() for deterministic temporal predicates
-        (values.rs:102-122 resolves NOW()/INTERVAL to epoch seconds)."""
+        (values.rs:102-122 resolves NOW()/INTERVAL to epoch seconds).
+
+        Every query's (labels, properties, predicates) pattern is recorded
+        in ``pattern_tracker`` (property_index.rs:932-995 QueryPattern
+        mining); callers that measure execution can attach the duration
+        with ``record_query_time``, and ``suggest_indexes()`` turns the
+        accumulated stats into ranked CREATE INDEX recommendations."""
+        try:
+            from velesdb_spark.plans.advisor import pattern_from_velesql
+
+            self._last_pattern = pattern_from_velesql(sql)
+            self.pattern_tracker.record(self._last_pattern, 0)
+        except Exception:
+            self._last_pattern = None  # pattern mining never blocks a query
         return translate(sql, self._catalog(), params, now_epoch=now_epoch)
+
+    def record_query_time(self, sql: str, execution_time_ms: int) -> None:
+        """Attach a measured execution time to a query's pattern (the
+        reference records per-execution timings; Spark actions run outside
+        query(), so the caller reports the duration)."""
+        from velesdb_spark.plans.advisor import pattern_from_velesql
+
+        self.pattern_tracker.record(pattern_from_velesql(sql),
+                                    execution_time_ms)
+
+    def suggest_indexes(self):
+        """Ranked IndexSuggestions from the mined patterns, excluding
+        indexes already declared on this collection
+        (property_index.rs:1013-1086)."""
+        from velesdb_spark.plans.advisor import IndexAdvisor
+
+        existing = [
+            f"idx_{i['label'].lower()}_{i['property'].lower()}"
+            for i in getattr(self, "_declared_indexes", [])]
+        return IndexAdvisor(existing).suggest(self.pattern_tracker)
 
     def query_ids(self, sql: str, params: Optional[dict] = None) -> DataFrame:
         out = self.query(sql, params)
