@@ -1,0 +1,159 @@
+"""Live-scroll migration clients (velesdb-migrate connectors/retry parity)
+driven by a fake HTTP transport — pagination, auth headers, retry/backoff,
+resume-from-offset, and landing into durable Collections."""
+
+import random
+
+import pytest
+
+from velesdb_spark.sources import scroll as S
+
+
+# ------------------------------------------------------------ retry
+
+
+def test_retry_backoff_schedule():
+    """Delays double from initial to cap (retry.rs defaults 0.5s ×2 → 30s);
+    success on a later attempt returns the value, exhaustion reraises."""
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise ConnectionError("transient")
+        return {"ok": True}
+
+    cfg = S.RetryConfig(max_retries=3, initial_delay_s=0.5,
+                        max_delay_s=30.0, add_jitter=False)
+    out = S.with_retry(flaky, cfg, sleep=sleeps.append)
+    assert out == {"ok": True}
+    assert sleeps == [0.5, 1.0, 2.0]
+
+    with pytest.raises(ConnectionError):
+        S.with_retry(lambda: (_ for _ in ()).throw(ConnectionError("down")),
+                     S.RetryConfig(max_retries=2, add_jitter=False),
+                     sleep=sleeps.append)
+
+
+def test_retry_delay_cap_and_jitter():
+    cfg = S.RetryConfig(max_retries=6, initial_delay_s=1.0, max_delay_s=8.0,
+                        add_jitter=False)
+    assert list(cfg.delays()) == [1.0, 2.0, 4.0, 8.0, 8.0, 8.0]
+    jit = S.RetryConfig(max_retries=4, initial_delay_s=2.0, add_jitter=True)
+    ds = list(jit.delays(rng=random.Random(7)))
+    # jitter keeps each delay within 50-100% of the deterministic step
+    for d, base in zip(ds, [2.0, 4.0, 8.0, 16.0]):
+        assert base * 0.5 <= d <= base
+
+
+# ------------------------------------------------------------ qdrant scroll
+
+
+def _qdrant_fake(pages, fail_first=0):
+    """Fake transport serving scroll pages; optionally fails the first N
+    calls to exercise retry. Records every request."""
+    log = []
+    state = {"fails": fail_first}
+
+    def transport(method, url, headers, body):
+        log.append((method, url, dict(headers), body))
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise ConnectionError("boom")
+        offset = (body or {}).get("offset", 0)
+        pts = pages[offset] if offset < len(pages) else []
+        nxt = offset + 1 if offset + 1 < len(pages) else None
+        return {"result": {"points": pts, "next_page_offset": nxt}}
+
+    transport.log = log
+    return transport
+
+
+def _qpoint(i):
+    return {"id": i, "vector": [float(i), 0.0, 1.0],
+            "payload": {"tag": f"t{i % 2}"}}
+
+
+def test_qdrant_scroll_pagination_and_auth():
+    pages = [[_qpoint(0), _qpoint(1)], [_qpoint(2)], [_qpoint(3)]]
+    t = _qdrant_fake(pages)
+    src = S.QdrantScrollSource("http://qd:6333/", "docs", api_key="sekret",
+                               page_size=2, transport=t)
+    got = list(src.pages())
+    assert [len(p) for p in got] == [2, 1, 1]
+    assert [p["id"] for page in got for p in page] == [0, 1, 2, 3]
+    method, url, headers, body = t.log[0]
+    assert method == "POST"
+    assert url == "http://qd:6333/collections/docs/points/scroll"
+    assert headers["api-key"] == "sekret"
+    assert body["limit"] == 2 and body["with_vector"] is True
+    # resume from a stored offset skips earlier pages
+    resumed = list(src.pages(offset=2))
+    assert [p["id"] for page in resumed for p in page] == [3]
+
+
+def test_qdrant_scroll_retries_transient_errors():
+    pages = [[_qpoint(0)], [_qpoint(1)]]
+    t = _qdrant_fake(pages, fail_first=2)
+    sleeps = []
+    src = S.QdrantScrollSource(
+        "http://qd", "c", transport=t,
+        retry=S.RetryConfig(max_retries=3, initial_delay_s=0.1,
+                            add_jitter=False),
+        sleep=sleeps.append)
+    got = [p["id"] for page in src.pages() for p in page]
+    assert got == [0, 1]
+    assert sleeps == [0.1, 0.2]  # two transient failures, backed off
+
+
+def test_migrate_qdrant_lands_durable_and_resumable(spark, tmp_path):
+    pages = [[_qpoint(0), _qpoint(1)], [_qpoint(2)]]
+    src = S.QdrantScrollSource("http://qd", "c", page_size=2,
+                               transport=_qdrant_fake(pages))
+    coll = S.migrate_qdrant(spark, src, "m", path=str(tmp_path / "m"))
+    rows = {r.id: r for r in coll.df.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2].tag == "t0" and rows[1].vector == [1.0, 0.0, 1.0]
+    # one immutable log segment per page → resumable migration
+    from velesdb_spark.storage import read_manifest
+    m = read_manifest(str(tmp_path / "m" / "points_log"))
+    assert len(m["segments"]) == 2
+
+
+# ------------------------------------------------------------ pinecone
+
+
+def test_pinecone_list_fetch_pagination(spark):
+    listing_pages = [
+        {"vectors": [{"id": "a"}, {"id": "7"}],
+         "pagination": {"next": "tok1"}},
+        {"vectors": [{"id": "b"}]},
+    ]
+    store = {
+        "a": {"values": [1.0, 2.0], "metadata": {"lang": "en"}},
+        "7": {"values": [3.0, 4.0], "metadata": {"lang": "fr"}},
+        "b": {"values": [5.0, 6.0], "metadata": None},
+    }
+    calls = {"n": 0}
+
+    def transport(method, url, headers, body):
+        assert headers.get("Api-Key") == "pk"
+        if "/vectors/list" in url:
+            page = listing_pages[0] if "paginationToken" not in url \
+                else listing_pages[1]
+            calls["n"] += 1
+            return page
+        ids = [kv.split("=")[1] for kv in url.split("?")[1].split("&")
+               if kv.startswith("ids=")]
+        return {"vectors": {i: store[i] for i in ids}}
+
+    src = S.PineconeScrollSource("http://pc", api_key="pk", page_size=2,
+                                 transport=transport)
+    coll = S.migrate_pinecone(spark, src, "p")
+    rows = {r.orig_id: r for r in coll.df.collect()}
+    assert set(rows) == {"a", "7", "b"}
+    assert rows["7"].id == 7                  # numeric id preserved
+    assert rows["a"].id != 7 and rows["a"].id > 0   # hash surrogate
+    assert rows["a"].lang == "en"
+    assert rows["b"].vector == [5.0, 6.0]
