@@ -62,12 +62,14 @@ _DK_BM25_TOKS = (r"list_filter(regexp_split_to_array(lower({c}), "
                  r"'[^\p{{L}}\p{{N}}]+'), x -> octet_length(encode(x)) > 1)")
 
 
-def _bm25_oracle(terms: list[str], limit: int) -> str:
+def _bm25_oracle(terms: list[str], limit: int,
+                 corpus: str = "SELECT doc_id, text FROM documents") -> str:
     vals = ", ".join(f"('{t}', {terms.count(t)})" for t in dict.fromkeys(terms))
     toks = _DK_BM25_TOKS.format(c="text")
     return f"""
-WITH toklist AS (
-  SELECT doc_id, {toks} AS t FROM documents
+WITH corpus_t AS ({corpus}),
+toklist AS (
+  SELECT doc_id, {toks} AS t FROM corpus_t
 ), docs AS (
   SELECT doc_id, len(t) AS dl, t FROM toklist WHERE len(t) > 0
 ), stats AS (
@@ -474,6 +476,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.round("_bm25_score", 6).alias("score"))
 
     q["bm25_index_topk"] = _bm25_index
+
+    def _bm25_incremental(s, d):
+        # incremental maintenance path end-to-end: snapshot build → upsert
+        # batch (one delta segment; only the batch is tokenized) → doc
+        # delete → search over the composed snapshot+delta view. Oracle
+        # runs the BM25 formula over the logically-updated corpus.
+        import tempfile
+
+        from velesdb_spark.functions.bm25 import IncrementalBm25Index
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        stage = tempfile.mkdtemp(prefix="bm25inc_")  # small postings dir;
+        # left for the OS tmp reaper — the returned plan reads it lazily
+        idx = IncrementalBm25Index.build(docs, stage, id_col="doc_id",
+                                         term_buckets=8)
+        idx.upsert_docs(s.createDataFrame(
+            [(900001, "spark window pipelines shuffle merge"),
+             (1, "replaced text spark spark window")],
+            "doc_id bigint, text string"))
+        idx.delete_docs([2])
+        return idx.search("spark window", 15) \
+            .select("doc_id", F.round("_bm25_score", 6).alias("score"))
+
+    q["bm25_incremental"] = _bm25_incremental
 
     q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id",
@@ -1330,7 +1356,7 @@ _GATE_ORDER = [
     "quality_score", "content_fingerprint", "knn_sq8", "knn_binary_packed",
     "fuzzy_trigram", "hybrid_weighted", "dedup_keep_reps", "graph_var_length",
     "events_sliding", "events_session", "stream_dedup", "ann_ivf_recall",
-    "index_advisor",
+    "index_advisor", "bm25_incremental",
 ]
 
 
@@ -1564,6 +1590,13 @@ ORDER BY jac DESC, vec_id LIMIT 10"""
     # text
     o["bm25_topk"] = _bm25_oracle(["spark", "query", "join"], 20)
     o["bm25_index_topk"] = _bm25_oracle(["spark", "query", "join"], 20)
+    o["bm25_incremental"] = _bm25_oracle(
+        ["spark", "window"], 15,
+        corpus="SELECT doc_id, text FROM documents "
+               "WHERE doc_id NOT IN (1, 2, 900001) "
+               "UNION ALL SELECT * FROM (VALUES "
+               "(900001, 'spark window pipelines shuffle merge'), "
+               "(1, 'replaced text spark spark window')) AS v(doc_id, text)")
 
     # quality_score mirrors functions/text_analysis.py quality_score()
     words_l = _DK_WORDS.format(c="lower(text)")

@@ -269,9 +269,14 @@ class IncrementalBm25Index:
     # ------------------------------------------------------------ build
     @classmethod
     def build(cls, docs: DataFrame, path: str, id_col: str = "id",
-              text_col: str = "text") -> "IncrementalBm25Index":
-        """Full index build → snapshot v=1 with an empty log."""
+              text_col: str = "text",
+              term_buckets: int = 64) -> "IncrementalBm25Index":
+        """Full index build → snapshot v=1 with an empty log.
+        ``term_buckets`` sizes the postings partitioning (a query's score
+        join reads only its terms' buckets); small corpora can use fewer
+        to cut per-directory write overhead."""
         idx = cls(docs.sparkSession, path, id_col, text_col)
+        idx.term_buckets = term_buckets
         idx._write_snapshot(Bm25Index(docs, id_col=id_col, text_col=text_col),
                             version=1, seq=0)
         return idx
@@ -283,10 +288,11 @@ class IncrementalBm25Index:
 
         snap = f"snapshot/v={version}"
         base = os.path.join(self.path, snap)
+        buckets = getattr(self, "term_buckets", 64)
         postings = src.postings.persist()
         doc_lengths = src.doc_lengths.persist()
         try:
-            (postings.withColumn("_tb", F.abs(F.xxhash64("term")) % 64)
+            (postings.withColumn("_tb", F.abs(F.xxhash64("term")) % buckets)
              .write.mode("overwrite").partitionBy("_tb")
              .parquet(f"{base}/postings"))
             doc_lengths.write.mode("overwrite").parquet(f"{base}/doc_lengths")
