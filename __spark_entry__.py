@@ -96,6 +96,34 @@ SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT {limit}"""
 
 
+def _lsh_bucket_sql(planes) -> str:
+    """DuckDB expression recomputing a row's sign-bit LSH bucket from the
+    seeded hyperplanes inlined as literals."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_sql_vec([float(x) for x in planes[i]])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes)))
+
+
+def _lsh_search_oracle(qv: list[float], nbits: int = 8, multiprobe: int = 2,
+                       k: int = 10) -> str:
+    """Independent DuckDB replication of a multiprobe LSH search: filter to
+    the probed buckets, exact cosine re-rank inside them."""
+    from velesdb_spark.functions.similarity import _hyperplanes, probe_buckets
+
+    planes = _hyperplanes(len(qv), nbits)
+    probes = sorted(set(probe_buckets(planes, qv, multiprobe)))
+    qsql = _sql_vec(qv)
+    return f"""
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {qsql}), 6) AS score
+FROM embeddings
+WHERE ({_lsh_bucket_sql(planes)}) IN ({', '.join(map(str, probes))})
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {qsql}) DESC, vec_id
+LIMIT {k}"""
+
+
 def _lsh_recall_oracle(nbits: int = 6, multiprobe: int = 5, k: int = 10) -> str:
     """Independent DuckDB replication of the multiprobe-LSH recall eval:
     hyperplanes (seeded, public math) inlined as literals, per-row bucket =
@@ -108,11 +136,7 @@ def _lsh_recall_oracle(nbits: int = 6, multiprobe: int = 5, k: int = 10) -> str:
     for qid, qv in ((0, QV1), (1, QV2)):
         probes = sorted(set(probe_buckets(planes, qv, multiprobe)))
         qsql = _sql_vec(qv)
-        bucket = " + ".join(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-            f"{_sql_vec([float(x) for x in planes[i]])}) > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i in range(nbits))
+        bucket = _lsh_bucket_sql(planes)
         blocks.append(f"""
 SELECT 'lsh' AS method, CAST({qid} AS INT) AS qid,
        round(hits / CAST({k} AS DOUBLE), 6) AS recall,
@@ -651,7 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_match_near"] = _hybrid_match_near
 
-    # --- ANN scale paths (approximate — rows-only driver check) -------
+    # --- ANN scale paths (oracle-gated where externally re-derivable:
+    # LSH buckets are pure seeded-hyperplane math DuckDB can recompute;
+    # IVF centroids are engine-side k-means → rows-only) ---------------
     def _ann_lsh(s, d):
         from velesdb_spark.functions.similarity import LshIndex
 
@@ -1356,7 +1382,7 @@ _GATE_ORDER = [
     "quality_score", "content_fingerprint", "knn_sq8", "knn_binary_packed",
     "fuzzy_trigram", "hybrid_weighted", "dedup_keep_reps", "graph_var_length",
     "events_sliding", "events_session", "stream_dedup", "ann_ivf_recall",
-    "index_advisor", "bm25_incremental",
+    "index_advisor", "bm25_incremental", "ann_lsh",
 ]
 
 
@@ -2100,6 +2126,7 @@ SELECT lid AS vec_id_l, rid AS vec_id_r, round(s, 6) AS score,
 FROM rk WHERE rn <= 5"""
 
     o["ann_recall_eval"] = _lsh_recall_oracle()
+    o["ann_lsh"] = _lsh_search_oracle(QV1)
 
     o["index_advisor"] = """
 WITH log AS (
