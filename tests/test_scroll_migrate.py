@@ -264,3 +264,24 @@ def test_weaviate_cursor_pagination(spark):
     rows = {r.orig_id: r for r in coll.df.collect()}
     assert set(rows) == {f"uuid-{i}" for i in range(5)}
     assert rows["uuid-1"].title == "t1" and rows["uuid-1"].vector == [1.0]
+
+
+# ------------------------------------------------------------ transform/stats
+
+
+def test_transformer_and_stats(spark):
+    import math
+
+    pages = [[{"id": 1, "vector": [3.0, 4.0], "payload": {"txt": "a"}}],
+             [{"id": 2, "vector": [0.0, 0.0], "payload": {"txt": "b"}}]]
+    tr = S.Transformer(field_mappings={"txt": "text"}, normalize=True)
+    st = S.MigrationStats()
+    coll = S.migrate_scroll(spark, iter(pages), "t", transformer=tr,
+                            stats=st)
+    rows = {r.id: r for r in coll.df.collect()}
+    assert rows[1].text == "a" and "txt" not in rows[1].asDict()
+    assert math.isclose(rows[1].vector[0], 0.6)
+    assert math.isclose(rows[1].vector[1], 0.8)
+    assert rows[2].vector == [0.0, 0.0]     # zero vector left untouched
+    assert st.points_migrated == 2 and st.batches == 2
+    assert st.elapsed_s > 0 and st.throughput() > 0

@@ -374,6 +374,44 @@ class WeaviateScrollSource:
 
 # ------------------------------------------------------------ landing
 
+@dataclass
+class MigrationStats:
+    """pipeline.rs:13-37 — migrated counts + wall-clock throughput."""
+
+    points_migrated: int = 0
+    batches: int = 0
+    elapsed_s: float = 0.0
+
+    def throughput(self) -> float:
+        return (self.points_migrated / self.elapsed_s
+                if self.elapsed_s > 0 else 0.0)
+
+
+class Transformer:
+    """transform.rs:8-56 — field renames on the payload plus optional
+    unit-normalization of the vector (the cosine-ready form); SQ8/binary
+    quantization lives in functions/quantization.py and applies after
+    landing (columnar, not per-point)."""
+
+    def __init__(self, field_mappings: Optional[dict] = None,
+                 normalize: bool = False):
+        self.field_mappings = dict(field_mappings or {})
+        self.normalize = normalize
+
+    def transform_point(self, point: dict) -> dict:
+        payload = {self.field_mappings.get(k, k): v
+                   for k, v in (point.get("payload") or {}).items()}
+        vec = point.get("vector")
+        if self.normalize and vec:
+            norm = sum(float(x) * float(x) for x in vec) ** 0.5
+            if norm > 0:
+                vec = [float(x) / norm for x in vec]
+        return {**point, "vector": vec, "payload": payload}
+
+    def transform_batch(self, page: list[dict]) -> list[dict]:
+        return [self.transform_point(p) for p in page]
+
+
 def _point_rows(page: list[dict]) -> list[dict]:
     """ExtractedPoint-shaped dicts (connectors/mod.rs:24-31 — string-typed
     id, vector, payload) → Collection rows. Non-numeric ids get a
@@ -398,17 +436,27 @@ def _point_rows(page: list[dict]) -> list[dict]:
 def migrate_scroll(spark: SparkSession, pages: Iterator[list[dict]],
                    name: str = "imported", metric: str = "cosine",
                    dimension: Optional[int] = None,
-                   path: Optional[str] = None):
+                   path: Optional[str] = None,
+                   transformer: Optional[Transformer] = None,
+                   stats: Optional[MigrationStats] = None):
     """Land any connector's page stream into a Collection, one upsert batch
     per page (durable path → one immutable log segment per page, so the
     migration is resumable and read-your-writes while running)."""
     from velesdb_spark.database import Collection
 
+    t0 = time.monotonic()
     coll = Collection(spark, name, dimension, metric, path=path)
     for page in pages:
+        if transformer is not None:
+            page = transformer.transform_batch(page)
         rows = _point_rows(page)
         if rows:
             coll.upsert(rows)
+            if stats is not None:
+                stats.points_migrated += len(rows)
+                stats.batches += 1
+    if stats is not None:
+        stats.elapsed_s = time.monotonic() - t0
     return coll
 
 
