@@ -257,3 +257,17 @@ def test_collection_upsert_search_loop_incremental(spark, corpus):
     want = _full_rebuild_scores(spark, state, q)
     top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
     assert set(got) == set(top)
+
+
+def test_term_filter_reaches_postings_scan(spark, corpus, tmp_path):
+    """The query-term filter must be pushed into the parquet scans of a
+    saved index (PushedFilters In(term, ...)) — the property that keeps a
+    100 TB postings search from reading the whole table."""
+    df, _ = corpus
+    path = str(tmp_path / "bm25_saved")
+    Bm25Index(df).save(path)
+    idx = Bm25Index.load(spark, path)
+    plan = idx.search("rust programming", 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and "In(" in ln for ln in pushed), plan

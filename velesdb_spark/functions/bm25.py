@@ -102,13 +102,26 @@ class Bm25Index:
 
         Docs containing none of the query terms are absent (score join is
         inner); score > 0 filter matches the reference (bm25.rs:321-327).
+
+        Scale shape: the query's terms are known driver-side, so the
+        term-membership filter is applied EXPLICITLY to postings and
+        term_df before any join — Catalyst pushes it through aggregations
+        down to the parquet scans (PushedFilters: In(term, ...)), so a
+        search over a saved or snapshot+delta index reads only row groups
+        containing its terms instead of the whole postings table. An
+        inner join alone would not reach the scan.
         """
+        terms = list(dict.fromkeys(tokenize_py(query)))
+        postings, term_df = self.postings, self.term_df
+        if terms:
+            postings = postings.filter(F.col("term").isin(terms))
+            term_df = term_df.filter(F.col("term").isin(terms))
         qterms = F.broadcast(
             self.query_terms_df(query)
-            .join(self.term_df, "term", "inner")  # df per present term
+            .join(term_df, "term", "inner")  # df per present term
         )
         scored = (
-            self.postings.join(qterms, "term", "inner")
+            postings.join(qterms, "term", "inner")
             .join(self.doc_lengths, "_doc_id")
             .crossJoin(F.broadcast(self.stats))
             .withColumn(
