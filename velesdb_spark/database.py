@@ -529,6 +529,16 @@ class Collection:
             self._last_pattern = None  # pattern mining never blocks a query
         return translate(sql, self._catalog(), params, now_epoch=now_epoch)
 
+    def guarded_query(self, sql: str, params: Optional[dict] = None,
+                      limits=None, rails=None, client_id: str = "default"):
+        """query() + collect under guard-rails (guardrails.rs EPIC-048):
+        rate/circuit pre-check, timeout watchdog cancelling the job group,
+        cardinality probe. Returns rows."""
+        from velesdb_spark.guardrails import guarded_collect
+
+        return guarded_collect(self.query(sql, params), limits=limits,
+                               rails=rails, client_id=client_id)
+
     def record_query_time(self, sql: str, execution_time_ms: int) -> None:
         """Attach a measured execution time to a query's pattern (the
         reference records per-execution timings; Spark actions run outside
