@@ -105,6 +105,14 @@ class Collection:
             old = self._df.join(new.select(self.id_col), on=self.id_col, how="left_anti")
             self._df = old.unionByName(new, allowMissingColumns=True)
         self._refresh_bm25(new_docs=new)
+        bloom = getattr(self, "_id_bloom", None)
+        if bloom is not None:
+            if isinstance(points, DataFrame):
+                self._id_bloom = None  # ids unknown without a job — rebuild
+            else:
+                for p in points:  # supersets are bloom-safe
+                    if self.id_col in p:
+                        bloom.insert(int(p[self.id_col]))
         return self
 
     upsert_bulk = upsert
@@ -143,7 +151,21 @@ class Collection:
         except Exception:
             self._bm25 = None  # next search rebuilds from scratch
 
+    def build_id_bloom(self, false_positive_rate: float = 0.01) -> "Collection":
+        """Existence cache for fast negative lookups (cache/bloom.rs):
+        distributed build over the id column; ``get`` consults it before
+        running any Spark job. Upserts extend it (a bloom is
+        superset-safe); deletes leave stale maybes, which get() verifies."""
+        from velesdb_spark.functions.bloom import build_bloom_df
+
+        self._id_bloom = build_bloom_df(self.df, self.id_col,
+                                        false_positive_rate=false_positive_rate)
+        return self
+
     def get(self, point_id: int) -> Optional[dict]:
+        bloom = getattr(self, "_id_bloom", None)
+        if bloom is not None and bloom.definitely_not_contains(int(point_id)):
+            return None  # definite miss — zero Spark jobs
         rows = self.df.filter(F.col(self.id_col) == int(point_id)).limit(1).collect()
         return rows[0].asDict(recursive=True) if rows else None
 

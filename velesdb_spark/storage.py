@@ -88,7 +88,12 @@ class LogStore:
         seg = f"log/{seq:06d}.parquet"
         tagged = df.withColumn(_OP, F.lit(op)).withColumn(
             _SEQ, F.lit(seq).cast("long"))
-        tagged.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        # parquet-native row-group bloom filter on the key column: point
+        # lookups over the log prune row groups without an engine-side
+        # structure (pairs with functions/bloom.py's driver-side filter)
+        tagged.write.mode("overwrite") \
+            .option(f"parquet.bloom.filter.enabled#{self.id_col}", "true") \
+            .parquet(os.path.join(self.path, seg))
         m["seq"] = seq
         m["segments"] = m["segments"] + [seg]
         self._commit_manifest(m)
