@@ -517,3 +517,80 @@ def test_explain_analyze(catalog):
                      "WHERE o_totalprice > 100.0 LIMIT 7", catalog) \
         .collect()[0].plan
     assert "-- ANALYZE --" in text and "rows: 7" in text
+
+
+# ------------------------------------------------------------- reinforcement
+
+
+def test_reinforcement_strategy_formulas():
+    """Each strategy reproduces reinforcement.rs's arithmetic exactly."""
+    import math
+
+    from velesdb_spark import agent as A
+
+    ctx0 = A.ReinforcementContext(usage_count=0, last_used=100.0, now=100.0)
+    fr = A.FixedRate()
+    assert fr.update_confidence(0.5, True, ctx0) == pytest.approx(0.6)
+    assert fr.update_confidence(0.5, False, ctx0) == pytest.approx(0.45)
+    assert fr.update_confidence(0.98, True, ctx0) == 1.0       # clamped
+    assert fr.update_confidence(0.02, False, ctx0) == 0.0
+
+    ad = A.AdaptiveLearningRate()
+    assert ad.rate_multiplier(0) == pytest.approx(1.0)
+    assert ad.rate_multiplier(10) == pytest.approx(0.5)        # half-life
+    assert ad.rate_multiplier(1000) == pytest.approx(0.1)      # floor
+    ctx10 = A.ReinforcementContext(usage_count=10, last_used=0, now=0)
+    assert ad.update_confidence(0.5, True, ctx10) == pytest.approx(0.6)
+
+    td = A.TemporalDecay(decay_half_life=100.0)
+    stale = A.ReinforcementContext(last_used=0.0, now=1000.0)
+    # decay capped at max_decay_per_update
+    assert td.decay_factor(stale.time_since_last_use()) == pytest.approx(0.1)
+    assert td.update_confidence(1.0, True, stale) == pytest.approx(1.0)
+    assert td.update_confidence(0.5, False, stale) == pytest.approx(0.4)
+
+    cr = A.ContextualReinforcement()
+    fresh = A.ReinforcementContext(usage_count=0, last_used=100, now=100)
+    score = 0.4 * 1.0 + 0.3 * 0.0 + 0.3 * 0.5
+    want = 0.5 + 0.15 * (0.5 + score)
+    assert cr.update_confidence(0.5, True, fresh) == pytest.approx(want)
+    # failure learns at half rate
+    want_f = 0.5 - 0.15 * (0.5 + score) * 0.5
+    assert cr.update_confidence(0.5, False, fresh) == pytest.approx(want_f)
+
+    comp = A.CompositeStrategy().add_strategy(A.FixedRate(), 1.0) \
+        .add_strategy(A.FixedRate(0.3, 0.3), 3.0)
+    got = comp.update_confidence(0.5, True, ctx0)
+    assert got == pytest.approx((0.6 * 1.0 + 0.8 * 3.0) / 4.0)
+
+
+def test_procedural_memory_learn_recall_reinforce(spark):
+    from velesdb_spark import agent as A
+
+    mem = A.AgentMemory(spark, dimension=4)
+    pm = A.ProceduralMemory(mem, strategy=A.FixedRate())
+    pm.learn(1, "deploy", ["build", "test", "ship"], [1.0, 0.0, 0.0, 0.0],
+             confidence=0.5, now=1000.0)
+    pm.learn(2, "rollback", ["halt", "revert"], [0.0, 1.0, 0.0, 0.0],
+             confidence=0.9, now=1000.0)
+
+    got = pm.recall([1.0, 0.1, 0.0, 0.0], k=2, now=1001.0).collect()
+    assert [r.id for r in got] == [1, 2]   # cosine order
+    assert got[0].steps == ["build", "test", "ship"]
+
+    # min_confidence filters
+    low = pm.recall([1.0, 0.1, 0.0, 0.0], k=2, min_confidence=0.8,
+                    now=1001.0).collect()
+    assert [r.id for r in low] == [2]
+
+    # reinforce: success bumps confidence + usage, failure decrements
+    assert pm.reinforce(1, True, now=1002.0) == pytest.approx(0.6)
+    assert pm.reinforce(1, False, now=1003.0) == pytest.approx(0.55)
+    row = mem.layers["procedural"].get(1)
+    assert row["usage_count"] == 2 and row["last_used"] == 1003.0
+
+    out = pm.reinforce_batch({1: True, 2: False}, now=1004.0)
+    assert out[1] == pytest.approx(0.65) and out[2] == pytest.approx(0.85)
+
+    with pytest.raises(KeyError):
+        pm.reinforce(99, True)

@@ -114,3 +114,219 @@ class AgentMemory:
                 if "PATH_NOT_FOUND" not in str(exc):
                     raise
         return mem
+
+
+# ---------------------------------------------------------------- reinforcement
+
+class ReinforcementContext:
+    """agent/reinforcement.rs:14-90 — usage/recency/success context for a
+    confidence update. Timestamps are epoch seconds; ``now`` is injectable
+    for determinism."""
+
+    def __init__(self, usage_count: int = 0, last_used: float = 0.0,
+                 created_at: float = 0.0,
+                 recent_success_rate: Optional[float] = None,
+                 custom: Optional[dict] = None,
+                 now: Optional[float] = None):
+        self.usage_count = usage_count
+        self.last_used = last_used
+        self.created_at = created_at
+        self.recent_success_rate = recent_success_rate
+        self.custom = dict(custom or {})
+        self._now = time.time() if now is None else float(now)
+
+    def age_seconds(self) -> float:
+        return max(self._now - self.created_at, 0.0)
+
+    def time_since_last_use(self) -> float:
+        return max(self._now - self.last_used, 0.0)
+
+
+def _clamp01(x: float) -> float:
+    return min(max(x, 0.0), 1.0)
+
+
+class FixedRate:
+    """+success_delta on success, −failure_delta on failure, clamped
+    (reinforcement.rs:121-165; defaults 0.1 / 0.05)."""
+
+    name = "FixedRate"
+
+    def __init__(self, success_delta: float = 0.1, failure_delta: float = 0.05):
+        self.success_delta = success_delta
+        self.failure_delta = failure_delta
+
+    def update_confidence(self, old: float, success: bool,
+                          ctx: ReinforcementContext) -> float:
+        return _clamp01(old + (self.success_delta if success
+                               else -self.failure_delta))
+
+
+class AdaptiveLearningRate:
+    """Learning rate halves every ``half_life_usage`` uses, floored at
+    ``min_rate_multiplier`` (reinforcement.rs:167-225)."""
+
+    name = "AdaptiveLearningRate"
+
+    def __init__(self, base_success_rate: float = 0.2,
+                 base_failure_rate: float = 0.1, half_life_usage: int = 10,
+                 min_rate_multiplier: float = 0.1):
+        self.base_success_rate = base_success_rate
+        self.base_failure_rate = base_failure_rate
+        self.half_life_usage = half_life_usage
+        self.min_rate_multiplier = min_rate_multiplier
+
+    def rate_multiplier(self, usage_count: int) -> float:
+        half = max(self.half_life_usage, 1)
+        return max(0.5 ** (usage_count / half), self.min_rate_multiplier)
+
+    def update_confidence(self, old: float, success: bool,
+                          ctx: ReinforcementContext) -> float:
+        m = self.rate_multiplier(ctx.usage_count)
+        delta = self.base_success_rate * m if success \
+            else -self.base_failure_rate * m
+        return _clamp01(old + delta)
+
+
+class TemporalDecay:
+    """Confidence decays toward 0 with time since last use (half-life,
+    capped per update) before the fixed-rate delta applies
+    (reinforcement.rs:227-292; default half-life 30 days, cap 0.1)."""
+
+    name = "TemporalDecay"
+
+    def __init__(self, base: Optional[FixedRate] = None,
+                 decay_half_life: float = 30 * 24 * 3600,
+                 max_decay_per_update: float = 0.1):
+        self.base = base or FixedRate()
+        self.decay_half_life = decay_half_life
+        self.max_decay_per_update = max_decay_per_update
+
+    def decay_factor(self, time_since_last_use: float) -> float:
+        half = max(self.decay_half_life, 1)
+        return min(1.0 - 0.5 ** (time_since_last_use / half),
+                   self.max_decay_per_update)
+
+    def update_confidence(self, old: float, success: bool,
+                          ctx: ReinforcementContext) -> float:
+        decayed = old * (1.0 - self.decay_factor(ctx.time_since_last_use()))
+        delta = self.base.success_delta if success else -self.base.failure_delta
+        return _clamp01(decayed + delta)
+
+
+class ContextualReinforcement:
+    """Weighted recency/usage/success-rate context scales the learning rate
+    (reinforcement.rs:294-366); failures learn at half the rate."""
+
+    name = "ContextualReinforcement"
+
+    def __init__(self, success_rate_weight: float = 0.3,
+                 usage_weight: float = 0.3, recency_weight: float = 0.4,
+                 base_rate: float = 0.15):
+        self.success_rate_weight = success_rate_weight
+        self.usage_weight = usage_weight
+        self.recency_weight = recency_weight
+        self.base_rate = base_rate
+
+    @staticmethod
+    def recency_factor(time_since_last_use: float) -> float:
+        import math
+
+        return math.exp(-(time_since_last_use / 3600.0) / 168.0)
+
+    @staticmethod
+    def usage_factor(usage_count: int) -> float:
+        import math
+
+        return min(math.log1p(usage_count) / 10.0, 1.0)
+
+    def update_confidence(self, old: float, success: bool,
+                          ctx: ReinforcementContext) -> float:
+        score = (self.recency_weight
+                 * self.recency_factor(ctx.time_since_last_use())
+                 + self.usage_weight * self.usage_factor(ctx.usage_count)
+                 + self.success_rate_weight
+                 * (0.5 if ctx.recent_success_rate is None
+                    else ctx.recent_success_rate))
+        rate = self.base_rate * (0.5 + score)
+        return _clamp01(old + (rate if success else -rate * 0.5))
+
+
+class CompositeStrategy:
+    """Weight-normalized blend of strategies (reinforcement.rs:369-430)."""
+
+    name = "Composite"
+
+    def __init__(self):
+        self.strategies: list[tuple[object, float]] = []
+
+    def add_strategy(self, strategy, weight: float) -> "CompositeStrategy":
+        self.strategies.append((strategy, weight))
+        return self
+
+    def update_confidence(self, old: float, success: bool,
+                          ctx: ReinforcementContext) -> float:
+        total = sum(w for _, w in self.strategies)
+        if total <= 0:
+            return old
+        blended = sum(s.update_confidence(old, success, ctx) * w
+                      for s, w in self.strategies) / total
+        return _clamp01(blended)
+
+
+class ProceduralMemory:
+    """Procedures = (name, steps, confidence) rows in the procedural layer
+    (agent/procedural_memory.rs): ``learn`` upserts, ``recall`` is vector
+    top-k filtered by min_confidence, ``reinforce`` rewrites confidence via
+    a strategy and bumps usage stats. Batch-scale reinforcement
+    (``reinforce_batch``) applies one strategy to MANY procedure outcomes
+    in a single upsert — the fleet-feedback shape."""
+
+    def __init__(self, memory: AgentMemory, strategy=None):
+        self.memory = memory
+        self.strategy = strategy or FixedRate()
+
+    def learn(self, proc_id: int, name: str, steps: Sequence[str],
+              vector: Sequence[float], confidence: float = 0.5,
+              ttl_seconds: Optional[float] = None,
+              now: Optional[float] = None) -> "ProceduralMemory":
+        now = time.time() if now is None else float(now)
+        self.memory.remember("procedural", [{
+            "id": int(proc_id), "name": name, "steps": list(steps),
+            "vector": [float(x) for x in vector],
+            "confidence": float(confidence), "usage_count": 0,
+            "last_used": now, "created_at": now,
+        }], ttl_seconds=ttl_seconds, now=now)
+        return self
+
+    def recall(self, vector: Sequence[float], k: int = 10,
+               min_confidence: float = 0.0,
+               now: Optional[float] = None) -> DataFrame:
+        return (self.memory.recall("procedural", vector, k, now=now)
+                .filter(F.col("confidence") >= float(min_confidence)))
+
+    def reinforce(self, proc_id: int, success: bool, strategy=None,
+                  now: Optional[float] = None) -> float:
+        """Single-procedure feedback; returns the new confidence."""
+        row = self.memory.layers["procedural"].get(int(proc_id))
+        if row is None:
+            raise KeyError(f"procedure {proc_id} not found")
+        now = time.time() if now is None else float(now)
+        strategy = strategy or self.strategy
+        ctx = ReinforcementContext(
+            usage_count=int(row.get("usage_count", 0)),
+            last_used=float(row.get("last_used", 0.0)),
+            created_at=float(row.get("created_at", 0.0)), now=now)
+        new_conf = strategy.update_confidence(
+            float(row.get("confidence", 0.5)), success, ctx)
+        updated = {**{k: v for k, v in row.items()},
+                   "confidence": float(new_conf),
+                   "usage_count": ctx.usage_count + 1, "last_used": now}
+        self.memory.layers["procedural"].upsert([updated])
+        return new_conf
+
+    def reinforce_batch(self, outcomes: dict[int, bool], strategy=None,
+                        now: Optional[float] = None) -> dict[int, float]:
+        """Apply feedback for many procedures in one upsert batch."""
+        return {pid: self.reinforce(pid, ok, strategy, now)
+                for pid, ok in outcomes.items()}
