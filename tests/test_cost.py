@@ -1,0 +1,93 @@
+"""Cost model + collection statistics (EPIC-046 parity) and distributed
+stats collection."""
+
+import math
+
+import pytest
+
+from velesdb_spark.plans import cost as C
+
+
+def test_cost_factor_presets():
+    d = C.OperationCostFactors()
+    assert (d.seq_page_cost, d.random_page_cost) == (1.0, 4.0)
+    assert C.OperationCostFactors.ssd_optimized().random_page_cost == 1.5
+    mem = C.OperationCostFactors.in_memory()
+    assert mem.seq_page_cost == 0.1 and mem.random_page_cost == 0.1
+
+
+def test_estimator_formulas():
+    est = C.CostEstimator()
+    stats = C.CollectionStats(row_count=10_000, deleted_count=500,
+                              total_size_bytes=81_920)   # 10 pages
+    scan = est.estimate_scan(stats)
+    assert scan.total == pytest.approx(10 * 1.0 + 10_000 * 0.01)
+    assert scan.rows == 9_500 and scan.startup == 0.0
+
+    idx = est.estimate_index_lookup(C.IndexStats(entry_count=10_000, depth=3),
+                                    selectivity=0.01)
+    assert idx.startup == pytest.approx(3 * 4.0)
+    assert idx.total == pytest.approx(12.0 + 100 * 0.005)
+    assert idx.rows == 100
+    # selectivity clamps
+    tiny = est.estimate_index_lookup(C.IndexStats(10_000, 1), 0.0)
+    assert tiny.rows == 1
+
+    vs = est.estimate_vector_search(k=10, ef_search=64, dataset_size=1024)
+    distances = int(64 * math.log2(1024))
+    assert vs.total == pytest.approx(distances * 0.1)
+    assert vs.startup == pytest.approx(vs.total * 0.1)
+    assert vs.rows == 10
+
+    gt = est.estimate_graph_traversal(avg_degree=3.0, max_depth=2, limit=100)
+    assert gt.total == pytest.approx(9 * 3.0 * 0.02)
+
+    fl = est.estimate_filter(1000, 0.25)
+    assert fl.total == pytest.approx(10.0) and fl.rows == 250
+
+    a, b = C.OperationCost(0, 5, 1), C.OperationCost(0, 7, 1)
+    assert C.CostEstimator.cheaper(a, b) is a
+
+
+def test_plan_generator_picks_selective_filter():
+    """A highly selective filter makes filter_first the winner; with no
+    filter, vector_first beats the scan."""
+    gen = C.PlanGenerator()
+    stats = C.CollectionStats(
+        row_count=1_000_000, total_size_bytes=8_192_000_000,
+        column_cardinality={"tag": 100_000})
+    best = gen.optimize(stats, filter_col="tag", k=10)
+    assert best.plan_type == "filter_first"
+    nofilter = gen.optimize(stats, filter_col=None, k=10)
+    assert nofilter.plan_type == "vector_first"
+    # unknown column → default 0.1 selectivity still generates a plan
+    plans = gen.generate_plans(stats, filter_col="unknown")
+    assert {p.plan_type for p in plans} == {"scan", "filter_first",
+                                           "vector_first"}
+
+
+def test_collect_stats_distributed(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("tag"),
+        (F.col("id") % 3).cast("string").alias("status"))
+    st = C.collect_stats(df, deleted_count=50)
+    assert st.row_count == 1000
+    assert st.live_row_count() == 950
+    assert st.total_size_bytes > 0 and st.avg_row_size > 0
+    # HLL cardinalities are near-exact at these sizes
+    assert st.column_cardinality["tag"] in range(9, 12)
+    assert st.column_cardinality["status"] == 3
+    assert 0.05 <= st.selectivity("tag") * 100 <= 12  # ~1/10
+    assert st.selectivity("missing") == 0.1
+
+
+def test_plan_generator_ann_mode_uses_hnsw_estimate():
+    gen = C.PlanGenerator(exact=False)
+    stats = C.CollectionStats(row_count=1_000_000,
+                              total_size_bytes=8_192_000_000)
+    best = gen.optimize(stats, filter_col=None, k=10)
+    assert best.plan_type == "vector_first"
+    # sublinear: far below the exact-scan cost
+    assert best.cost.total < 1_000_000 * 0.1 / 10
