@@ -365,3 +365,38 @@ def test_pii_scrub(spark):
     assert got[2] == "ssn [SSN] phone [PHONE] alt [PHONE]"
     assert got[3] == "server at [IP] port"
     assert got[4] == "clean text stays clean"
+
+
+def test_ivf_auto_reindex(spark):
+    """Divergence check + rebuild + recall-probe rollback
+    (auto_reindex/mod.rs semantics mapped to IVF nlist)."""
+    import numpy as np
+
+    from velesdb_spark.functions import similarity as S
+
+    assert S.optimal_nlist(10_000) == 100
+    assert S.optimal_nlist(0) == 1
+    assert S.optimal_nlist(10 ** 12) == 65_536
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = S.IvfIndex(df, "embedding", "vec_id", n_centroids=4)
+
+    # conservative threshold: optimal 20 vs current 4 → ratio 5 ≥ 2
+    mgr = S.AutoReindexManager(S.AutoReindexConfig.conservative())
+    rep = mgr.check(idx, df)
+    assert rep["needs_reindex"] and rep["optimal_nlist"] == 20
+
+    new = mgr.maybe_reindex(idx, df, "embedding", "vec_id",
+                            probe_queries=2, nprobe=20)
+    last = mgr.events[-1]
+    if last["event"] == "reindexed":
+        assert len(new.centroids) == 20
+    else:                       # recall-probe rollback kept the old index
+        assert last["event"] == "rolled_back" and new is idx
+
+    # disabled config never triggers
+    off = S.AutoReindexManager(S.AutoReindexConfig.disabled())
+    assert off.maybe_reindex(idx, df, "embedding", "vec_id") is idx
