@@ -594,3 +594,37 @@ def test_procedural_memory_learn_recall_reinforce(spark):
 
     with pytest.raises(KeyError):
         pm.reinforce(99, True)
+
+
+def test_ann_index_scans_prune_partitions(spark, tmp_path):
+    """A probe over a SAVED index must read only its buckets'/lists'
+    partitions — the physical plan shows partition filters on the bucket
+    column, which is what makes a query touch one shard of a 100 TB
+    index instead of scanning it."""
+    import numpy as np
+
+    from velesdb_spark.functions.similarity import IvfIndex, LshIndex
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(round(x, 4)) for x in rng.randn(8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [float(round(x, 4)) for x in rng.randn(8)]
+
+    lsh = LshIndex(df, "embedding", "vec_id", nbits=4)
+    lsh.save(str(tmp_path / "lsh"))
+    back = LshIndex.load(spark, str(tmp_path / "lsh"), "embedding",
+                         "vec_id", nbits=4)
+    plan = back.search(q, 5, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "_bucket" in pf_line and "[]" not in pf_line.split("PartitionFilters:")[1][:6]
+
+    ivf = IvfIndex(df, "embedding", "vec_id", n_centroids=4)
+    ivf.save(str(tmp_path / "ivf"))
+    back_ivf = IvfIndex.load(spark, str(tmp_path / "ivf"), "embedding",
+                             "vec_id")
+    plan2 = back_ivf.search(q, 5, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf2 = next(ln for ln in plan2.splitlines() if "PartitionFilters" in ln)
+    assert "_list" in pf2 and "[]" not in pf2.split("PartitionFilters:")[1][:6]
