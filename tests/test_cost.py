@@ -91,3 +91,30 @@ def test_plan_generator_ann_mode_uses_hnsw_estimate():
     assert best.plan_type == "vector_first"
     # sublinear: far below the exact-scan cost
     assert best.cost.total < 1_000_000 * 0.1 / 10
+
+
+def test_collection_stats_and_query_cost(spark):
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.database import Collection
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("status"),
+        F.array(*[(F.col("id") % 7).cast("float") for _ in range(4)])
+        .alias("vector"))
+    col = Collection(spark, "c", df=df)
+    st = col.stats()
+    assert st.row_count == 2000
+    assert st.column_cardinality["status"] == 4
+    assert col.stats() is st            # cached
+    assert col.stats(refresh=True) is not st
+
+    best, plans = col.estimate_query_cost(
+        "SELECT id FROM c WHERE vector NEAR $v AND status = '1' LIMIT 10")
+    assert {p.plan_type for p in plans} == {"scan", "filter_first",
+                                           "vector_first"}
+    assert best.cost.total == min(p.cost.total for p in plans)
+    # status selectivity 1/4 -> filter-first prunes 3/4 of distance work
+    ff = next(p for p in plans if p.plan_type == "filter_first")
+    vf = next(p for p in plans if p.plan_type == "vector_first")
+    assert ff.cost.total < vf.cost.total

@@ -551,6 +551,32 @@ class Collection:
             self._last_pattern = None  # pattern mining never blocks a query
         return translate(sql, self._catalog(), params, now_epoch=now_epoch)
 
+    def stats(self, refresh: bool = False):
+        """Collection statistics for cost-based planning (stats/mod.rs):
+        one distributed aggregation (HLL cardinalities + Catalyst size),
+        cached until refresh=True or a mutation clears it."""
+        from velesdb_spark.plans.cost import collect_stats
+
+        if refresh or getattr(self, "_stats", None) is None:
+            self._stats = collect_stats(self.df)
+        return self._stats
+
+    def estimate_query_cost(self, sql: str, k: int = 10):
+        """Candidate access strategies with costs for a VelesQL query
+        (query_cost/plan_generator.rs): scan vs filter-first vs
+        vector-first, ranked by the cost model over this collection's
+        statistics. Returns (best, all_candidates)."""
+        from velesdb_spark.plans.advisor import pattern_from_velesql
+        from velesdb_spark.plans.cost import PlanGenerator
+
+        pattern = pattern_from_velesql(sql)
+        filter_col = next(
+            (p for p in pattern.properties
+             if p in self.df.columns), None)
+        gen = PlanGenerator()
+        plans = gen.generate_plans(self.stats(), filter_col, k)
+        return gen.select_best(plans), plans
+
     def guarded_query(self, sql: str, params: Optional[dict] = None,
                       limits=None, rails=None, client_id: str = "default"):
         """query() + collect under guard-rails (guardrails.rs EPIC-048):
