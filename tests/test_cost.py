@@ -118,3 +118,15 @@ def test_collection_stats_and_query_cost(spark):
     ff = next(p for p in plans if p.plan_type == "filter_first")
     vf = next(p for p in plans if p.plan_type == "vector_first")
     assert ff.cost.total < vf.cost.total
+
+
+def test_stats_cache_cleared_on_mutation(spark):
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, tag string")
+    col = Collection(spark, "c", df=df)
+    assert col.stats().row_count == 2
+    col.upsert([{"id": 3, "tag": "c"}])
+    assert col.stats().row_count == 3       # recomputed after mutation
+    col.delete([1])
+    assert col.stats().row_count == 2

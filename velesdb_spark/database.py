@@ -105,6 +105,7 @@ class Collection:
             old = self._df.join(new.select(self.id_col), on=self.id_col, how="left_anti")
             self._df = old.unionByName(new, allowMissingColumns=True)
         self._refresh_bm25(new_docs=new)
+        self._stats = None  # cost statistics reflect the pre-mutation table
         bloom = getattr(self, "_id_bloom", None)
         if bloom is not None:
             if isinstance(points, DataFrame):
@@ -126,6 +127,7 @@ class Collection:
             self._df = self.df.filter(
                 ~F.col(self.id_col).isin([int(i) for i in ids]))
         self._refresh_bm25(deleted_ids=[int(i) for i in ids])
+        self._stats = None
         return self
 
     def _refresh_bm25(self, new_docs: DataFrame | None = None,
