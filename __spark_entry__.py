@@ -838,6 +838,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["content_fingerprint"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", dd.content_fingerprint(F.col("text")).alias("fp"))
 
+    # END-TO-END curation pipeline — the training-data shape the engine
+    # exists for, as ONE lazy plan: score quality + language + fingerprint
+    # + token counts, keep the best-quality representative per exact-dup
+    # fingerprint (window top-1), then filter to quality English docs.
+    # Every stage reuses an individually-gated primitive; this gates their
+    # composition.
+    def _curation_pipeline(s, d):
+        from pyspark.sql import Window
+
+        from velesdb_spark.functions import dedup as dd
+
+        docs = _t(s, d, "documents")
+        scored = docs.select(
+            "doc_id",
+            ta.quality_score(F.col("text")).alias("_q"),
+            ta.lang_id(F.col("text")).alias("lang"),
+            dd.content_fingerprint(F.col("text")).alias("_fp"),
+            ta.token_count(F.col("text")).cast("long").alias("n_tokens"))
+        w = Window.partitionBy("_fp").orderBy(F.desc("_q"), F.asc("doc_id"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .filter((F.col("lang") == "en") & (F.col("_q") >= 0.5))
+                .select("doc_id", F.round("_q", 6).alias("quality"),
+                        "lang", "n_tokens")
+                .orderBy("doc_id"))
+
+    q["curation_pipeline"] = _curation_pipeline
+
     q["token_stats"] = lambda s, d: ta.text_stats_df(
         _t(s, d, "documents"), "text", "doc_id").select(
             F.col("_id").alias("doc_id"), "n_tokens",
@@ -1382,7 +1410,7 @@ _GATE_ORDER = [
     "quality_score", "content_fingerprint", "knn_sq8", "knn_binary_packed",
     "fuzzy_trigram", "hybrid_weighted", "dedup_keep_reps", "graph_var_length",
     "events_sliding", "events_session", "stream_dedup", "ann_ivf_recall",
-    "index_advisor", "bm25_incremental", "ann_lsh",
+    "index_advisor", "bm25_incremental", "ann_lsh", "curation_pipeline",
 ]
 
 
@@ -1971,6 +1999,40 @@ FROM toks"""
 WITH toks AS (SELECT doc_id, {words_plain} AS t FROM documents),
 scored AS (SELECT doc_id, t, {m} AS m FROM toks)
 SELECT doc_id, CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang FROM scored"""
+
+    o["curation_pipeline"] = f"""
+WITH toks AS (SELECT doc_id, text, {words_plain} AS t FROM documents),
+feat AS (
+  SELECT doc_id, t, len(t) AS n_tok,
+    CASE WHEN len(t) > 0
+      THEN len(list_filter(t, x -> list_contains({sw_en}, x))) * 1.0 / len(t)
+      ELSE 0.0 END AS sw,
+    CASE WHEN length(text) > 0
+      THEN (length(text) - length(regexp_replace(text,
+           '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1.0 / length(text)
+      ELSE 0.0 END AS pr,
+    CASE WHEN len(t) > 0
+      THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+      ELSE 0.0 END AS awl,
+    {m} AS m,
+    CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT) AS fp
+  FROM toks),
+scored AS (
+  SELECT doc_id, n_tok, fp,
+    CAST(0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+       AS DOUBLE) AS quality,
+    CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang
+  FROM feat),
+reps AS (
+  SELECT *, row_number() OVER (PARTITION BY fp
+                               ORDER BY quality DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, round(quality, 6) AS quality, lang, n_tok AS n_tokens
+FROM reps WHERE rn = 1 AND lang = 'en' AND quality >= 0.5
+ORDER BY doc_id"""
 
     o["embedding_near_dups_lsh"] = """
 WITH aug AS (
