@@ -260,14 +260,33 @@ def test_collection_upsert_search_loop_incremental(spark, corpus):
 
 
 def test_term_filter_reaches_postings_scan(spark, corpus, tmp_path):
-    """The query-term filter must be pushed into the parquet scans of a
-    saved index (PushedFilters In(term, ...)) — the property that keeps a
-    100 TB postings search from reading the whole table."""
+    """A saved-index search must prune at BOTH levels: partition filters on
+    the term-bucket column (reads only the query terms' directories) AND
+    pushed In(term, ...) filters for row-group skipping — the properties
+    that keep a 100 TB postings search from reading the whole table."""
+    from velesdb_spark.functions.bm25 import term_bucket_py
+
     df, _ = corpus
     path = str(tmp_path / "bm25_saved")
-    Bm25Index(df).save(path)
+    Bm25Index(df).save(path, term_buckets=16)
     idx = Bm25Index.load(spark, path)
+    assert idx.term_buckets == 16
     plan = idx.search("rust programming", 5) \
         ._jdf.queryExecution().executedPlan().toString()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("term" in ln and "In(" in ln for ln in pushed), plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("_tb" in ln for ln in pf), plan
+    # driver-side bucket derivation matches the written layout
+    import os
+    want = {term_bucket_py(t, 16) for t in ("rust", "programming")}
+    dirs = {int(d.split("=")[1]) for d in os.listdir(f"{path}/postings")
+            if d.startswith("_tb=")}
+    assert want <= dirs
+
+    # scores unchanged vs the in-memory index
+    got = [(r.id, round(r._bm25_score, 9))
+           for r in idx.search("rust programming", 5).collect()]
+    want_scores = [(r.id, round(r._bm25_score, 9))
+                   for r in Bm25Index(df).search("rust programming", 5).collect()]
+    assert got == want_scores

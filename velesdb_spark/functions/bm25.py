@@ -50,12 +50,30 @@ def tokenize_py(text: str) -> list[str]:
     return out
 
 
+def term_bucket_expr(col: Column, n_buckets: int) -> Column:
+    """Term → bucket id, md5-based so the SAME bucket is computable
+    driver-side (term_bucket_py) — that is what turns the partitioned
+    postings layout into real partition pruning: a query's terms map to
+    literal bucket ids the scan can prune on."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % n_buckets)
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of term_bucket_expr."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
 class Bm25Index:
     """Corpus statistics for BM25 over (id, text) — all lazy DataFrames.
 
     Mirrors Bm25Index in the reference (index/bm25.rs): ``add``-time work
     becomes the postings build; ``search`` becomes a score join.
     """
+
+    term_buckets: int | None = None  # set on saved/loaded indexes
 
     def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text",
                  cache: bool = False):
@@ -114,8 +132,16 @@ class Bm25Index:
         terms = list(dict.fromkeys(tokenize_py(query)))
         postings, term_df = self.postings, self.term_df
         if terms:
+            if self.term_buckets and "_tb" in postings.columns:
+                # literal bucket ids → PARTITION pruning on the saved
+                # layout, not just row-group skipping
+                bkts = sorted({term_bucket_py(t, self.term_buckets)
+                               for t in terms})
+                postings = postings.filter(F.col("_tb").isin(bkts))
             postings = postings.filter(F.col("term").isin(terms))
             term_df = term_df.filter(F.col("term").isin(terms))
+        if "_tb" in postings.columns:
+            postings = postings.drop("_tb")
         qterms = F.broadcast(
             self.query_terms_df(query)
             .join(term_df, "term", "inner")  # df per present term
@@ -215,6 +241,9 @@ class Bm25Index:
         The reference persists its index on flush (crud.rs flush →
         index/bm25.rs serialization); this is that, as columnar artifacts.
         """
+        import json
+        import os
+
         # persist the shared tokenize/explode lineage: term_df derives from
         # postings and stats from doc_lengths — without this, the four
         # writes would each re-scan and re-shuffle the whole corpus
@@ -222,7 +251,7 @@ class Bm25Index:
         doc_lengths = self.doc_lengths.persist()
         try:
             (postings
-             .withColumn("_tb", F.abs(F.xxhash64("term")) % term_buckets)
+             .withColumn("_tb", term_bucket_expr(F.col("term"), term_buckets))
              .write.mode("overwrite").partitionBy("_tb")
              .parquet(f"{path}/postings"))
             doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
@@ -234,18 +263,30 @@ class Bm25Index:
         finally:
             postings.unpersist()
             doc_lengths.unpersist()
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump({"term_buckets": term_buckets}, f)
         return path
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "id") -> "Bm25Index":
-        """Open a saved index without recomputing corpus statistics."""
+        """Open a saved index without recomputing corpus statistics. The
+        bucket column rides along so scores() can prune partitions."""
+        import json
+        import os
+
         idx = cls.__new__(cls)
         idx.id_col = id_col
         idx.spark = spark
-        idx.postings = spark.read.parquet(f"{path}/postings").drop("_tb")
+        idx.postings = spark.read.parquet(f"{path}/postings")
         idx.doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
         idx.term_df = spark.read.parquet(f"{path}/term_df")
         idx.stats = spark.read.parquet(f"{path}/stats")
+        try:
+            with open(os.path.join(path, "_meta.json")) as f:
+                idx.term_buckets = json.load(f)["term_buckets"]
+        except (FileNotFoundError, KeyError):
+            idx.term_buckets = None  # pre-meta layout: no pruning
+            idx.postings = idx.postings.drop("_tb")
         return idx
 
 
@@ -301,11 +342,15 @@ class IncrementalBm25Index:
 
         snap = f"snapshot/v={version}"
         base = os.path.join(self.path, snap)
-        buckets = getattr(self, "term_buckets", 64)
-        postings = src.postings.persist()
+        buckets = getattr(self, "term_buckets", 64) or 64
+        src_postings = src.postings
+        if "_tb" in src_postings.columns:
+            src_postings = src_postings.drop("_tb")
+        postings = src_postings.persist()
         doc_lengths = src.doc_lengths.persist()
         try:
-            (postings.withColumn("_tb", F.abs(F.xxhash64("term")) % buckets)
+            (postings.withColumn("_tb",
+                                 term_bucket_expr(F.col("term"), buckets))
              .write.mode("overwrite").partitionBy("_tb")
              .parquet(f"{base}/postings"))
             doc_lengths.write.mode("overwrite").parquet(f"{base}/doc_lengths")
@@ -320,7 +365,7 @@ class IncrementalBm25Index:
             postings.unpersist()
             doc_lengths.unpersist()
         commit_manifest(self.path, {"snapshot": snap, "segments": [],
-                                    "seq": seq})
+                                    "seq": seq, "term_buckets": buckets})
 
     # ------------------------------------------------------------ writes
     _LOG_SCHEMA = ("_doc_id bigint, term string, tf bigint, dl bigint, "
@@ -377,7 +422,8 @@ class IncrementalBm25Index:
 
         if m["snapshot"]:
             base = os.path.join(self.path, m["snapshot"])
-            return (self.spark.read.parquet(f"{base}/postings").drop("_tb"),
+            # _tb stays: scores() prunes snapshot partitions on it
+            return (self.spark.read.parquet(f"{base}/postings"),
                     self.spark.read.parquet(f"{base}/doc_lengths"),
                     self.spark.read.parquet(f"{base}/term_df"),
                     self.spark.read.parquet(f"{base}/stats"))
@@ -402,9 +448,13 @@ class IncrementalBm25Index:
 
         m = read_manifest(self.path)
         snap_postings, snap_dl, snap_tdf, snap_stats = self._snapshot_frames(m)
+        buckets = m.get("term_buckets")
         idx = Bm25Index.__new__(Bm25Index)
         idx.id_col = self.id_col
         idx.spark = self.spark
+        idx.term_buckets = buckets
+        if buckets is None and "_tb" in snap_postings.columns:
+            snap_postings = snap_postings.drop("_tb")  # pre-meta layout
         if not m["segments"]:
             idx.postings = snap_postings
             idx.doc_lengths = snap_dl
@@ -420,6 +470,11 @@ class IncrementalBm25Index:
         live = latest.filter(F.col("_op") != "delete")
         shadowed = log.select("_doc_id").distinct()
         add_postings = live.select("term", "_doc_id", "tf")
+        if buckets is not None:
+            # delta rows get the same bucket column so the composed frame
+            # stays uniformly bucketed (union requires matching schemas)
+            add_postings = add_postings.withColumn(
+                "_tb", term_bucket_expr(F.col("term"), buckets))
         add_dl = live.select("_doc_id", "dl").distinct()
         idx.postings = snap_postings.join(
             F.broadcast(shadowed), "_doc_id", "left_anti") \
@@ -470,6 +525,8 @@ class IncrementalBm25Index:
         m = read_manifest(self.path)
         if not m["segments"]:
             return
+        if m.get("term_buckets"):
+            self.term_buckets = m["term_buckets"]  # keep the built layout
         cur = int(m["snapshot"].rsplit("=", 1)[1]) if m["snapshot"] else 0
         self._write_snapshot(self.as_bm25(), version=cur + 1, seq=m["seq"])
 
