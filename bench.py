@@ -105,10 +105,10 @@ def main() -> None:
     qs = dict(qs)
     qs["hybrid_rrf_indexed"] = _hybrid_indexed
 
-    # pinned measurement protocol: 2 runs per query, report the best (run 1
-    # soaks per-query file-scan/codegen caches; best-of-2 strips host-load
+    # pinned measurement protocol: 3 runs per query, report the best (run 1
+    # soaks per-query file-scan/codegen caches; best-of-3 strips host-load
     # noise so round-over-round deltas are attributable); loadavg recorded
-    RUNS = 2
+    RUNS = 3
     times: dict[str, float] = {}
     total = 0.0
     for name in headline:

@@ -115,6 +115,12 @@ def test_collection_query_mining_and_suggestions(spark):
     sql = "SELECT id FROM c WHERE tag = 'a' AND val > 5.0"
     col.query(sql)
     col.record_query_time(sql, 250)
+    # one execution → ONE observation: query() counts it at 0 ms and
+    # record_query_time only attaches the duration (no doubled count /
+    # halved avg vs the reference's record-once-per-execution)
+    st = col.pattern_tracker.patterns[A.pattern_from_velesql(sql)]
+    assert st.count == 1
+    assert st.avg_time_ms == 250
     sugg = col.suggest_indexes()
     assert len(sugg) == 1
     assert sugg[0].ddl == "CREATE INDEX idx_c_tag_val ON :c(tag, val)"

@@ -259,6 +259,33 @@ def test_collection_upsert_search_loop_incremental(spark, corpus):
     assert set(got) == set(top)
 
 
+def test_incremental_update_on_loaded_index(spark, corpus, tmp_path):
+    """incremental_update on a Bm25Index.load()ed (bucketed) index must
+    compose — the saved postings carry the _tb partition column, so the
+    delta's postings get the SAME bucket expression before the union (a
+    naive unionByName would raise AnalysisException) and term_buckets
+    rides onto the composed index so pruning survives the mutation."""
+    df, docs = corpus
+    path = str(tmp_path / "bm25_upd")
+    Bm25Index(df).save(path, term_buckets=16)
+    idx = Bm25Index.load(spark, path)
+
+    batch = [(2, "rust data pipelines"), (8, "go and rust tooling")]
+    upd = idx.incremental_update(
+        spark.createDataFrame(batch, "id bigint, text string"),
+        deleted_ids=[4])
+    assert upd.term_buckets == 16
+    state = dict(docs)
+    state.update(dict(batch))
+    del state[4]
+    q = "rust programming"
+    got = {r.id: r._bm25_score for r in upd.scores(q).collect()}
+    want = _full_rebuild_scores(spark, state, q)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
 def test_term_filter_reaches_postings_scan(spark, corpus, tmp_path):
     """A saved-index search must prune at BOTH levels: partition filters on
     the term-bucket column (reads only the query terms' directories) AND

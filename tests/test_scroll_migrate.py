@@ -159,6 +159,39 @@ def test_pinecone_list_fetch_pagination(spark):
     assert rows["b"].vector == [5.0, 6.0]
 
 
+def test_pinecone_urls_percent_encoded():
+    """ids/namespace/pagination tokens with '&', '#', '+', spaces must be
+    percent-encoded — raw interpolation would truncate the query string or
+    fetch the wrong vectors."""
+    from urllib.parse import parse_qs, urlsplit
+
+    raw_id = "a&b #c+d"
+    listing_pages = [
+        {"vectors": [{"id": raw_id}], "pagination": {"next": "t&k="}},
+        {"vectors": []},
+    ]
+    seen = []
+
+    def transport(method, url, headers, body):
+        seen.append(url)
+        assert "#" not in url and " " not in url
+        if "/vectors/list" in url:
+            return listing_pages[0] if "paginationToken" not in url \
+                else listing_pages[1]
+        qs = parse_qs(urlsplit(url).query)
+        assert qs["ids"] == [raw_id]          # round-trips exactly
+        assert qs["namespace"] == ["n s&1"]
+        return {"vectors": {raw_id: {"values": [1.0], "metadata": None}}}
+
+    src = S.PineconeScrollSource("http://pc", namespace="n s&1",
+                                 page_size=2, transport=transport)
+    pages = list(src.pages())
+    assert [len(p) for p in pages] == [1]
+    list_urls = [u for u in seen if "/vectors/list" in u]
+    tok = parse_qs(urlsplit(list_urls[1]).query)["paginationToken"]
+    assert tok == ["t&k="]                    # token round-trips too
+
+
 # ------------------------------------------------------------ chromadb
 
 

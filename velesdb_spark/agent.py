@@ -327,6 +327,35 @@ class ProceduralMemory:
 
     def reinforce_batch(self, outcomes: dict[int, bool], strategy=None,
                         now: Optional[float] = None) -> dict[int, float]:
-        """Apply feedback for many procedures in one upsert batch."""
-        return {pid: self.reinforce(pid, ok, strategy, now)
-                for pid, ok in outcomes.items()}
+        """Apply feedback for many procedures in ONE batch: a single
+        isin-filtered fetch of the touched rows, confidences computed
+        driver-side, then a single upsert — one log segment / one
+        lineage step for the whole fleet's feedback, not one Spark
+        round-trip per procedure."""
+        if not outcomes:
+            return {}
+        now = time.time() if now is None else float(now)
+        strategy = strategy or self.strategy
+        layer = self.memory.layers["procedural"]
+        ids = [int(p) for p in outcomes]
+        fetched = {int(r[layer.id_col]): r.asDict(recursive=True)
+                   for r in layer.df.filter(
+                       F.col(layer.id_col).isin(ids)).collect()}
+        missing = [p for p in ids if p not in fetched]
+        if missing:
+            raise KeyError(f"procedure {missing[0]} not found")
+        updates, confs = [], {}
+        for pid, ok in outcomes.items():
+            row = fetched[int(pid)]
+            ctx = ReinforcementContext(
+                usage_count=int(row.get("usage_count", 0)),
+                last_used=float(row.get("last_used", 0.0)),
+                created_at=float(row.get("created_at", 0.0)), now=now)
+            new_conf = strategy.update_confidence(
+                float(row.get("confidence", 0.5)), ok, ctx)
+            updates.append({**row, "confidence": float(new_conf),
+                            "usage_count": ctx.usage_count + 1,
+                            "last_used": now})
+            confs[pid] = new_conf
+        layer.upsert(updates)
+        return confs

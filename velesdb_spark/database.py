@@ -592,11 +592,14 @@ class Collection:
     def record_query_time(self, sql: str, execution_time_ms: int) -> None:
         """Attach a measured execution time to a query's pattern (the
         reference records per-execution timings; Spark actions run outside
-        query(), so the caller reports the duration)."""
+        query(), so the caller reports the duration). query() already
+        counted the execution at 0 ms, so this only moves the timing
+        fields — one observation per execution, matching
+        property_index.rs."""
         from velesdb_spark.plans.advisor import pattern_from_velesql
 
-        self.pattern_tracker.record(pattern_from_velesql(sql),
-                                    execution_time_ms)
+        self.pattern_tracker.attach_time(pattern_from_velesql(sql),
+                                         execution_time_ms)
 
     def suggest_indexes(self):
         """Ranked IndexSuggestions from the mined patterns, excluding

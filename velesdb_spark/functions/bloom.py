@@ -124,8 +124,12 @@ def build_bloom_df(df: DataFrame, col: str, capacity: int | None = None,
     if capacity is None:
         capacity = df.select(F.count(col)).first()[0]
     bf = BloomFilter(max(int(capacity), 1), false_positive_rate)
-    rows = (df.select(bloom_positions(F.col(col), bf.num_bits,
-                                      bf.num_hashes).alias("_p"))
+    # NULLs are not members: without the filter they would hash as the
+    # string 'None' and insert spurious bits while _count (non-null count)
+    # excludes them — silently inflating the real FPR vs estimated_fpr()
+    rows = (df.where(F.col(col).isNotNull())
+            .select(bloom_positions(F.col(col), bf.num_bits,
+                                    bf.num_hashes).alias("_p"))
             .select(F.explode("_p").alias("_b")).distinct().collect())
     for r in rows:
         bf._set(int(r._b))

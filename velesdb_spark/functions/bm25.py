@@ -102,8 +102,28 @@ class Bm25Index:
         if cache:
             self.postings = self.postings.cache()
             self.doc_lengths = self.doc_lengths.cache()
-            self.term_df = self.term_df.cache()
             self.stats = self.stats.cache()
+            # Serving layout, built ONCE at add time (the reference's
+            # add/search split, index/bm25.rs):
+            # - term_df and the search base are range-partitioned by term
+            #   and sorted within partitions — a sorted term dictionary —
+            #   so the in-memory scan's per-batch min/max stats prune a
+            #   query's In(term, ...) filter to the few batches actually
+            #   holding its terms (measured 2× on the sf0.1 corpus);
+            # - the search base carries dl inline with the postings (the
+            #   classic norms-in-postings layout), so a search needs NO
+            #   doc-side join: filter → map-lookup → one aggregation.
+            # Partition counts track cluster width, not a constant, so the
+            # layout survives a wide cluster; the range shuffle + sort are
+            # paid once and amortized across every search.
+            par = spark.sparkContext.defaultParallelism
+            self.term_df = (self.term_df
+                            .repartitionByRange(max(2, par // 16), "term")
+                            .sortWithinPartitions("term").cache())
+            self._postings_dl = (self.postings
+                                 .join(self.doc_lengths, "_doc_id")
+                                 .repartitionByRange(max(8, par // 4), "term")
+                                 .sortWithinPartitions("term").cache())
 
     def query_terms_df(self, query: str) -> DataFrame:
         """Query token bag with multiplicities (duplicate terms multiply)."""
@@ -115,55 +135,89 @@ class Bm25Index:
         return self.spark.createDataFrame(rows, "term string, qtf int") if rows else \
             self.spark.createDataFrame([], "term string, qtf int")
 
+    def _corpus_stats(self) -> tuple[int, float]:
+        """(n_docs, avgdl), collected once per index instance. The
+        reference keeps these as plain struct fields read per search
+        (bm25.rs:298-303); here they are a 1-row aggregate memoized on
+        first use — bounded driver state, never corpus-sized."""
+        vals = getattr(self, "_stats_vals", None)
+        if vals is None:
+            row = self.stats.select("n_docs", "avgdl").first()
+            vals = (int(row["n_docs"] or 0), float(row["avgdl"] or 0.0))
+            self._stats_vals = vals
+        return vals
+
+    def _empty_scores(self) -> DataFrame:
+        return (self.doc_lengths
+                .select(F.col("_doc_id").alias(self.id_col)).limit(0)
+                .withColumn("_bm25_score", F.lit(0.0)))
+
     def scores(self, query: str) -> DataFrame:
         """Per-document BM25 scores for ``query`` → (id, _bm25_score).
 
-        Docs containing none of the query terms are absent (score join is
-        inner); score > 0 filter matches the reference (bm25.rs:321-327).
+        Docs containing none of the query terms are absent; score > 0
+        filter matches the reference (bm25.rs:321-327).
 
-        Scale shape: the query's terms are known driver-side, so the
-        term-membership filter is applied EXPLICITLY to postings and
-        term_df before any join — Catalyst pushes it through aggregations
-        down to the parquet scans (PushedFilters: In(term, ...)), so a
-        search over a saved or snapshot+delta index reads only row groups
-        containing its terms instead of the whole postings table. An
-        inner join alone would not reach the scan.
+        Scale shape: the query's terms are known driver-side, so
+        - the term-membership filter is applied EXPLICITLY to the
+          postings before any other op — Catalyst pushes it through to
+          the parquet scans (PushedFilters: In(term, ...)), so a search
+          over a saved or snapshot+delta index reads only row groups
+          (and, via the literal ``_tb`` bucket ids, only PARTITIONS)
+          containing its terms instead of the whole postings table;
+        - per-term IDF·qtf weights are folded driver-side from a bounded
+          (≤ |query terms| rows) term_df lookup — exactly the reference's
+          in-memory df hashmap read (bm25.rs:298-303) — so the search
+          plan carries no query-terms dimension join at all;
+        - on a cached index the denormalized ``_postings_dl`` base also
+          removes the doc_lengths join: the whole search is filter →
+          literal-map lookup → one partial aggregation.
         """
-        terms = list(dict.fromkeys(tokenize_py(query)))
-        postings, term_df = self.postings, self.term_df
-        if terms:
-            if self.term_buckets and "_tb" in postings.columns:
-                # literal bucket ids → PARTITION pruning on the saved
-                # layout, not just row-group skipping
-                bkts = sorted({term_bucket_py(t, self.term_buckets)
-                               for t in terms})
-                postings = postings.filter(F.col("_tb").isin(bkts))
-            postings = postings.filter(F.col("term").isin(terms))
-            term_df = term_df.filter(F.col("term").isin(terms))
-        if "_tb" in postings.columns:
-            postings = postings.drop("_tb")
-        qterms = F.broadcast(
-            self.query_terms_df(query)
-            .join(term_df, "term", "inner")  # df per present term
-        )
+        import math
+
+        counts: dict[str, int] = {}
+        for t in tokenize_py(query):
+            counts[t] = counts.get(t, 0) + 1
+        terms = list(counts)
+        if not terms:
+            return self._empty_scores()
+        n_docs, avgdl = self._corpus_stats()
+        if n_docs == 0 or avgdl == 0.0:
+            return self._empty_scores()
+        # bounded driver lookup: df for the query's terms only
+        dfs = {r["term"]: int(r["df"])
+               for r in self.term_df.filter(F.col("term").isin(terms))
+                                    .collect()}
+        weights = {
+            t: counts[t] * math.log(
+                (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            for t in terms if t in dfs
+        }
+        if not weights:
+            return self._empty_scores()
+
+        base = getattr(self, "_postings_dl", None)
+        src = base if base is not None else self.postings
+        if self.term_buckets and "_tb" in src.columns:
+            # literal bucket ids → PARTITION pruning on the saved layout,
+            # not just row-group skipping
+            bkts = sorted({term_bucket_py(t, self.term_buckets)
+                           for t in weights})
+            src = src.filter(F.col("_tb").isin(bkts))
+        src = src.filter(F.col("term").isin(list(weights)))
+        if "_tb" in src.columns:
+            src = src.drop("_tb")
+        if base is None:
+            src = src.join(self.doc_lengths, "_doc_id")
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
         scored = (
-            postings.join(qterms, "term", "inner")
-            .join(self.doc_lengths, "_doc_id")
-            .crossJoin(F.broadcast(self.stats))
-            .withColumn(
-                "_idf",
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-                ),
-            )
-            .withColumn(
+            src.withColumn(
                 "_term_score",
-                F.col("qtf")
-                * F.col("_idf")
+                wmap[F.col("term")]
                 * (F.col("tf") * (K1 + 1.0))
                 / (
                     F.col("tf")
-                    + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+                    + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
                 ),
             )
             .groupBy("_doc_id")
@@ -214,13 +268,25 @@ class Bm25Index:
                    .join(F.broadcast(shadowed), "_doc_id", "left_semi")
                    .groupBy("term").agg(F.count("*").alias("_rem")))
         if delta is not None:
-            out.postings = kept_postings.unionByName(delta.postings)
+            delta_postings = delta.postings
+            if "_tb" in kept_postings.columns:
+                if self.term_buckets:
+                    # loaded (bucketed) index: compute the SAME bucket for
+                    # the delta rows so the union keeps the pruning column
+                    # (what as_bm25() does for log deltas)
+                    delta_postings = delta_postings.withColumn(
+                        "_tb", term_bucket_expr(F.col("term"),
+                                                self.term_buckets))
+                else:
+                    kept_postings = kept_postings.drop("_tb")
+            out.postings = kept_postings.unionByName(delta_postings)
             out.doc_lengths = kept_dl.unionByName(delta.doc_lengths)
             add_tdf = delta.term_df.withColumnRenamed("df", "_add")
         else:
             out.postings = kept_postings
             out.doc_lengths = kept_dl
             add_tdf = spark.createDataFrame([], "term string, _add bigint")
+        out.term_buckets = self.term_buckets
         out.term_df = (
             self.term_df.join(rem_tdf, "term", "full")
             .join(add_tdf, "term", "full")

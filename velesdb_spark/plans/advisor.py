@@ -76,6 +76,20 @@ class QueryPatternTracker:
         st.avg_time_ms = st.total_time_ms / st.count
         st.last_seen_ms = int(time.time() * 1000) if now_ms is None else now_ms
 
+    def attach_time(self, pattern: QueryPattern, execution_time_ms: int,
+                    now_ms: Optional[int] = None) -> None:
+        """Attach a measured duration to an already-recorded execution
+        WITHOUT adding a new observation — the reference records once per
+        execution (property_index.rs:932-995); here query() counts the
+        execution at 0 ms and the caller reports the timing afterwards,
+        so only the timing fields move."""
+        st = self.patterns.setdefault(pattern, PatternStats())
+        if st.count == 0:  # timing reported for a query never record()ed
+            st.count = 1
+        st.total_time_ms += int(execution_time_ms)
+        st.avg_time_ms = st.total_time_ms / st.count
+        st.last_seen_ms = int(time.time() * 1000) if now_ms is None else now_ms
+
     def expensive_patterns(self) -> list[tuple[QueryPattern, PatternStats]]:
         return sorted(self.patterns.items(),
                       key=lambda kv: -kv[1].total_time_ms)

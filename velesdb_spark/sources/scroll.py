@@ -158,18 +158,26 @@ class PineconeScrollSource:
         return {"Api-Key": self.api_key} if self.api_key else {}
 
     def pages(self, token: Optional[str] = None) -> Iterator[list[dict]]:
+        from urllib.parse import quote
+
         while True:
+            # query params are percent-encoded: ids/namespaces/tokens may
+            # contain '&', '#', '+', spaces — raw interpolation would
+            # silently fetch the wrong vectors
             url = (f"{self.base}/vectors/list?limit={self.page_size}"
-                   + (f"&namespace={self.namespace}" if self.namespace else "")
-                   + (f"&paginationToken={token}" if token else ""))
+                   + (f"&namespace={quote(self.namespace, safe='')}"
+                      if self.namespace else "")
+                   + (f"&paginationToken={quote(token, safe='')}"
+                      if token else ""))
             listing = with_retry(
                 lambda: self.transport("GET", url, self._headers(), None),
                 self.retry, self.sleep)
             ids = [v["id"] for v in listing.get("vectors", [])]
             if ids:
                 fetch_url = (f"{self.base}/vectors/fetch?"
-                             + "&".join(f"ids={i}" for i in ids)
-                             + (f"&namespace={self.namespace}"
+                             + "&".join(f"ids={quote(i, safe='')}"
+                                        for i in ids)
+                             + (f"&namespace={quote(self.namespace, safe='')}"
                                 if self.namespace else ""))
                 fetched = with_retry(
                     lambda: self.transport("GET", fetch_url, self._headers(),

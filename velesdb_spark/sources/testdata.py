@@ -1,9 +1,10 @@
 """Loader for the driver's testdata parquet tables.
 
-The driver's parquet files use INT64 TIMESTAMP(NANOS) which Spark 4 refuses
-by default; we read them as longs (spark.sql.legacy.parquet.nanosAsLong) and
-convert to proper TimestampType so SQL semantics (and DuckDB comparisons)
-line up.
+The fixtures store their timestamp columns as native TIMESTAMP(MICROS)
+(pyarrow-verified at every sf), which Spark reads directly as
+TimestampType. A defensive bigint branch remains for a hypothetical
+INT64-nanos encoding: it converts via integer ns→us division so SQL
+semantics (and DuckDB comparisons) line up; no session config is touched.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ from velesdb_spark.velesql.translator import Catalog
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# nano-timestamp columns per table
+# timestamp columns per table (defensive re-typing if read as bigint)
 _TS_COLS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
@@ -31,7 +32,6 @@ _TABLE_CFG = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
