@@ -209,23 +209,34 @@ class IvfIndex:
 
     def __init__(self, df: DataFrame, vector_col: str = "embedding",
                  id_col: str = "id", n_centroids: int = 16, seed: int = LSH_SEED,
-                 max_iter: int = 8, train_sample: int = 4096):
+                 max_iter: int = 8, train_sample: int = 4096,
+                 centroids: Optional[np.ndarray] = None):
         self.vector_col = vector_col
         self.id_col = id_col
-        # deterministic sample: top train_sample rows by xxhash64(id) —
-        # TakeOrderedAndProject, not a full sort
-        sample = (df.select(F.col(vector_col).alias("_v"),
-                            F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
-                  .orderBy("_h").limit(train_sample).collect())
-        pts = np.array([r["_v"] for r in sample], dtype=float)
-        self.centroids = _kmeans_np(pts, n_centroids, seed, max_iter)
+        if centroids is not None:
+            # explicit centroids: callers that bootstrap from sampled data
+            # points (a standard IVF init) or need externally re-derivable
+            # assignment (the DuckDB oracle re-ranks against the same
+            # centroid table) skip the k-means entirely
+            self.centroids = np.asarray(centroids, dtype=float)
+        else:
+            # deterministic sample: top train_sample rows by xxhash64(id)
+            # — TakeOrderedAndProject, not a full sort
+            sample = (df.select(
+                F.col(vector_col).alias("_v"),
+                F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+                .orderBy("_h").limit(train_sample).collect())
+            pts = np.array([r["_v"] for r in sample], dtype=float)
+            self.centroids = _kmeans_np(pts, n_centroids, seed, max_iter)
         self.assigned = df.withColumn(
             "_list", nearest_centroid(F.col(vector_col), self.centroids))
 
     def search(self, q: Sequence[float], k: int = 10, nprobe: int = 2) -> DataFrame:
         qa = np.asarray(q, dtype=float)
         d = np.linalg.norm(self.centroids - qa, axis=1)
-        lists = [int(i) for i in np.argsort(d)[:nprobe]]
+        # stable sort: (distance, list_id) tie order is deterministic and
+        # matches a relational ORDER BY dist, list_id re-derivation
+        lists = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
         cand = self.assigned.filter(F.col("_list").isin(lists))
         scored = cand.withColumn(
             "score", cosine_similarity(F.col(self.vector_col), vector_lit(q)))
