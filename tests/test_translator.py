@@ -84,6 +84,23 @@ def test_count_col_nonnull(spark):
     assert out[0].n == 2
 
 
+def test_having_subquery_bound(catalog, duck):
+    """HAVING <agg> op (SELECT ...) — lazy 1-row join, values vs DuckDB."""
+    sql = ("SELECT o_custkey, SUM(o_totalprice) AS s FROM orders "
+           "GROUP BY o_custkey "
+           "HAVING SUM(o_totalprice) > (SELECT MAX(o_totalprice) FROM orders) "
+           "ORDER BY s DESC, o_custkey LIMIT 20")
+    assert_matches_oracle(translate(sql, catalog), duck, sql)
+
+
+def test_in_list_with_subquery_element(catalog, duck):
+    """IN (literal, (SELECT ...)) — subquery element as a lazy scalar."""
+    sql = ("SELECT o_orderkey FROM orders WHERE o_custkey IN "
+           "(1, (SELECT MIN(c_custkey) FROM customer)) "
+           "ORDER BY o_orderkey LIMIT 20")
+    assert_matches_oracle(translate(sql, catalog), duck, sql)
+
+
 def test_join_inner(catalog, duck):
     sdf = translate(
         "SELECT c.c_name AS name, n.n_name AS nation FROM customer AS c "
@@ -303,6 +320,14 @@ def test_translation_runs_zero_jobs(catalog, spark):
         "SELECT o_orderkey FROM orders AS o WHERE o_totalprice > "
         "(SELECT AVG(o_totalprice) FROM orders AS o2 "
         "WHERE o2.o_custkey = o.o_custkey) LIMIT 5",
+        # value positions: HAVING bound and IN-list element — the last
+        # formerly-eager translation paths
+        "SELECT o_custkey, SUM(o_totalprice) AS s FROM orders "
+        "GROUP BY o_custkey "
+        "HAVING SUM(o_totalprice) > (SELECT AVG(o_totalprice) FROM orders) "
+        "LIMIT 5",
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(1, (SELECT MIN(c_custkey) FROM customer)) LIMIT 5",
     ]
     sc = spark.sparkContext
     group = "translation-purity-check"

@@ -115,14 +115,25 @@ class Translator:
                 return TemporalEpoch(out)
             return out
         if isinstance(v, ast.Subquery):
-            sub = self.select(v.stmt, apply_default_limit=False)
-            rows = sub.limit(2).collect()
-            if not rows:
-                return None
-            if len(rows[0]) != 1:
-                raise TranslationError("scalar subquery must return one column")
-            return rows[0][0]
+            # every supported scalar-subquery position (comparison, IN,
+            # BETWEEN, HAVING, subquery-vs-subquery) builds a lazy 1-row
+            # broadcast join at its call site — translation never runs a
+            # Spark job (asserted by test_translation_runs_zero_jobs)
+            raise TranslationError(
+                "scalar subquery not supported in this position")
         return v
+
+    def scalar_subquery_join(self, base: DataFrame, stmt: ast.Select,
+                             tag: str) -> DataFrame:
+        """Attach a non-correlated scalar subquery to ``base`` as a LAZY
+        broadcast 1-row left join under column ``tag`` (the same shape as
+        the WHERE walker's _scalar_join; an empty subquery yields a NULL
+        scalar, matching SQL three-valued comparison semantics)."""
+        sub = self.select(stmt, apply_default_limit=False)
+        if len(sub.columns) != 1:
+            raise TranslationError("scalar subquery must return one column")
+        one = F.broadcast(sub.limit(1).withColumnRenamed(sub.columns[0], tag))
+        return base.join(one, F.lit(True), "left")
 
     # ------------------------------------------------------------ entry
     def query(self, q: ast.Query) -> DataFrame:
@@ -281,12 +292,16 @@ class Translator:
         if s.having:
             for t in s.having.terms:
                 name = t.agg.output_name
+                # subquery bounds stay as AST here; they become lazy 1-row
+                # joins against the aggregated frame below
+                hval = t.value if isinstance(t.value, ast.Subquery) \
+                    else self.value(t.value)
                 if name not in seen:
                     internal = f"_vql_h_{len(having_extra)}"
                     having_extra.append(agg_expr(ast.Aggregate(t.agg.func, t.agg.arg, internal)))
-                    having_terms.append((internal, t.op, self.value(t.value)))
+                    having_terms.append((internal, t.op, hval))
                 else:
-                    having_terms.append((name, t.op, self.value(t.value)))
+                    having_terms.append((name, t.op, hval))
 
         if group_cols:
             keys = [_col(g).alias(g) for g in group_cols]
@@ -303,16 +318,32 @@ class Translator:
                 raise TranslationError("mixed select requires GROUP BY")
             grouped = base.agg(*(aggs + having_extra))
 
+        having_sq_tags = []
         if s.having:
             cond = None
             conds = []
             for name, op, val in having_terms:
-                conds.append(self._compare_col(F.col(name), op, val))
+                if isinstance(val, ast.Subquery):
+                    # HAVING <agg> op (SELECT ...): lazy broadcast 1-row
+                    # join on the aggregated frame — no job at translation
+                    tag = f"_vql_hsq_{len(having_sq_tags)}"
+                    having_sq_tags.append(tag)
+                    grouped = self.scalar_subquery_join(grouped, val.stmt, tag)
+                    if op not in _SearchState._COMPARE_OPS:
+                        raise TranslationError(
+                            f"unsupported operator {op!r} on scalar "
+                            "subquery comparison")
+                    conds.append(_SearchState._COMPARE_OPS[op](
+                        F.col(name), F.col(tag)))
+                else:
+                    conds.append(self._compare_col(F.col(name), op, val))
             cond = conds[0]
             for op_kw, c in zip(s.having.ops, conds[1:]):
                 cond = (cond & c) if op_kw == "AND" else (cond | c)
             grouped = grouped.filter(cond)
-        grouped = grouped.drop(*[f"_vql_h_{i}" for i in range(len(having_extra))])
+        grouped = grouped.drop(
+            *[f"_vql_h_{i}" for i in range(len(having_extra))],
+            *having_sq_tags)
 
         order_exprs = []
         for item in s.order_by:
@@ -588,8 +619,19 @@ class _SearchState:
                     subdf, _col(cond.column) == F.col(flag + "_key"), "left"
                 ).drop(flag + "_key")
                 return base, _never_null(F.col(flag))
-            vals = [tr.value(v) for v in cond.values]
-            return base, _col(cond.column).isin(vals)
+            # literal IN list; a (SELECT ...) element becomes a lazy 1-row
+            # scalar join OR-ed with the literal membership test
+            lits = [tr.value(v) for v in cond.values
+                    if not isinstance(v, ast.Subquery)]
+            preds = [_col(cond.column).isin(lits)] if lits else []
+            for v in cond.values:
+                if isinstance(v, ast.Subquery):
+                    base, sc = self._scalar_join(base, v.stmt)
+                    preds.append(_col(cond.column) == sc)
+            pred = preds[0]
+            for p in preds[1:]:
+                pred = pred | p
+            return base, pred
         if isinstance(cond, ast.Between):
             # subquery bounds become lazy 1-row scalar joins, literal
             # bounds stay literals
