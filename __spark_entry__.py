@@ -1160,6 +1160,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_eval"] = _search_eval
 
+    # Latency percentile stats (metrics.rs:321-427) as one distributed
+    # aggregation over a deterministic orders-derived timing log — the
+    # query-telemetry surface that pairs with advisor.suggest_from_log.
+    def _latency_percentiles(s, d):
+        from velesdb_spark.metrics import latency_stats_df
+
+        orders = _t(s, d, "orders")
+        log = orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            (F.floor("o_totalprice").cast("long") % 1000)
+            .cast("double").alias("ms"))
+        return (latency_stats_df(log, "ms", ["grp"])
+                .select("grp", "n", "min_ms", "max_ms",
+                        F.round("mean_ms", 6).alias("mean_ms"),
+                        "p50", "p95", "p99")
+                .orderBy("grp"))
+
+    q["latency_percentiles"] = _latency_percentiles
+
     # programmatic Filter-dict surface (filter/mod.rs Condition JSON as the
     # python bindings accept it) compiled to one native Column expression
     def _filter_api(s, d):
@@ -1491,6 +1510,7 @@ _GATE_ORDER = [
     "scalar_subquery", "limit_offset", "distinct_cols", "count_distinct",
     "rollup_agg", "percentile_price", "order_by_similarity",
     "top_per_group", "quality_score", "content_fingerprint",
+    "latency_percentiles",
     # ---- positions 28-50: driver-proven representatives (r4 green) so
     # every §2 family keeps an in-gate witness
     "filter_scan", "groupby_agg", "correlated_subquery", "tpch_q3",
@@ -1498,7 +1518,7 @@ _GATE_ORDER = [
     "knn_cosine", "near_velesql", "batch_knn", "ann_recall_eval",
     "ivf_topk", "bm25_index_topk", "match_predicate", "hybrid_rrf",
     "graph_match_2hop", "graph_bfs", "exact_dedup", "media_features",
-    "events_hourly", "stream_hourly",
+    "stream_hourly",
     # ---- positions 51+: the rest of the r4-proven set and the
     # union-covered singles, all still covered by the committed
     # tools/check_entry.py sweep each round
@@ -1508,7 +1528,8 @@ _GATE_ORDER = [
     "seq_packing", "token_stats", "span_dedup", "chunk_docs", "pii_scrub",
     "lang_id", "embedding_near_dups_lsh", "train_split", "search_eval",
     "filter_api_dict", "json_path_props", "temporal_recent",
-    "events_windows", "match_reverse", "hybrid_match_near",
+    "events_hourly", "events_windows", "match_reverse",
+    "hybrid_match_near",
 ]
 
 
@@ -2149,6 +2170,23 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # nearest-rank percentiles re-derived from a sorted per-group list:
+    # idx = floor(p·(n−1) + 0.5) + 1 (1-based), the reference's .round()
+    o["latency_percentiles"] = """
+WITH log AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice) % 1000 AS DOUBLE) AS ms
+  FROM orders),
+g AS (
+  SELECT grp, count(*) AS n, min(ms) AS min_ms, max(ms) AS max_ms,
+         round(avg(ms), 6) AS mean_ms, list_sort(list(ms)) AS a
+  FROM log GROUP BY grp)
+SELECT grp, n, min_ms, max_ms, mean_ms,
+       a[LEAST(CAST(FLOOR(0.50 * (n - 1) + 0.5) AS INT) + 1, n)] AS p50,
+       a[LEAST(CAST(FLOOR(0.95 * (n - 1) + 0.5) AS INT) + 1, n)] AS p95,
+       a[LEAST(CAST(FLOOR(0.99 * (n - 1) + 0.5) AS INT) + 1, n)] AS p99
+FROM g ORDER BY grp"""
 
     _toks_se = _DK_BM25_TOKS.format(c="text")
     o["search_eval"] = f"""

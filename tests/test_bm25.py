@@ -259,6 +259,59 @@ def test_collection_upsert_search_loop_incremental(spark, corpus):
     assert set(got) == set(top)
 
 
+def test_incremental_bm25_differential_fuzz(spark, tmp_path):
+    """Randomized upsert/delete/compact sequences: after every mutation the
+    composed snapshot+delta index must score identically to a fresh
+    Bm25Index over the same logical corpus — the same differential-oracle
+    discipline the filter engine gets. Locks the LWW/tombstone/df-arithmetic
+    edges (re-upserts, deletes of absent ids, empty-text upserts, unicode
+    byte-length tokens, compaction mid-stream) a single scripted scenario
+    can't reach."""
+    import random
+
+    from velesdb_spark.functions.bm25 import IncrementalBm25Index
+
+    rng = random.Random(1234)
+    vocab = ["rust", "spark", "python", "data", "query", "join", "index",
+             "fast", "scan", "x1", "yy", "распределение", "日本語", "ab"]
+
+    def rand_text():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+
+    state = {i: rand_text() for i in range(8)}
+    df = spark.createDataFrame(list(state.items()), "id bigint, text string")
+    path = str(tmp_path / "bm25_fuzz")
+    idx = IncrementalBm25Index.build(df, path, term_buckets=4)
+    queries = ["rust spark", "data data", "query join fast", "zzzmissing",
+               "日本語 join", "распределение"]
+
+    checked = 0
+    for _step in range(25):
+        roll = rng.random()
+        if roll < 0.55:
+            batch = {rng.randint(0, 11): rand_text()
+                     for _ in range(rng.randint(1, 3))}
+            idx.upsert_docs(spark.createDataFrame(
+                list(batch.items()), "id bigint, text string"))
+            state.update(batch)
+        elif roll < 0.85:
+            ids = [rng.randint(0, 11) for _ in range(rng.randint(1, 2))]
+            idx.delete_docs(ids)  # deletes of absent ids must be no-ops
+            for i in ids:
+                state.pop(i, None)
+        else:
+            idx.compact()
+        q = rng.choice(queries)
+        got = {r.id: r._bm25_score for r in idx.scores(q).collect()}
+        want = _full_rebuild_scores(spark, state, q)
+        assert set(got) == set(want), f"step {_step}: ids differ for {q!r}"
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-9), \
+                f"step {_step}: score differs for {q!r} doc {i}"
+        checked += 1
+    assert checked == 25
+
+
 def test_incremental_update_on_loaded_index(spark, corpus, tmp_path):
     """incremental_update on a Bm25Index.load()ed (bucketed) index must
     compose — the saved postings carry the _tb partition column, so the

@@ -330,3 +330,57 @@ def test_ndcg_binary_df_matches_scalar(spark):
     dcg = 1 / math.log2(2) + 1 / math.log2(4)
     idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))
     assert abs(got[1] - dcg / idcg) < 1e-12
+
+
+# ------------------------------------------------------------ latency stats
+
+
+def test_latency_percentiles_reference_example():
+    """The metrics.rs doc example: samples 10µs..1000µs step 10 — p50 is
+    the round(0.5·99)=50th sorted element, p95 the 94th, p99 the 98th
+    (nearest-rank with round-half-away, metrics.rs:407-427)."""
+    from velesdb_spark.metrics import compute_latency_percentiles
+
+    s = [i * 10.0 for i in range(1, 101)]
+    st = compute_latency_percentiles(s)
+    assert (st.min, st.max) == (10.0, 1000.0)
+    assert st.mean == pytest.approx(505.0)
+    assert (st.p50, st.p95, st.p99) == (510.0, 950.0, 990.0)
+
+    empty = compute_latency_percentiles([])
+    assert (empty.min, empty.max, empty.mean, empty.p50, empty.p95,
+            empty.p99) == (0.0,) * 6
+
+    one = compute_latency_percentiles([7.5])
+    assert (one.min, one.max, one.p50, one.p99) == (7.5, 7.5, 7.5, 7.5)
+
+
+def test_latency_stats_df_matches_list_form(spark):
+    """The grouped DataFrame aggregation must reproduce the list form
+    exactly per group (same nearest-rank definition); the approx variant
+    stays within the sketch's tolerance on the same data."""
+    import random
+
+    from velesdb_spark.metrics import (compute_latency_percentiles,
+                                       latency_stats_df)
+
+    rng = random.Random(99)
+    rows = [(f"g{i % 3}", float(rng.randint(1, 500))) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, ms double")
+    got = {r.grp: r for r in latency_stats_df(df, "ms", ["grp"]).collect()}
+    by_grp = {}
+    for g, ms in rows:
+        by_grp.setdefault(g, []).append(ms)
+    for g, samples in by_grp.items():
+        want = compute_latency_percentiles(samples)
+        r = got[g]
+        assert r.n == len(samples)
+        assert (r.min_ms, r.max_ms) == (want.min, want.max)
+        assert r.mean_ms == pytest.approx(want.mean, rel=1e-12)
+        assert (r.p50, r.p95, r.p99) == (want.p50, want.p95, want.p99), g
+
+    approx = {r.grp: r for r in
+              latency_stats_df(df, "ms", ["grp"], approx=True).collect()}
+    for g, samples in by_grp.items():
+        want = compute_latency_percentiles(samples)
+        assert abs(approx[g].p50 - want.p50) <= 30  # sketch tolerance

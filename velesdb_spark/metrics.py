@@ -1,10 +1,11 @@
-"""Search-quality metrics — ported operator surface from the reference
-(crates/velesdb-core/src/metrics.rs, exported in lib.rs:223-226):
-recall@k, precision@k, MRR, NDCG@k.
+"""Search-quality + latency metrics — ported operator surface from the
+reference (crates/velesdb-core/src/metrics.rs, exported in
+lib.rs:223-226): recall@k, precision@k, MRR, NDCG@k, and latency
+percentile stats (min/max/mean/p50/p95/p99).
 
 Two forms:
 - Python list form (identical signatures/semantics to the reference) for
-  driver-side evaluation of small result lists.
+  driver-side evaluation of small result lists / timing samples.
 - DataFrame form for evaluating MANY queries at once: input is
   (qid, id, rank) results plus (qid, id) ground truth; output is per-query
   metrics plus a global mean — one join + one groupBy, scales with the
@@ -14,6 +15,7 @@ Two forms:
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -124,6 +126,80 @@ def ndcg_binary_df(results: DataFrame, truth: DataFrame, k: int,
                     F.when(F.col("_nt") > 0,
                            F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg)
                     .otherwise(0.0).alias("ndcg")))
+
+
+# ------------------------------------------------------------ latency stats
+
+
+@dataclass
+class LatencyStats:
+    """min/max/mean/p50/p95/p99 of latency samples
+    (metrics.rs:321-352 LatencyStats; units follow the caller — ms here,
+    Duration in the reference)."""
+
+    min: float = 0.0
+    max: float = 0.0
+    mean: float = 0.0
+    p50: float = 0.0
+    p95: float = 0.0
+    p99: float = 0.0
+
+
+def _nearest_rank_idx(p: float, n: int) -> int:
+    # round-half-away-from-zero on (p/100)·(n−1), like Rust's .round()
+    # (metrics.rs:407-427); samples are non-negative so half-up suffices
+    return min(int(math.floor((p / 100.0) * (n - 1) + 0.5)), n - 1)
+
+
+def compute_latency_percentiles(samples: Sequence[float]) -> LatencyStats:
+    """Nearest-rank percentiles over a sample list
+    (metrics.rs:354-406 compute_latency_percentiles): sort, index =
+    round(p/100 · (n−1)). Empty input → all-zero stats."""
+    if not samples:
+        return LatencyStats()
+    s = sorted(float(x) for x in samples)
+    n = len(s)
+    return LatencyStats(
+        min=s[0], max=s[-1], mean=sum(s) / n,
+        p50=s[_nearest_rank_idx(50, n)],
+        p95=s[_nearest_rank_idx(95, n)],
+        p99=s[_nearest_rank_idx(99, n)])
+
+
+def latency_stats_df(log: DataFrame, ms_col: str = "ms",
+                     group_cols: Sequence[str] = (),
+                     approx: bool = False) -> DataFrame:
+    """Latency stats as one distributed aggregation over a query-log table
+    — the fleet-telemetry twin of compute_latency_percentiles, pairing
+    with advisor.suggest_from_log's (labels, properties, predicates, ms)
+    log shape. Returns (group..., n, min_ms, max_ms, mean_ms, p50, p95,
+    p99).
+
+    Exact mode reproduces the reference's nearest-rank definition via a
+    sorted per-group sample array — right when per-group sample counts
+    are bounded (telemetry windows). For unbounded 100 TB logs pass
+    ``approx=True``: percentile_approx's constant-memory sketch replaces
+    the array, same one-shuffle shape."""
+    ms = F.col(ms_col).cast("double")
+    gb = log.groupBy(*group_cols)
+    base = [F.count("*").alias("n"),
+            F.min(ms).alias("min_ms"), F.max(ms).alias("max_ms"),
+            F.avg(ms).alias("mean_ms")]
+    if approx:
+        agg = gb.agg(*base, F.percentile_approx(ms, 0.5).alias("p50"),
+                     F.percentile_approx(ms, 0.95).alias("p95"),
+                     F.percentile_approx(ms, 0.99).alias("p99"))
+        return agg
+    arr = F.array_sort(F.collect_list(ms))
+
+    def pick(p: float):
+        # element_at is 1-based; same round-half-up nearest-rank index
+        idx = (F.floor(F.lit(p / 100.0) * (F.size(arr) - 1).cast("double")
+                       + F.lit(0.5)).cast("int") + 1)
+        return F.element_at(arr, F.least(idx, F.size(arr)))
+
+    return gb.agg(*base, pick(50).alias("p50"), pick(95).alias("p95"),
+                  pick(99).alias("p99"))
 
 
 def evaluate_knn_recall(df: DataFrame, approx_results: DataFrame,
