@@ -311,6 +311,49 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_alternating_star_equals_min_label(spark):
+    """large-star/small-star CC must produce exactly the same
+    (id, cluster_id) map as min-label propagation — on random graphs and
+    on a deep chain (the shape alternating-star exists for: its O(log² n)
+    rounds beat propagation's diameter rounds there)."""
+    import random
+
+    from velesdb_spark.functions.dedup import connected_components
+
+    def uf_labels(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    graphs = [[(i, i + 1) for i in range(60)]]          # 61-node chain
+    for _ in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(4, 50)
+        graphs.append([(rng.randint(0, n), rng.randint(0, n))
+                       for _ in range(m)])
+    for pairs in graphs:
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        star = {r.id: r.cluster_id
+                for r in connected_components(
+                    pdf, algorithm="alternating_star").collect()}
+        prop = {r.id: r.cluster_id
+                for r in connected_components(pdf, max_iter=70).collect()}
+        assert star == prop == uf_labels(pairs), pairs
+
+
 def test_dedup_keep_representatives(spark):
     from velesdb_spark.functions.dedup import dedup_keep_representatives
 

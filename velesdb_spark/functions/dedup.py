@@ -387,19 +387,31 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         algorithm: str = "min_label") -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, cluster_id) where
     cluster_id = the minimum member id (deterministic representative).
 
-    Min-label propagation over iterative joins: every node starts labeled
-    with itself; each round each node takes the min label in its closed
-    neighborhood; converged when no label changes. Rounds ≤ graph diameter —
-    near-dup components are shallow (dozens of docs), so this terminates in
-    a handful of rounds even on web-scale corpora. Each round is one
-    shuffle-join on the edge list + one map-side-combinable min-aggregate;
-    localCheckpoint truncates the lineage so plans don't grow unboundedly
-    (the standard Spark iterative-algorithm pattern).
+    Two interchangeable algorithms (property-tested equal):
+
+    - ``min_label`` (default): label propagation over iterative joins;
+      every node starts labeled with itself, each round takes the min
+      label in its closed neighborhood. Rounds ≤ graph diameter — the
+      right default for near-dup components, which are shallow (dozens of
+      docs). Each round is one shuffle-join on the edge list + one
+      map-side-combinable min-aggregate; localCheckpoint truncates the
+      lineage (the standard Spark iterative-algorithm pattern).
+    - ``alternating_star``: the large-star/small-star algorithm (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log² n) rounds regardless of diameter, so pathological
+      chain-shaped components (linked crawl chains, transitive mirror
+      sets) converge where plain propagation would need diameter rounds.
+      Same per-round shape (join + min-agg on the shrinking edge set).
     """
+    if algorithm == "alternating_star":
+        return _cc_alternating_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
              .union(pairs.select(F.col(id_b).alias("_src"),
                                  F.col(id_a).alias("_dst")))
@@ -426,6 +438,85 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
+    return labels.select(F.col("_id").alias("id"),
+                         F.col("_lbl").alias("cluster_id"))
+
+
+def _cc_alternating_star(pairs: DataFrame, id_a: str, id_b: str,
+                         max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.):
+
+    - large-star: every neighbor LARGER than u is re-linked to the min of
+      u's closed neighborhood (cuts long tails toward local minima);
+    - small-star: every neighbor ≤ u (and u itself) links to that min
+      (collapses the remainder into stars).
+
+    The edge set is kept canonical ((min, max), distinct) between phases;
+    at the fixed point it is exactly star edges (component-min, member).
+    Convergence in O(log² n) phases independent of diameter; each phase
+    is one min-aggregate + one equi-join on the current (shrinking) edge
+    set, checkpointed so plans stay flat."""
+    canon = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+                          F.greatest(F.col(id_a), F.col(id_b)).alias("_b"))
+             .filter(F.col("_a") != F.col("_b"))
+             .distinct().localCheckpoint())
+    all_nodes = (canon.select(F.col("_a").alias("_id"))
+                 .union(canon.select(F.col("_b").alias("_id")))
+                 .distinct().localCheckpoint())
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (e.select(F.col("_a").alias("_u"), F.col("_b").alias("_v"))
+                .union(e.select(F.col("_b").alias("_u"),
+                                F.col("_a").alias("_v"))))
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (sym.groupBy("_u").agg(F.min("_v").alias("_mv"))
+                .select("_u", F.least("_u", F.col("_mv")).alias("_m")))
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (e.filter(F.col("_x") != F.col("_y"))
+                .select(F.least("_x", "_y").alias("_a"),
+                        F.greatest("_x", "_y").alias("_b"))
+                .distinct())
+
+    def _probe(e: DataFrame):
+        # order-insensitive set checksum (edges are distinct): xor never
+        # overflows, unlike a sum under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("_a", "_b")).alias("h")).first()
+        return (row["n"], row["h"])
+
+    sig = _probe(canon)
+    for _ in range(max_iter):
+        sym = _sym(canon)
+        mins = _mins(sym)
+        # large-star: (v, m(u)) for v > u
+        large = (sym.filter(F.col("_v") > F.col("_u"))
+                 .join(mins, "_u")
+                 .select(F.col("_v").alias("_x"), F.col("_m").alias("_y")))
+        canon = _canon(large).localCheckpoint()
+        sym = _sym(canon)
+        mins = _mins(sym)
+        # small-star: (v, m(u)) for v < u, plus (u, m(u))
+        small = (sym.filter(F.col("_v") < F.col("_u"))
+                 .join(mins, "_u")
+                 .select(F.col("_v").alias("_x"), F.col("_m").alias("_y"))
+                 .union(mins.select(F.col("_u").alias("_x"),
+                                    F.col("_m").alias("_y"))))
+        canon = _canon(small).localCheckpoint()
+        new_sig = _probe(canon)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point = stars (component-min, member); isolated former nodes
+    # (their whole component collapsed onto them) label themselves.
+    # min-agg instead of a raw projection so a max_iter bailout still
+    # yields one (deterministic) label per node.
+    member = (canon.groupBy("_b").agg(F.min("_a").alias("_lbl"))
+              .select(F.col("_b").alias("_id"), "_lbl"))
+    labels = (all_nodes.join(member, "_id", "left")
+              .select("_id", F.coalesce("_lbl", F.col("_id")).alias("_lbl")))
     return labels.select(F.col("_id").alias("id"),
                          F.col("_lbl").alias("cluster_id"))
 
