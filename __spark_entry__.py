@@ -618,6 +618,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_incremental"] = _bm25_incremental
 
+    def _stream_bm25_ingest(s, d):
+        # REAL Structured Streaming text-index maintenance: two doc files
+        # drain as two micro-batches through foreachBatch, each upserted
+        # into the incremental BM25 index as one delta segment (with an
+        # LWW overwrite across batches); the composed snapshot+delta view
+        # is searched afterwards. Oracle runs the BM25 formula over the
+        # logically-updated corpus.
+        import os
+        import tempfile
+
+        from velesdb_spark.functions.bm25 import IncrementalBm25Index
+        from velesdb_spark.streaming.events import (read_docs_stream,
+                                                    stream_docs_into_bm25)
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="bm25stream_")
+        idx = IncrementalBm25Index.build(docs, f"{root}/idx",
+                                         id_col="doc_id", term_buckets=8)
+        batches = [
+            [(900011, "spark window pipelines shuffle merge"),
+             (1, "replaced once spark window")],
+            [(900012, "window functions over spark batches"),
+             (1, "replaced twice spark spark window")],
+        ]
+        stage = f"{root}/stage"
+        os.makedirs(stage)
+        for i, rows in enumerate(batches):
+            part = f"{root}/b{i}"
+            s.createDataFrame(rows, "doc_id bigint, text string") \
+                .coalesce(1).write.parquet(part)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    os.symlink(f"{part}/{f}", f"{stage}/{i}_{f}")
+        stream_docs_into_bm25(read_docs_stream(s, stage), idx,
+                              f"{root}/ckpt")
+        return idx.search("spark window", 15) \
+            .select("doc_id", F.round("_bm25_score", 6).alias("score"))
+
+    q["stream_bm25_ingest"] = _stream_bm25_ingest
+
     q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id",
         F.round(ta.quality_score(F.col("text")), 6).alias("quality"))
@@ -1506,7 +1546,7 @@ _GATE_ORDER = [
     "ann_ivf", "ann_ivf_recall", "ann_lsh", "ann_methods",
     "knn_sq8", "knn_binary_packed", "dedup_keep_reps", "graph_var_length",
     "events_sliding", "events_session", "stream_dedup",
-    "fuzzy_trigram", "hybrid_weighted", "bm25_topk",
+    "stream_bm25_ingest", "fuzzy_trigram", "hybrid_weighted", "bm25_topk",
     "scalar_subquery", "limit_offset", "distinct_cols", "count_distinct",
     "rollup_agg", "percentile_price", "order_by_similarity",
     "top_per_group", "quality_score", "content_fingerprint",
@@ -1770,6 +1810,17 @@ ORDER BY jac DESC, vec_id LIMIT 10"""
                "UNION ALL SELECT * FROM (VALUES "
                "(900001, 'spark window pipelines shuffle merge'), "
                "(1, 'replaced text spark spark window')) AS v(doc_id, text)")
+
+    # streaming ingest: final corpus after both micro-batches (doc 1's
+    # batch-two version wins LWW)
+    o["stream_bm25_ingest"] = _bm25_oracle(
+        ["spark", "window"], 15,
+        corpus="SELECT doc_id, text FROM documents "
+               "WHERE doc_id NOT IN (1, 900011, 900012) "
+               "UNION ALL SELECT * FROM (VALUES "
+               "(900011, 'spark window pipelines shuffle merge'), "
+               "(900012, 'window functions over spark batches'), "
+               "(1, 'replaced twice spark spark window')) AS v(doc_id, text)")
 
     # quality_score mirrors functions/text_analysis.py quality_score()
     words_l = _DK_WORDS.format(c="lower(text)")

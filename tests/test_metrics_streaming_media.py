@@ -384,3 +384,56 @@ def test_latency_stats_df_matches_list_form(spark):
     for g, samples in by_grp.items():
         want = compute_latency_percentiles(samples)
         assert abs(approx[g].p50 - want.p50) <= 30  # sketch tolerance
+
+
+def test_stream_docs_into_bm25(spark, tmp_path):
+    """Streaming text-index maintenance: two arriving doc files become two
+    micro-batches, each upserted into the incremental BM25 index as one
+    delta segment; the composed index then scores identically to a full
+    rebuild over the final corpus (including an LWW overwrite across
+    batches)."""
+    import os
+
+    from velesdb_spark.functions.bm25 import Bm25Index, IncrementalBm25Index
+    from velesdb_spark.streaming import events as ev
+
+    base = {1: "rust systems programming", 2: "python data tools",
+            3: "the quick brown fox"}
+    b1 = {4: "spark streaming joins", 1: "rust rewritten in batch one"}
+    b2 = {5: "spark spark indexes", 1: "rust rewritten again batch two"}
+
+    idx = IncrementalBm25Index.build(
+        spark.createDataFrame(list(base.items()), "doc_id bigint, text string"),
+        str(tmp_path / "idx"), id_col="doc_id", text_col="text",
+        term_buckets=4)
+
+    stage = tmp_path / "docs_stage"
+    stage.mkdir()
+    for i, batch in enumerate([b1, b2]):
+        d = tmp_path / f"b{i}"
+        spark.createDataFrame(list(batch.items()),
+                              "doc_id bigint, text string") \
+            .coalesce(1).write.parquet(str(d))
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.symlink(d / f, stage / f"{i}_{f}")
+
+    stream = ev.read_docs_stream(spark, str(stage))
+    ev.stream_docs_into_bm25(stream, idx, str(tmp_path / "ckpt"))
+
+    from velesdb_spark.storage import read_manifest
+    m = read_manifest(str(tmp_path / "idx"))
+    assert len(m["segments"]) == 2  # one delta segment per micro-batch
+
+    final = dict(base)
+    final.update(b1)
+    final.update(b2)  # doc 1: last writer (batch two) wins
+    fresh = Bm25Index(spark.createDataFrame(
+        list(final.items()), "doc_id bigint, text string"),
+        id_col="doc_id", text_col="text")
+    for q in ["rust batch", "spark", "fox indexes"]:
+        got = {r.doc_id: r._bm25_score for r in idx.scores(q).collect()}
+        want = {r.doc_id: r._bm25_score for r in fresh.scores(q).collect()}
+        assert set(got) == set(want), q
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-9), (q, i)

@@ -132,3 +132,48 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update",
          .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return q
+
+
+# ------------------------------------------------------------ text ingest
+
+DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def read_docs_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 1,
+                     schema: StructType = DOCS_SCHEMA) -> DataFrame:
+    """File-source stream of (doc_id, text) batches — each arriving file is
+    a micro-batch of document upserts (kafka/delta in production)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_docs_into_bm25(docs_stream: DataFrame, index,
+                          checkpoint: str, timeout_s: int = 120):
+    """Continuous text-index maintenance: every micro-batch of documents is
+    upserted into an IncrementalBm25Index as ONE postings-delta segment
+    (tokenize cost ∝ batch size, never corpus size — the streaming twin of
+    the reference's per-upsert transactional index update, crud.rs:19-118).
+
+    foreachBatch is the transactional sink: the index's manifest rename is
+    the commit point, and the stream's checkpoint makes redelivery
+    idempotent at the batch level (a replayed batch re-writes the same
+    last-writer-wins postings). After the drain, ``index.scores()`` serves
+    the composed snapshot+delta view with no rebuild."""
+    id_col, text_col = index.id_col, index.text_col
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col)
+        if batch.limit(1).count() == 0:
+            return
+        index.upsert_docs(batch)
+
+    q = (docs_stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return q
