@@ -519,6 +519,28 @@ class Collection:
                     stack.append((target, depth + 1, new_path))
         return results
 
+    def match_plan(self, sql: str, use_stats: bool = True):
+        """Chosen MATCH execution strategy for a query
+        (match_planner.rs:84-153 decision rules): GraphFirst /
+        VectorFirst / Parallel. With ``use_stats`` the decision uses
+        real graph statistics (one light aggregation per table, HLL
+        label cardinality); otherwise default stats — which never pick
+        Parallel, exactly like the reference with empty CollectionStats.
+        Returns (strategy, explain_line)."""
+        from velesdb_spark.plans import match_planner as mp
+        from velesdb_spark.velesql import ast as _ast
+
+        q = parse(sql)
+        while isinstance(q, _ast.Explain):
+            q = q.query
+        if not isinstance(q, _ast.MatchQuery):
+            raise ValueError("match_plan expects a MATCH query")
+        stats = (mp.PlannerStats.from_graph(self._df, self._edges)
+                 if use_stats and self._df is not None
+                 else mp.PlannerStats())
+        strat = mp.plan(q, stats)
+        return strat, mp.explain_strategy(strat)
+
     # ------------------------------------------------------------ VelesQL
     def _catalog(self) -> Catalog:
         cat = Catalog()

@@ -186,8 +186,18 @@ def _node_filter(nodes: DataFrame, pat: ast.NodePattern, value_of) -> DataFrame:
     return out
 
 
-def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None) -> DataFrame:
-    """Execute a MATCH query against catalog tables ``nodes`` and ``edges``."""
+def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
+                    strategy=None) -> DataFrame:
+    """Execute a MATCH query against catalog tables ``nodes`` and ``edges``.
+
+    ``strategy`` is a match-planner execution hint
+    (plans/match_planner.py, mirroring match_planner.rs:84-153): with
+    VectorFirst or Parallel, a conjunctive similarity() on the START
+    alias is pushed onto the start-node scan so the traversal only joins
+    the similar frontier; the post-traversal WHERE still applies the
+    same predicate, so every strategy returns identical rows. ``None``
+    plans with default stats (pure — no Spark jobs at translation)."""
+    from velesdb_spark.plans import match_planner as mp
     from velesdb_spark.velesql.translator import TranslationError, Translator
 
     tr = Translator(catalog, params)
@@ -201,7 +211,30 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None) -
     for i, np in enumerate(q.nodes):
         aliases.append(np.alias or f"_anon{i}")
 
+    if strategy is None:
+        strategy = mp.plan(q, mp.PlannerStats())
+
     start = _node_filter(nodes, q.nodes[0], tr.value)
+    vec_hint = (strategy if isinstance(strategy, mp.VectorFirst)
+                else strategy.vector_hint
+                if isinstance(strategy, mp.Parallel) else None)
+    if vec_hint is not None:
+        from velesdb_spark.functions.distance import (metric_score,
+                                                      similarity_passes)
+
+        for sim in mp.conjunctive_similarities(q.where):
+            name = sim.field_name
+            if "." not in name:
+                continue  # bare field binds to the target alias
+            alias, fld = name.split(".", 1)
+            if alias != aliases[0] or fld not in nodes.columns:
+                continue
+            vec = tr.value(sim.vector)
+            score = metric_score(
+                F.col(fld),
+                F.array(*[F.lit(float(x)) for x in vec]), "cosine")
+            start = start.filter(
+                similarity_passes(score, sim.op, sim.threshold, "cosine"))
     cur = start.select(F.col(id_col).alias(f"_b_{aliases[0]}"))
 
     for i, rel in enumerate(q.rels):
