@@ -126,6 +126,10 @@ LIMIT {k}"""
 
 IVF_NLIST = 8
 IVF_NPROBE = 3
+PQ_M = 4
+PQ_KSUB = 8
+IVFPQ_NLIST = 4
+IVFPQ_NPROBE = 2
 
 
 def _ivf_seed_centroids(emb, nlist: int = IVF_NLIST):
@@ -162,6 +166,67 @@ def _ivf_cte(nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
             LIMIT 1) AS _list
     FROM embeddings e
   )"""
+
+
+def _pq_adc_oracle(qv: list[float], m: int = PQ_M, ksub: int = PQ_KSUB,
+                   k: int = 10, coarse_nlist: int = 0,
+                   coarse_nprobe: int = 0) -> str:
+    """Independent DuckDB replication of PQ ADC search: codebook j =
+    sub-slice j of the first ksub rows (the sampled-points init PqIndex
+    uses with init='sample'); per row per subspace the nearest codeword
+    is the -2·x·c+||c||² argmin with cid tie-break (PqIndex._encode_expr
+    semantics); ADC = Σ_j ||q_j − codeword||², expanded as
+    q·q − 2·q·c + c·c so every term is a list_dot_product. With
+    coarse_nlist > 0 the IVF-PQ coarse stage is re-derived too: rows keep
+    only the query's coarse_nprobe nearest sampled-centroid lists."""
+    dim = len(qv)
+    dsub = dim // m
+    subs = []
+    for j in range(m):
+        qj = _sql_vec(list(qv[j * dsub:(j + 1) * dsub]))
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        subs.append(f"""
+    (SELECT list_dot_product({qj}, {qj})
+            - 2 * list_dot_product({qj}, cw.c)
+            + list_dot_product(cw.c, cw.c)
+     FROM cw WHERE cw.j = {j}
+     ORDER BY -2 * list_dot_product(
+                list_slice(e.embedding::DOUBLE[], {lo}, {hi}), cw.c)
+              + list_dot_product(cw.c, cw.c), cw.cid
+     LIMIT 1)""")
+    contrib = " + ".join(subs)
+    qsql = _sql_vec(qv)
+    coarse_ctes, coarse_col, coarse_where = "", "", ""
+    if coarse_nlist:
+        coarse_ctes = f""",
+cent AS (
+  SELECT vec_id AS list_id, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {coarse_nlist}),
+probes AS (
+  SELECT list_id FROM cent
+  ORDER BY -2 * list_dot_product(c, {qsql}) + list_dot_product(c, c),
+           list_id
+  LIMIT {coarse_nprobe})"""
+        coarse_col = f""",
+       (SELECT c2.list_id FROM cent c2
+        ORDER BY -2 * list_dot_product(e.embedding::DOUBLE[], c2.c)
+                 + list_dot_product(c2.c, c2.c), c2.list_id
+        LIMIT 1) AS _list"""
+        coarse_where = "WHERE _list IN (SELECT list_id FROM probes)"
+    return f"""
+WITH cw AS (
+  SELECT e2.vec_id AS cid, j.j,
+         list_slice(e2.embedding::DOUBLE[],
+                    j.j * {dsub} + 1, (j.j + 1) * {dsub}) AS c
+  FROM embeddings e2, (SELECT unnest(range({m})) AS j) j
+  WHERE e2.vec_id < {ksub}){coarse_ctes},
+scored AS (
+  SELECT e.vec_id, {contrib} AS adc{coarse_col}
+  FROM embeddings e)
+SELECT vec_id, round(adc, 6) AS adc_dist
+FROM scored {coarse_where}
+ORDER BY adc, vec_id
+LIMIT {k}"""
 
 
 def _ivf_search_oracle(qv: list[float], nlist: int = IVF_NLIST,
@@ -944,6 +1009,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk"] = _ivf_topk
 
+    # Product quantization ADC search, fully oracle-gated: sampled-points
+    # codebooks (sub-slices of vec_id < ksub) that DuckDB re-derives
+    # relationally; score = Σ_j ||q_j − codeword(code_j)||² — m table
+    # lookups per row instead of d multiply-adds, codes are m bytes vs 4d.
+    def _pq_topk(s, d):
+        from velesdb_spark.functions.pq import PqIndex
+
+        emb = _t(s, d, "embeddings")
+        idx = PqIndex(emb, vector_col="embedding", id_col="vec_id",
+                      m=PQ_M, ksub=PQ_KSUB, init="sample",
+                      keep_vectors=False)
+        return idx.search(QV1, k=10)
+
+    q["pq_topk"] = _pq_topk
+
+    # IVF-PQ composition at a REAL partial probe (nprobe < nlist): coarse
+    # sampled-points centroids prune candidate lists before any ADC work;
+    # the oracle re-derives coarse assignment, probe set, PQ codes and the
+    # ADC sum — nothing rows-only.
+    def _ivfpq_topk(s, d):
+        from velesdb_spark.functions.pq import IvfPqIndex
+
+        emb = _t(s, d, "embeddings")
+        idx = IvfPqIndex(emb, vector_col="embedding", id_col="vec_id",
+                         m=PQ_M, ksub=PQ_KSUB, init="sample",
+                         coarse_centroids=_ivf_seed_centroids(
+                             emb, IVFPQ_NLIST))
+        return idx.search(QV1, k=10, nprobe=IVFPQ_NPROBE)
+
+    q["ivfpq_topk"] = _ivfpq_topk
+
     # --- dedup / text analysis ----------------------------------------
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(
         _t(s, d, "documents"), "text", "doc_id")
@@ -1538,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
+    # ---- round-5 additions, unproven by any gate yet — first
+    "pq_topk", "ivfpq_topk",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -2376,6 +2474,9 @@ FROM rk WHERE rn <= 5"""
 
     o["ann_recall_eval"] = _lsh_recall_oracle()
     o["ann_lsh"] = _lsh_search_oracle(QV1)
+    o["pq_topk"] = _pq_adc_oracle(QV1)
+    o["ivfpq_topk"] = _pq_adc_oracle(QV1, coarse_nlist=IVFPQ_NLIST,
+                                     coarse_nprobe=IVFPQ_NPROBE)
     o["ann_ivf"] = _ivf_search_oracle(QV1)
     o["ann_ivf_recall"] = _ivf_recall_oracle()
     o["ann_methods"] = (
