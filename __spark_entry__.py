@@ -723,6 +723,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_bm25_ingest"] = _stream_bm25_ingest
 
+    def _stream_neardup_ingest(s, d):
+        # REAL Structured Streaming near-dup ingest: the documents table
+        # split into two micro-batches (doc_id parity) drains through
+        # foreachBatch into a StreamingNearDupStore — each batch keeps
+        # only intra-batch LSH-cluster representatives, rejects docs whose
+        # band keys collide with previously-ACCEPTED docs, and appends one
+        # immutable band-postings segment. The oracle replays the same
+        # two-stage sequential semantics relationally (minhash bands +
+        # recursive-CTE components per batch, store-hit anti-join).
+        import os
+        import tempfile
+
+        from velesdb_spark.streaming.events import read_docs_stream
+        from velesdb_spark.streaming.neardup import (
+            StreamingNearDupStore, stream_docs_into_neardup)
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="neardup_")
+        stage = f"{root}/stage"
+        os.makedirs(stage)
+        for i in (0, 1):
+            part = f"{root}/b{i}"
+            docs.filter(F.col("doc_id") % 2 == i).coalesce(1) \
+                .write.parquet(part)
+            for fn in os.listdir(part):
+                if fn.endswith(".parquet"):
+                    os.rename(f"{part}/{fn}", f"{stage}/b{i}.parquet")
+        store = StreamingNearDupStore(s, f"{root}/store", id_col="doc_id")
+        stream_docs_into_neardup(read_docs_stream(s, stage), store,
+                                 f"{root}/ckpt")
+        return store.accepted().orderBy("doc_id")
+
+    q["stream_neardup_ingest"] = _stream_neardup_ingest
+
     q["quality_score"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id",
         F.round(ta.quality_score(F.col("text")), 6).alias("quality"))
@@ -1635,7 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-5 additions, unproven by any gate yet — first
-    "pq_topk", "ivfpq_topk",
+    "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -2201,6 +2235,72 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (
   SELECT doc_id FROM ({o['dedup_clusters']}) WHERE cluster_id <> doc_id)
+ORDER BY doc_id"""
+
+    # streaming near-dup ingest: replay the two-batch sequential
+    # accept/reject semantics relationally. Band hash b = md5 of the
+    # band's 4 minhash strings (hash i = lexicographic min of
+    # md5('i|' || shingle)) — identical derivation to
+    # functions/dedup.py minhash_band_rows; per-batch clusters via
+    # recursive reachability with min-id representatives; batch-1
+    # survivors drop on any band-key hit against batch-0's ACCEPTED keys.
+    h16 = [f"list_min(list_transform(s, x -> md5('{i}|' || x)))"
+           for i in range(16)]
+    bexprs = ["md5(concat_ws('|', " + ", ".join(h16[b * 4:(b + 1) * 4])
+              + "))" for b in range(4)]
+
+    def _band_cte(k: int) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS b, {bexprs[b]} AS bh FROM shl "
+            f"WHERE doc_id % 2 = {k}" for b in range(4))
+        return f"b{k} AS ({rows})"
+
+    def _cc_cte(k: int) -> str:
+        return f"""p{k} AS (
+  SELECT x.doc_id AS ia, y.doc_id AS ib
+  FROM b{k} x JOIN b{k} y ON x.b = y.b AND x.bh = y.bh
+                          AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), e{k} AS (
+  SELECT ia AS a, ib AS b FROM p{k} UNION SELECT ib, ia FROM p{k}
+), n{k} AS (SELECT DISTINCT a AS id FROM e{k}),
+r{k}(id, r) AS (
+  SELECT id, id FROM n{k}
+  UNION
+  SELECT e.a, rc.r FROM r{k} rc JOIN e{k} e ON e.b = rc.id
+), c{k} AS (SELECT id, min(r) AS cid FROM r{k} GROUP BY id)"""
+
+    o["stream_neardup_ingest"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), shl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks
+), {_band_cte(0)}, {_cc_cte(0)},
+acc0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT id FROM c0 WHERE cid <> id)
+), keys0 AS (
+  SELECT b, bh FROM b0
+  WHERE doc_id IN (SELECT doc_id FROM acc0)
+), {_band_cte(1)}, {_cc_cte(1)},
+surv1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT id FROM c1 WHERE cid <> id)
+), hits1 AS (
+  SELECT DISTINCT x.doc_id FROM b1 x
+  JOIN keys0 k ON x.b = k.b AND x.bh = k.bh
+), acc1 AS (
+  SELECT doc_id FROM surv1
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits1)
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM acc0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM acc1
 ORDER BY doc_id"""
 
     o["minhash_first_hash"] = f"""

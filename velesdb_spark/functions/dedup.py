@@ -106,12 +106,15 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
     return sh.select("_id", minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"))
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "id",
-                           num_hashes: int = DEFAULT_MINHASHES,
-                           bands: int = DEFAULT_BANDS,
-                           n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+def minhash_band_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "id",
+                      num_hashes: int = DEFAULT_MINHASHES,
+                      bands: int = DEFAULT_BANDS,
+                      n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Banded LSH keys, one row per (doc, band): (_id, _b, _bh) where
+    _bh = md5 of the band's signature slice. The exploded postings form
+    every LSH consumer joins on — batch candidate pairs and the
+    streaming accept/reject store share this exact derivation."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, n) \
         .filter(F.size("_sig") > 0)
@@ -127,6 +130,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         part = banded.select("_id", F.lit(b).alias("_b"),
                              F.col(f"_band{b}").alias("_bh"))
         buckets = part if buckets is None else buckets.union(part)
+    return buckets
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "id",
+                           num_hashes: int = DEFAULT_MINHASHES,
+                           bands: int = DEFAULT_BANDS,
+                           n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band."""
+    buckets = minhash_band_rows(df, text_col, id_col, num_hashes, bands, n)
     a = buckets.select(F.col("_id").alias("id_a"), "_b", "_bh")
     bb = buckets.select(F.col("_id").alias("id_b"), "_b", "_bh")
     return (

@@ -1,0 +1,203 @@
+"""Streaming near-duplicate filtering: MinHash-LSH accept/reject over
+micro-batches against a persisted band-key store.
+
+The batch pipeline (functions/dedup.py: shingle → minhash → band →
+bucket-join → connected components → keep representatives) answers
+"which docs in this CORPUS are near-dups"; a training-data INGEST needs
+the online form — "is this arriving doc a near-dup of anything already
+accepted" — without re-scanning the corpus per batch. This module is
+that form, with the same segment/append discipline as the incremental
+BM25 index (bm25.py IncrementalBm25Index): per-batch cost is
+proportional to the batch, never the accepted corpus.
+
+Semantics (deterministic, order-free within a batch):
+1. Within a batch, docs whose band keys collide form candidate clusters
+   (connected components); only each cluster's min-id representative
+   survives the intra-batch stage.
+2. A surviving doc is ACCEPTED iff none of its band keys exists in the
+   store — i.e. it collides with no PREVIOUSLY ACCEPTED doc. Docs
+   dropped in earlier batches are not in the store and never block an
+   arrival (matching the batch keep-representatives rule, where only
+   representatives suppress others).
+3. Accepted docs' band keys append to the store as one immutable
+   segment per batch.
+
+``mode="verify"`` additionally stores each accepted doc's shingle set
+and confirms candidates with exact Jaccard ≥ ``threshold`` before
+dropping (LSH collisions become candidates, not verdicts) — the
+streaming twin of minhash_dedup_pairs. Costs one wider store row;
+candidate-only mode is the web-crawl-scale default.
+
+Scale: the store is parquet band postings (id, band, hash) — the
+per-batch membership probe is a broadcast-able equi-join of the BATCH's
+keys against the store keys (band+hash are join keys a 100 TB store
+would bucket by); nothing ever re-tokenizes accepted docs. Checkpoint
+redelivery is idempotent by construction: a replayed batch re-derives
+the same accept set (its keys are already in the store → rejected, or
+identical rows re-append — duplicates cannot change any existence
+join).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions.dedup import (DEFAULT_BANDS, DEFAULT_MINHASHES,
+                                           DEFAULT_SHINGLE,
+                                           connected_components,
+                                           minhash_band_rows,
+                                           staged_shingles)
+
+_BANDS_SCHEMA = "_id BIGINT, _b INT, _bh STRING"
+_ACCEPTED_SCHEMA = "doc_id BIGINT, batch_id BIGINT"
+_SHINGLES_SCHEMA = "_id BIGINT, _sh ARRAY<STRING>"
+
+
+class StreamingNearDupStore:
+    """Persisted accept/reject state for streaming MinHash-LSH dedup."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = DEFAULT_MINHASHES,
+                 bands: int = DEFAULT_BANDS,
+                 n: int = DEFAULT_SHINGLE,
+                 mode: str = "candidate",
+                 threshold: float = 0.8):
+        if mode not in ("candidate", "verify"):
+            raise ValueError("mode must be 'candidate' or 'verify'")
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.mode = mode
+        self.threshold = float(threshold)
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        # explicit-schema parquet reads defer the file listing to
+        # execution time, so a missing first-batch store would surface as
+        # a mid-stream FileNotFoundException — probe the directory up
+        # front instead of relying on a load-time error. (Local-fs probe;
+        # an object-store deployment would consult the segment manifest
+        # the same way storage.LogStore does.)
+        path = os.path.join(self.root, sub)
+        if not os.path.isdir(path) or not any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def band_store(self) -> DataFrame:
+        return self._read("bands", _BANDS_SCHEMA)
+
+    def accepted(self) -> DataFrame:
+        """(doc_id, batch_id) of every accepted doc so far."""
+        return self._read("accepted", _ACCEPTED_SCHEMA)
+
+    def shingle_store(self) -> DataFrame:
+        return self._read("shingles", _SHINGLES_SCHEMA)
+
+    # ------------------------------------------------------- batch step
+    def _batch_bands(self, batch: DataFrame) -> DataFrame:
+        return minhash_band_rows(batch, self.text_col, self.id_col,
+                                 self.num_hashes, self.bands, self.n) \
+            .select(F.col("_id").cast("long").alias("_id"), "_b", "_bh")
+
+    def _intra_batch_reps(self, batch: DataFrame,
+                          bands_df: DataFrame) -> DataFrame:
+        """Drop every within-batch cluster member except its min-id rep."""
+        a = bands_df.select(F.col("_id").alias("id_a"), "_b", "_bh")
+        b = bands_df.select(F.col("_id").alias("id_b"), "_b", "_bh")
+        pairs = (a.join(b, on=["_b", "_bh"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        if self.mode == "verify":
+            pairs = self._verify_pairs_within(batch, pairs)
+        clusters = connected_components(pairs)
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+            .select(F.col("id").alias(self.id_col))
+        return batch.join(F.broadcast(losers), self.id_col, "left_anti")
+
+    def _verify_pairs_within(self, batch: DataFrame,
+                             pairs: DataFrame) -> DataFrame:
+        from velesdb_spark.functions.dedup import jaccard_of_shingles
+
+        return jaccard_of_shingles(batch, pairs, self.text_col,
+                                   self.id_col, self.n) \
+            .filter(F.col("jaccard") >= self.threshold) \
+            .select("id_a", "id_b")
+
+    def _store_hits(self, batch: DataFrame,
+                    bands_df: DataFrame) -> DataFrame:
+        """ids of batch docs colliding with the accepted store (candidate
+        mode) or exact-Jaccard-confirmed against it (verify mode)."""
+        store = self.band_store()
+        cand = (bands_df.join(store.withColumnRenamed("_id", "_sid"),
+                              on=["_b", "_bh"])
+                .select(F.col("_id"), "_sid").distinct())
+        if self.mode == "candidate":
+            return cand.select("_id").distinct()
+        new_sh = staged_shingles(batch, self.text_col, self.id_col, self.n) \
+            .withColumnRenamed("_sh", "_sh_new")
+        old_sh = self.shingle_store().withColumnRenamed("_id", "_sid") \
+            .withColumnRenamed("_sh", "_sh_old")
+        j = (cand.join(new_sh, "_id").join(old_sh, "_sid"))
+        inter = F.size(F.array_intersect("_sh_new", "_sh_old"))
+        union = F.size(F.array_union("_sh_new", "_sh_old"))
+        return (j.filter(
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(0.0) >= self.threshold)
+            .select("_id").distinct())
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> DataFrame:
+        """One micro-batch through the filter; returns the accepted rows
+        and appends their keys to the store."""
+        batch = batch.select(self.id_col, self.text_col)
+        bands_df = self._batch_bands(batch)
+        survivors = self._intra_batch_reps(batch, bands_df)
+        hits = self._store_hits(batch, bands_df) \
+            .select(F.col("_id").alias(self.id_col))
+        accepted = survivors.join(F.broadcast(hits), self.id_col,
+                                  "left_anti")
+        acc_ids = accepted.select(self.id_col)
+        acc_bands = bands_df.join(
+            F.broadcast(acc_ids.withColumnRenamed(self.id_col, "_id")),
+            "_id", "left_semi")
+        acc_bands.write.mode("append").parquet(
+            os.path.join(self.root, "bands"))
+        acc_ids.select(F.col(self.id_col).cast("long").alias("doc_id"),
+                       F.lit(int(batch_id)).cast("long").alias("batch_id")) \
+            .write.mode("append").parquet(os.path.join(self.root, "accepted"))
+        if self.mode == "verify":
+            staged_shingles(accepted, self.text_col, self.id_col, self.n) \
+                .select(F.col("_id").cast("long").alias("_id"), "_sh") \
+                .write.mode("append") \
+                .parquet(os.path.join(self.root, "shingles"))
+        return accepted
+
+
+def stream_docs_into_neardup(docs_stream: DataFrame,
+                             store: StreamingNearDupStore,
+                             checkpoint: str, timeout_s: int = 120):
+    """Drain a (doc_id, text) file stream through the near-dup filter:
+    each micro-batch is one accept/reject round + one store segment
+    (foreachBatch = the transactional sink, exactly the
+    stream_docs_into_bm25 discipline)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        store.process_batch(batch_df, batch_id)
+
+    q = (docs_stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return q
