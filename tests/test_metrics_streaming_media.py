@@ -437,3 +437,93 @@ def test_stream_docs_into_bm25(spark, tmp_path):
         assert set(got) == set(want), q
         for i in got:
             assert got[i] == pytest.approx(want[i], rel=1e-9), (q, i)
+
+
+# ------------------------------------------------- log2-bucket histogram
+
+
+def test_log2_histogram_reference_semantics():
+    """Ported from storage/histogram_tests.rs: empty, single, multiple,
+    percentile ordering, reset."""
+    from velesdb_spark.metrics import Log2Histogram
+
+    h = Log2Histogram()
+    assert h.is_empty() and h.count == 0
+    assert h.min() == 0 and h.max() == 0 and h.mean() == 0
+    assert h.percentile(50) == 0
+
+    h.record(100)
+    assert not h.is_empty()
+    assert (h.count, h.min(), h.max(), h.mean()) == (1, 100, 100, 100)
+
+    h.reset()
+    assert h.is_empty()
+
+    for i in range(1, 101):
+        h.record(i)
+    assert (h.count, h.min(), h.max(), h.mean()) == (100, 1, 100, 50)
+
+    h.reset()
+    for _ in range(1000):
+        h.record(10)
+    for _ in range(100):
+        h.record(1000)
+    for _ in range(10):
+        h.record(100_000)
+    p50, p99 = h.percentile(50), h.percentile(99)
+    assert p50 < 100
+    assert p99 > p50
+
+
+def test_log2_bucket_boundaries():
+    from velesdb_spark.metrics import _log2_bucket, _log2_bucket_value
+
+    assert _log2_bucket(0) == 0
+    assert _log2_bucket(1) == 0
+    assert _log2_bucket(2) == 1
+    assert _log2_bucket(3) == 1
+    assert _log2_bucket(4) == 2
+    assert _log2_bucket((1 << 63) + 5) == 63
+    assert _log2_bucket_value(0) == 1
+    assert _log2_bucket_value(5) == 32 + 16
+
+
+def test_log2_histogram_df_matches_driver(spark):
+    """The distributed sketch rehydrates to the identical histogram:
+    buckets, count, sum, min, max, and hence every percentile."""
+    import random
+
+    from velesdb_spark.metrics import Log2Histogram, log2_histogram_df
+
+    rng = random.Random(11)
+    vals = [rng.randrange(1, 10_000_000) for _ in range(500)] + [0, 1, 2 ** 40]
+    h = Log2Histogram()
+    for v in vals:
+        h.record(v)
+
+    df = spark.createDataFrame([(v,) for v in vals], "us long")
+    row = log2_histogram_df(df).collect()[0]
+    h2 = Log2Histogram.from_buckets(
+        [(b["bucket"], b["n"]) for b in row["buckets"]],
+        row["n"], row["sum_us"], row["min_us"], row["max_us"])
+    assert h2.buckets == h.buckets
+    assert (h2.count, h2.min(), h2.max(), h2.mean()) == \
+        (h.count, h.min(), h.max(), h.mean())
+    for p in (1, 25, 50, 90, 95, 99, 100):
+        assert h2.percentile(p) == h.percentile(p)
+
+
+def test_log2_histogram_df_grouped(spark):
+    from velesdb_spark.metrics import log2_histogram_df
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 12), ("a", 4000), ("b", 1)],
+        "op string, us long")
+    rows = {r["op"]: r for r in log2_histogram_df(
+        df, group_cols=["op"]).collect()}
+    assert rows["a"]["n"] == 3 and rows["a"]["min_us"] == 10
+    assert rows["a"]["max_us"] == 4000
+    assert rows["b"]["n"] == 1 and rows["b"]["max_us"] == 1
+    # 10,12 share bucket 3; 4000 in bucket 11
+    got = {(b["bucket"], b["n"]) for b in rows["a"]["buckets"]}
+    assert got == {(3, 2), (11, 1)}

@@ -223,3 +223,126 @@ def evaluate_knn_recall(df: DataFrame, approx_results: DataFrame,
     ranked = approx_results.withColumn("rank", F.row_number().over(w)) \
         .select("qid", F.col(id_col).alias("id"), "rank")
     return recall_precision_mrr_df(ranked, exact)
+
+
+# ------------------------------------------------- log2-bucket histogram
+
+NUM_LOG2_BUCKETS = 64
+
+
+def _log2_bucket(value: int) -> int:
+    """storage/histogram.rs bucket_for: floor(log2(v)) clamped to the
+    bucket range; 0 lands in bucket 0."""
+    if value <= 0:
+        return 0
+    return min(int(value).bit_length() - 1, NUM_LOG2_BUCKETS - 1)
+
+
+def _log2_bucket_value(bucket: int) -> int:
+    """value_for_bucket: bucket midpoint 2^b + 2^(b-1) (1 for bucket 0)."""
+    if bucket == 0:
+        return 1
+    return (1 << bucket) + (1 << max(bucket - 1, 0))
+
+
+class Log2Histogram:
+    """Fixed-size log2-bucket latency histogram
+    (storage/histogram.rs:25-193 LockFreeHistogram): 64 buckets covering
+    1 µs to ~18 h, O(1) record, approximate percentiles resolved from
+    cumulative bucket counts and capped by the true max. The reference
+    needs atomics for wait-free multi-thread recording; driver-side
+    Python is single-threaded per interpreter, so plain ints carry the
+    same semantics. For distributed logs use :func:`log2_histogram_df`,
+    which produces the identical 64-bucket sketch with one aggregation
+    and feeds :meth:`from_buckets`."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.buckets = [0] * NUM_LOG2_BUCKETS
+        self._count = 0
+        self._sum = 0
+        self._min: int | None = None
+        self._max = 0
+
+    def record(self, value_us: int) -> None:
+        v = int(value_us)
+        self.buckets[_log2_bucket(v)] += 1
+        self._count += 1
+        self._sum += v
+        self._min = v if self._min is None else min(self._min, v)
+        self._max = max(self._max, v)
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    def is_empty(self) -> bool:
+        return self._count == 0
+
+    def min(self) -> int:
+        return 0 if self._min is None else self._min
+
+    def max(self) -> int:
+        return self._max
+
+    def mean(self) -> int:
+        # integer division like the reference (sum/count on u64)
+        return self._sum // self._count if self._count else 0
+
+    def percentile(self, p: int) -> int:
+        """histogram.rs:161-184: target = count·min(p,100)/100 (integer),
+        first bucket whose cumulative count reaches it, midpoint value
+        capped by the true max."""
+        if self._count == 0:
+            return 0
+        target = self._count * min(int(p), 100) // 100
+        cumulative = 0
+        for i, n in enumerate(self.buckets):
+            cumulative += n
+            if cumulative >= target:
+                return min(_log2_bucket_value(i), self._max)
+        return self._max
+
+    @classmethod
+    def from_buckets(cls, buckets: Sequence[tuple[int, int]], count: int,
+                     total: int, vmin: int, vmax: int) -> "Log2Histogram":
+        """Rehydrate from a distributed sketch (log2_histogram_df row)."""
+        h = cls()
+        for b, n in buckets:
+            h.buckets[int(b)] += int(n)
+        h._count = int(count)
+        h._sum = int(total)
+        h._min = int(vmin) if count else None
+        h._max = int(vmax)
+        return h
+
+
+def log2_histogram_df(log: DataFrame, us_col: str = "us",
+                      group_cols: Sequence[str] = ()) -> DataFrame:
+    """The histogram's distributed form: one aggregation reduces an
+    unbounded log to (group..., buckets, n, sum_us, min_us, max_us) where
+    ``buckets`` is the array of (bucket, count) pairs — a constant-size
+    (≤64-entry) sketch per group, mergeable and driver-rehydratable via
+    Log2Histogram.from_buckets. Bucket = floor(log2(us)) exactly like
+    bucket_for (bit_length - 1)."""
+    v = F.col(us_col).cast("long")
+    # bit_length − 1 via base-2 string length — exact integer log2, no
+    # float rounding at power-of-two boundaries (bucket_for uses
+    # leading_zeros, i.e. bit arithmetic, never floats)
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(
+        F.least((F.length(F.conv(v, 10, 2)) - 1).cast("int"),
+                F.lit(NUM_LOG2_BUCKETS - 1)))
+    per_bucket = (log.groupBy(*group_cols, bucket.alias("_bucket"))
+                  .agg(F.count("*").alias("_n"),
+                       F.sum(v).alias("_sum"),
+                       F.min(v).alias("_min"), F.max(v).alias("_max")))
+    return (per_bucket.groupBy(*group_cols)
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("_bucket").alias("bucket"),
+                         F.col("_n").alias("n")))).alias("buckets"),
+                 F.sum("_n").alias("n"),
+                 F.sum("_sum").alias("sum_us"),
+                 F.min("_min").alias("min_us"),
+                 F.max("_max").alias("max_us")))
