@@ -209,3 +209,31 @@ def test_f16_half_precision_roundtrip(spark):
         else:
             assert math.isclose(a, b, rel_tol=1e-3)
     assert out[2].nbytes is None and out[2].back is None
+
+
+def test_staged_score_bit_identical_to_column_form(spark):
+    """staged_score must produce BIT-identical scores to the generic
+    metric_score composition for every metric (same f64 fold order,
+    plan-time query norm = same left fold)."""
+    import random
+
+    from velesdb_spark.functions.distance import metric_score, staged_score
+    from velesdb_spark.operators.topk import vector_lit
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))  # zero-norm doc
+    df = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    q = [rng.uniform(-2, 2) for _ in range(16)]
+    from pyspark.sql import functions as F
+
+    for metric in ("cosine", "dot", "euclidean", "hamming", "jaccard"):
+        generic = {r.id: r.s for r in df.withColumn(
+            "s", metric_score(F.col("vector"), vector_lit(q), metric))
+            .collect()}
+        staged = {r.id: r.s for r in
+                  staged_score(df, "vector", q, metric, "s").collect()}
+        assert staged == generic, metric
+    # zero query vector → cosine 0.0 for every row
+    z = staged_score(df, "vector", [0.0] * 16, "cosine", "s").collect()
+    assert all(r.s == 0.0 for r in z)

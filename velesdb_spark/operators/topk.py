@@ -40,8 +40,12 @@ def vector_lit(vec: Sequence[float]) -> Column:
 
 def with_score(df: DataFrame, query_vector: Sequence[float], metric: str = "cosine",
                vector_col: str = "vector", score_col: str = "score") -> DataFrame:
-    """Add a metric score column against one query vector (JVM expression)."""
-    return df.withColumn(score_col, metric_score(F.col(vector_col), vector_lit(query_vector), metric))
+    """Add a metric score column against one query vector (JVM expression;
+    staged_score folds the query-side constants and evaluates each
+    row-level aggregate once — bit-identical to the Column form)."""
+    from velesdb_spark.functions.distance import staged_score
+
+    return staged_score(df, vector_col, query_vector, metric, score_col)
 
 
 def _best_order(score_col: str, metric: str, id_col: str) -> list[Column]:
@@ -76,18 +80,31 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         return base.select(F.lit(0).cast("bigint").alias("qid"),
                            F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     if len(qrows) <= SMALL_BATCH_Q:
-        # Small batches: one TakeOrderedAndProject per query (per-partition
-        # heap + driver merge — no shuffle, no Python workers). Q scans of
-        # the pruned (id, vector) columns beat shuffling N·Q scored rows.
-        outs = []
+        # Small batches: ONE scan scoring every query as a staged column
+        # (queries ride as plan literals — fine while Q·dim stays small),
+        # exploded to skinny (qid, id, score) rows, then the per-partition
+        # partial top-k. One job instead of Q sequential TakeOrdered jobs
+        # (~Q× lower latency), and the shuffle still carries at most
+        # partitions·Q·k rows — vectors never leave the scan.
+        scored = base
+        cols = []
         for qid, vec in qrows:
-            r = knn(base, vec, k, metric, vector_col, id_col)
-            outs.append(r.select(F.lit(qid).cast("bigint").alias("qid"),
-                                 F.col(id_col), F.col("score")))
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionAll(o)
-        return out
+            from velesdb_spark.functions.distance import staged_score
+
+            name = f"_s_{qid}"
+            scored = staged_score(scored, vector_col, vec, metric, name)
+            cols.append((qid, name))
+        pairs = F.array(*[
+            F.struct(F.lit(qid).cast("bigint").alias("qid"),
+                     F.col(name).alias("score")) for qid, name in cols])
+        long = (scored.select(F.col(id_col), F.explode(pairs).alias("_p"))
+                .select(F.col("_p.qid").alias("qid"), id_col,
+                        F.col("_p.score").alias("score")))
+        reduced = _partial_topk(long, k, metric, id_col)
+        w = Window.partitionBy("qid") \
+            .orderBy(*_best_order("score", metric, id_col))
+        return (reduced.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
     qdf = spark.createDataFrame(qrows, "qid bigint, _qvec array<double>")
     scored = (
         base.join(F.broadcast(qdf))
