@@ -165,3 +165,21 @@ def test_ivfpq_partial_probe_matches_numpy(pq_data):
     want = sorted(keep, key=lambda i: (adc[i], i))[:5]
     got = [r["id"] for r in ivfpq.search(q, k=5, nprobe=2).collect()]
     assert got == want
+
+
+def test_ivfpq_save_load_roundtrip(pq_data, tmp_path):
+    import numpy as np
+
+    df, X = pq_data
+    cb = pqm.train_codebooks_sample(df, "embedding", "id", 16, 4, 8)
+    idx = pqm.IvfPqIndex(df, id_col="id", m=4, ksub=8,
+                         coarse_centroids=X[:4], codebooks=cb)
+    p = str(tmp_path / "ivfpq")
+    idx.save(p)
+    loaded = pqm.IvfPqIndex.load(df.sparkSession, p)
+    q = [0.25] * 16
+    a = [(r["id"], r["adc_dist"])
+         for r in idx.search(q, k=6, nprobe=2).collect()]
+    b = [(r["id"], r["adc_dist"])
+         for r in loaded.search(q, k=6, nprobe=2).collect()]
+    assert a == b

@@ -338,6 +338,9 @@ class IvfPqIndex:
                         F.round("adc_dist", 6).alias("adc_dist")))
 
     def save(self, path: str) -> str:
+        """List-partitioned codes (a probe reads only its lists' files —
+        the same partition-pruning layout as IvfIndex.save) + both
+        codebook sets alongside."""
         self.codes.write.mode("overwrite").partitionBy("_list") \
             .parquet(path + "/lists")
         os.makedirs(path, exist_ok=True)
@@ -346,3 +349,28 @@ class IvfPqIndex:
                        "coarse": self.ivf.centroids.tolist(),
                        "codebooks": self.pq.codebooks.tolist()}, f)
         return path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        with open(path + "/meta.json") as f:
+            meta = json.load(f)
+        idx = cls.__new__(cls)
+        idx.vector_col = meta["vector_col"]
+        idx.id_col = meta["id_col"]
+        ivf = _IvfShim()
+        ivf.centroids = np.asarray(meta["coarse"], dtype=np.float64)
+        idx.ivf = ivf
+        pq = PqIndex.__new__(PqIndex)
+        pq.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        pq.vector_col = meta["vector_col"]
+        pq.id_col = meta["id_col"]
+        idx.pq = pq
+        idx.codes = spark.read.parquet(path + "/lists")
+        return idx
+
+
+class _IvfShim:
+    """Centroids-only stand-in for IvfIndex on the load path (search only
+    needs the coarse centroid matrix, never the assigned DataFrame)."""
+
+    centroids: "np.ndarray"
