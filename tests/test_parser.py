@@ -193,3 +193,72 @@ def test_errors():
         parse("SELECT * FROM t WHERE")
     with pytest.raises(VelesQLSyntaxError):
         parse("SELECT * FROM t trailing garbage")
+
+
+# ---------------------------------------------------------- validation (V001)
+
+
+def test_query_validator_reference_rules():
+    """Ported from validation.rs tests: single similarity / cascade AND /
+    similarity-OR-metadata / NOT similarity all validate; multiple
+    similarity under one OR raises V001 with the reference's message.
+    (This engine EXECUTES the rejected shape — the validator is the
+    reference-compat pre-flight gate.)"""
+    import pytest as _pytest
+
+    from velesdb_spark.velesql.validation import (QueryValidator,
+                                                  ValidationConfig,
+                                                  ValidationError)
+
+    ok = [
+        "SELECT * FROM t WHERE x = 1",
+        "SELECT * FROM t WHERE similarity(v, [1.0, 0.0]) > 0.8",
+        "SELECT * FROM t WHERE vector NEAR [1.0, 0.0] LIMIT 5",
+        "SELECT * FROM t WHERE similarity(v, [1.0]) > 0.8 AND x = 1",
+        # cascade: multiple similarity under AND is allowed (US-001)
+        "SELECT * FROM t WHERE similarity(a, [1.0]) > 0.5 "
+        "AND similarity(b, [0.5]) > 0.9",
+        # similarity OR metadata allowed (US-002)
+        "SELECT * FROM t WHERE similarity(a, [1.0]) > 0.5 OR x = 2",
+        # NOT similarity allowed (US-003)
+        "SELECT * FROM t WHERE NOT similarity(a, [1.0]) > 0.5 LIMIT 10",
+    ]
+    for sql in ok:
+        QueryValidator.validate(sql)
+
+    bad = [
+        "SELECT * FROM t WHERE similarity(a, [1.0]) > 0.5 "
+        "OR similarity(b, [0.5]) > 0.9",
+        # nested: OR carrying two vector branches inside an AND
+        "SELECT * FROM t WHERE x = 1 AND (similarity(a, [1.0]) > 0.5 "
+        "OR vector NEAR [1.0, 0.0])",
+    ]
+    for sql in bad:
+        with _pytest.raises(ValidationError) as ei:
+            QueryValidator.validate(sql)
+        assert ei.value.kind == "V001"
+        assert "Multiple similarity() conditions not supported" in str(ei.value)
+
+    # set-op compound: right side validated too (validation.rs:218-224)
+    with _pytest.raises(ValidationError):
+        QueryValidator.validate(
+            "SELECT x FROM t UNION SELECT x FROM t WHERE "
+            "similarity(a, [1.0]) > 0.5 OR similarity(b, [1.0]) > 0.5")
+
+    # configs exist with the reference's fields
+    assert ValidationConfig().strict_not_similarity is True
+    assert ValidationConfig.lenient().strict_not_similarity is False
+    assert ValidationConfig.strict().strict_not_similarity is True
+
+
+def test_validation_error_codes_and_messages():
+    from velesdb_spark.velesql.validation import (KIND_CODES, KIND_MESSAGES,
+                                                  not_similarity_error,
+                                                  similarity_with_or_error)
+
+    assert KIND_CODES["multiple_similarity"] == "V001"
+    assert KIND_CODES["string_escaping"] == "V005"
+    e = similarity_with_or_error("test OR")
+    assert e.kind == "V002" and "OR operator not supported" in str(e)
+    assert "test OR" in str(e)
+    assert not_similarity_error().kind == "V003"
