@@ -108,3 +108,29 @@ def test_candidate_vs_batch_pipeline_equivalence(spark, tmp_path):
     want = sorted(r.doc_id for r in dedup_keep_representatives(
         df.select("doc_id"), pairs, "doc_id").collect())
     assert got == want
+
+
+def test_compact_preserves_state_and_decisions(spark, tmp_path):
+    import os
+
+    store = _mk(spark, tmp_path)
+    store.process_batch(_df(spark, [(1, DUP_A), (2, UNIQ_B)]), 0)
+    store.process_batch(_df(spark, [(3, UNIQ_C)]), 1)
+    before = sorted((r.doc_id, r.batch_id)
+                    for r in store.accepted().collect())
+    bands_before = sorted((r._id, r._b, r._bh)
+                          for r in store.band_store().collect())
+    nfiles = len([f for f in os.listdir(str(tmp_path / "store" / "bands"))
+                  if f.endswith(".parquet")])
+    store.compact()
+    nafter = len([f for f in os.listdir(str(tmp_path / "store" / "bands"))
+                  if f.endswith(".parquet")])
+    assert nafter <= nfiles
+    assert sorted((r.doc_id, r.batch_id)
+                  for r in store.accepted().collect()) == before
+    assert sorted((r._id, r._b, r._bh)
+                  for r in store.band_store().collect()) == bands_before
+    # the store keeps working after the swap: a dup of accepted doc 1
+    # is still rejected, a new doc accepted
+    out = store.process_batch(_df(spark, [(9, DUP_A2), (10, UNIQ_D)]), 2)
+    assert sorted(r.doc_id for r in out.collect()) == [10]

@@ -287,17 +287,62 @@ class PqIndex:
         return idx
 
 
-class IvfPqIndex:
-    """IVF coarse pruning over PQ residual-free codes: rows partition by
-    nearest coarse centroid (the IvfIndex machinery), PQ codes score only
-    the probed lists — candidate count drops by ~nprobe/nlist BEFORE any
-    ADC work, and a saved index prunes list partitions at the file level.
+def residual_expr(vec: Column, centroids: np.ndarray,
+                  list_col: str = "_list") -> Column:
+    """x − coarse_centroid[list]: the centroid table rides as a literal
+    array-of-arrays indexed by the assigned list (JVM, fine for the
+    ≤EXPR_NLIST_MAX tier Spark plans tolerate; a larger nlist would move
+    this into the same Arrow closure as _encode_gemm)."""
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cvec = F.element_at(cent, F.col(list_col) + F.lit(1))
+    return F.zip_with(vec, cvec, lambda a, b: a.cast("double") - b)
 
-    This is the classic IVFPQ composition (Jégou et al. §IV) minus
-    residual encoding: codes quantize the raw vector, not the residual,
-    which keeps every piece independently oracle-checkable; residuals
-    would couple the two codebooks. Documented trade-off: slightly worse
-    quantization error at equal bits.
+
+def train_residual_codebooks(df: DataFrame, vector_col: str, id_col: str,
+                             coarse: np.ndarray, dim: int, m: int,
+                             ksub: int, init: str = "kmeans",
+                             seed: int = LSH_SEED,
+                             train_sample: int = 4096) -> np.ndarray:
+    """PQ codebooks over RESIDUALS (x − nearest coarse centroid): bounded
+    deterministic sample collected once, assignment + residuals computed
+    driver-side in NumPy (the sample is small), then the usual seeded
+    per-subspace k-means — or first-ksub sampled-points init on the
+    residuals when ``init='sample'`` (sample = first ksub rows in id
+    order, matching train_codebooks_sample's row choice)."""
+    order = (F.col(id_col).asc() if init == "sample"
+             else F.xxhash64(F.col(id_col).cast("string")).asc())
+    n = ksub if init == "sample" else train_sample
+    rows = (df.select(F.col(vector_col).alias("_v"),
+                      F.col(id_col).alias("_id"))
+            .orderBy(order).limit(n).collect())
+    pts = np.array([r["_v"] for r in rows], dtype=np.float64)
+    assign = ((pts[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2) \
+        .argmin(axis=1)
+    res = pts - coarse[assign]
+    dsub = dim // m
+    if init == "sample":
+        return np.stack([res[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+    return np.stack([
+        _kmeans_np(res[:, j * dsub:(j + 1) * dsub], ksub, seed + j, 8)
+        for j in range(m)])
+
+
+class IvfPqIndex:
+    """IVF coarse pruning over PQ codes: rows partition by nearest coarse
+    centroid (the IvfIndex machinery), PQ codes score only the probed
+    lists — candidate count drops by ~nprobe/nlist BEFORE any ADC work,
+    and a saved index prunes list partitions at the file level.
+
+    ``residual=False`` (default) quantizes the raw vector — every piece
+    stays independently oracle-checkable (the driver's ivfpq_topk gate),
+    at slightly worse quantization error. ``residual=True`` is the full
+    Jégou et al. §IV composition: codes quantize x − coarse_centroid
+    (the residual has far less variance than x, so the same bits encode
+    it tighter), and search builds one per-list ADC table from the
+    query's residual against that list's centroid. NumPy-differential
+    tested; the recall harness shows the residual variant dominating the
+    raw variant on clustered data.
     """
 
     def __init__(self, df: DataFrame, vector_col: str = "embedding",
@@ -305,35 +350,76 @@ class IvfPqIndex:
                  m: int = 8, ksub: int = 16, init: str = "kmeans",
                  seed: int = LSH_SEED,
                  coarse_centroids: Optional[np.ndarray] = None,
-                 codebooks: Optional[np.ndarray] = None):
+                 codebooks: Optional[np.ndarray] = None,
+                 residual: bool = False):
         from velesdb_spark.functions.similarity import (IvfIndex,
                                                         nearest_centroid)
 
         self.ivf = IvfIndex(df, vector_col=vector_col, id_col=id_col,
                             n_centroids=n_centroids, seed=seed,
                             centroids=coarse_centroids)
-        self.pq = PqIndex(df, vector_col=vector_col, id_col=id_col,
-                          m=m, ksub=ksub, init=init, seed=seed,
-                          codebooks=codebooks)
         self.vector_col = vector_col
         self.id_col = id_col
-        self.codes = df.select(
-            F.col(id_col),
-            nearest_centroid(F.col(vector_col), self.ivf.centroids)
-            .alias("_list"),
-            encode_codes(F.col(vector_col), self.pq.codebooks)
-            .alias("_codes"))
+        self.residual = bool(residual)
+        if residual:
+            first = df.select(vector_col).first()
+            dim = len(first[0])
+            if codebooks is None:
+                codebooks = train_residual_codebooks(
+                    df, vector_col, id_col, self.ivf.centroids, dim, m,
+                    ksub, init=init, seed=seed)
+            pq = PqIndex.__new__(PqIndex)
+            pq.codebooks = np.asarray(codebooks, dtype=np.float64)
+            pq.vector_col = vector_col
+            pq.id_col = id_col
+            pq.dim = dim
+            pq.keep_vectors = False
+            self.pq = pq
+            assigned = df.select(
+                F.col(id_col), F.col(vector_col),
+                nearest_centroid(F.col(vector_col), self.ivf.centroids)
+                .alias("_list"))
+            self.codes = assigned.select(
+                F.col(id_col), "_list",
+                encode_codes(
+                    residual_expr(F.col(vector_col), self.ivf.centroids),
+                    self.pq.codebooks).alias("_codes"))
+        else:
+            self.pq = PqIndex(df, vector_col=vector_col, id_col=id_col,
+                              m=m, ksub=ksub, init=init, seed=seed,
+                              codebooks=codebooks)
+            self.codes = df.select(
+                F.col(id_col),
+                nearest_centroid(F.col(vector_col), self.ivf.centroids)
+                .alias("_list"),
+                encode_codes(F.col(vector_col), self.pq.codebooks)
+                .alias("_codes"))
 
     def search(self, q: Sequence[float], k: int = 10,
                nprobe: int = 2) -> DataFrame:
         qa = np.asarray(q, dtype=np.float64)
         d = np.linalg.norm(self.ivf.centroids - qa, axis=1)
         lists = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
-        table = adc_table(self.pq.codebooks, q)
-        cand = self.codes.filter(F.col("_list").isin(lists))
-        return (cand.withColumn("adc_dist",
-                                adc_distance(F.col("_codes"), table))
-                .orderBy(F.asc("adc_dist"), F.asc(self.id_col)).limit(k)
+        if not self.residual:
+            table = adc_table(self.pq.codebooks, q)
+            cand = self.codes.filter(F.col("_list").isin(lists))
+            return (cand.withColumn("adc_dist",
+                                    adc_distance(F.col("_codes"), table))
+                    .orderBy(F.asc("adc_dist"), F.asc(self.id_col)).limit(k)
+                    .select(self.id_col,
+                            F.round("adc_dist", 6).alias("adc_dist")))
+        # residual mode: one ADC table per probed list (the query residual
+        # differs per list); each branch reads only its list partition
+        parts = None
+        for lst in lists:
+            table = adc_table(self.pq.codebooks,
+                              qa - self.ivf.centroids[lst])
+            part = (self.codes.filter(F.col("_list") == lst)
+                    .withColumn("adc_dist",
+                                adc_distance(F.col("_codes"), table)))
+            parts = part if parts is None else parts.unionByName(part)
+        return (parts.orderBy(F.asc("adc_dist"), F.asc(self.id_col))
+                .limit(k)
                 .select(self.id_col,
                         F.round("adc_dist", 6).alias("adc_dist")))
 

@@ -183,6 +183,31 @@ class StreamingNearDupStore:
         return accepted
 
 
+    def compact(self) -> "StreamingNearDupStore":
+        """Fold the per-batch append segments into one consolidated
+        segment per store table — file-count hygiene for long-running
+        streams, same motivation as IncrementalBm25Index.compact().
+        Single-writer discipline: call between drains, never concurrently
+        with an active stream (the swap is two local renames; an
+        object-store deployment would commit via manifest instead)."""
+        import shutil
+
+        for sub, schema in (("bands", _BANDS_SCHEMA),
+                            ("accepted", _ACCEPTED_SCHEMA),
+                            ("shingles", _SHINGLES_SCHEMA)):
+            path = os.path.join(self.root, sub)
+            if not os.path.isdir(path):
+                continue
+            df = self._read(sub, schema)
+            tmp = path + ".compacting"
+            df.write.mode("overwrite").parquet(tmp)
+            old = path + ".old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        return self
+
+
 def stream_docs_into_neardup(docs_stream: DataFrame,
                              store: StreamingNearDupStore,
                              checkpoint: str, timeout_s: int = 120):
