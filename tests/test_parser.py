@@ -220,11 +220,20 @@ def test_query_validator_reference_rules():
         "AND similarity(b, [0.5]) > 0.9",
         # similarity OR metadata allowed (US-002)
         "SELECT * FROM t WHERE similarity(a, [1.0]) > 0.5 OR x = 2",
-        # NOT similarity allowed (US-003)
+        # NOT similarity allowed (US-003) when bounded
         "SELECT * FROM t WHERE NOT similarity(a, [1.0]) > 0.5 LIMIT 10",
     ]
     for sql in ok:
         QueryValidator.validate(sql)
+
+    # strict_not_similarity contract (validation.rs:158-161): NOT
+    # similarity with no LIMIT is an unbounded full scan — V003 under
+    # strict, allowed under lenient
+    unbounded = "SELECT * FROM t WHERE NOT similarity(a, [1.0]) > 0.5"
+    with _pytest.raises(ValidationError) as ei:
+        QueryValidator.validate(unbounded)
+    assert ei.value.kind == "V003"
+    QueryValidator.validate_with_config(unbounded, ValidationConfig.lenient())
 
     bad = [
         "SELECT * FROM t WHERE similarity(a, [1.0]) > 0.5 "

@@ -98,8 +98,16 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     )
 
 
+def doc_norm2(vector_col: str) -> Column:
+    """Σ x², the query-independent half of a cosine score — compute it
+    ONCE per row and pass its column name to staged_score(norm2_col=...)
+    when scoring the same rows against many queries (knn_batch)."""
+    return F.aggregate(_as_double(F.col(vector_col)), F.lit(0.0),
+                       lambda acc, x: acc + x * x)
+
+
 def staged_score(df, vector_col: str, query, metric: str,
-                 score_col: str = "score"):
+                 score_col: str = "score", norm2_col: str = None):
     """metric_score against a driver-side literal query, with every
     row-level array aggregate evaluated exactly once.
 
@@ -130,11 +138,17 @@ def staged_score(df, vector_col: str, query, metric: str,
             return df.withColumn(score_col, F.lit(0.0))
         dot = F.aggregate(F.zip_with(a, qlit, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, x: acc + x)
-        n2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
-        staged = df.withColumns({"_dot": dot, "_n2": n2})
-        out = F.when(F.sqrt(F.col("_n2")) == 0.0, F.lit(0.0)).otherwise(
-            F.col("_dot") / (F.sqrt(F.col("_n2")) * F.lit(qn)))
-        return staged.withColumn(score_col, out).drop("_dot", "_n2")
+        if norm2_col is None:
+            n2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+            staged = df.withColumns({"_dot": dot, "_n2": n2})
+            n2ref, drops = F.col("_n2"), ["_dot", "_n2"]
+        else:
+            # caller precomputed Σx² (doc_norm2) — reuse across queries
+            staged = df.withColumn("_dot", dot)
+            n2ref, drops = F.col(norm2_col), ["_dot"]
+        out = F.when(F.sqrt(n2ref) == 0.0, F.lit(0.0)).otherwise(
+            F.col("_dot") / (F.sqrt(n2ref) * F.lit(qn)))
+        return staged.withColumn(score_col, out).drop(*drops)
     if metric in ("dot", "dotproduct", "dot_product"):
         dot = F.aggregate(F.zip_with(a, qlit, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, x: acc + x)

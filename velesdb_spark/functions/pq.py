@@ -70,8 +70,8 @@ def train_codebooks_sample(df: DataFrame, vector_col: str, id_col: str,
     if len(rows) < ksub:
         raise ValueError(f"need ≥{ksub} rows to sample codebooks")
     pts = np.array([r["_v"] for r in rows], dtype=np.float64)  # (ksub, dim)
-    dsub = dim // m
-    return np.stack([pts[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+    return np.stack([pts[:, lo - 1:lo - 1 + ln]
+                     for lo, ln in subspace_bounds(dim, m)])
 
 
 def train_codebooks_kmeans(df: DataFrame, vector_col: str, id_col: str,
@@ -96,9 +96,10 @@ def _encode_expr(vec: Column, codebooks: np.ndarray) -> Column:
     ||x||² term is row-constant) with first-index tie-break, assembled
     into one ARRAY<INT> of codes. Mirrors _nearest_centroid_expr."""
     m, ksub, dsub = codebooks.shape
+    bounds = subspace_bounds(m * dsub, m)
     codes = []
     for j in range(m):
-        sub = F.slice(vec, j * dsub + 1, dsub)
+        sub = F.slice(vec, *bounds[j])
         scores = []
         for c in codebooks[j]:
             dot = F.aggregate(
@@ -432,6 +433,7 @@ class IvfPqIndex:
         os.makedirs(path, exist_ok=True)
         with open(path + "/meta.json", "w") as f:
             json.dump({"vector_col": self.vector_col, "id_col": self.id_col,
+                       "residual": self.residual,
                        "coarse": self.ivf.centroids.tolist(),
                        "codebooks": self.pq.codebooks.tolist()}, f)
         return path
@@ -443,6 +445,10 @@ class IvfPqIndex:
         idx = cls.__new__(cls)
         idx.vector_col = meta["vector_col"]
         idx.id_col = meta["id_col"]
+        # the flag decides how search scores the stored codes — a
+        # residual index scored raw would be silently wrong, so it is
+        # persisted, never defaulted
+        idx.residual = bool(meta["residual"])
         ivf = _IvfShim()
         ivf.centroids = np.asarray(meta["coarse"], dtype=np.float64)
         idx.ivf = ivf

@@ -86,13 +86,20 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         # partial top-k. One job instead of Q sequential TakeOrdered jobs
         # (~Q× lower latency), and the shuffle still carries at most
         # partitions·Q·k rows — vectors never leave the scan.
+        from velesdb_spark.functions.distance import doc_norm2, staged_score
+
         scored = base
+        n2col = None
+        if metric.lower() == "cosine":
+            # the doc norm is query-independent: one per-row aggregate
+            # shared by every query's score instead of Q copies
+            n2col = "_docn2"
+            scored = scored.withColumn(n2col, doc_norm2(vector_col))
         cols = []
         for qid, vec in qrows:
-            from velesdb_spark.functions.distance import staged_score
-
             name = f"_s_{qid}"
-            scored = staged_score(scored, vector_col, vec, metric, name)
+            scored = staged_score(scored, vector_col, vec, metric, name,
+                                  norm2_col=n2col)
             cols.append((qid, name))
         pairs = F.array(*[
             F.struct(F.lit(qid).cast("bigint").alias("qid"),

@@ -28,14 +28,17 @@ dropping (LSH collisions become candidates, not verdicts) — the
 streaming twin of minhash_dedup_pairs. Costs one wider store row;
 candidate-only mode is the web-crawl-scale default.
 
-Scale: the store is parquet band postings (id, band, hash) — the
+Scale: the store is parquet band postings (id, band, hash, batch) — the
 per-batch membership probe is a broadcast-able equi-join of the BATCH's
 keys against the store keys (band+hash are join keys a 100 TB store
-would bucket by); nothing ever re-tokenizes accepted docs. Checkpoint
-redelivery is idempotent by construction: a replayed batch re-derives
-the same accept set (its keys are already in the store → rejected, or
-identical rows re-append — duplicates cannot change any existence
-join).
+would bucket by); nothing ever re-tokenizes accepted docs. Crash
+consistency: the bands append is the SINGLE commit point —
+``accepted()`` derives from the band store, so a crash before the
+append leaves no trace (replay recomputes the identical accept set)
+and a replay after it finds every key present and accepts nothing
+twice. Verify-mode shingles write before the commit; orphaned shingle
+rows from a crash in between are duplicate-content-only and harmless
+(candidate joins end in distinct()).
 """
 
 from __future__ import annotations
@@ -52,8 +55,7 @@ from velesdb_spark.functions.dedup import (DEFAULT_BANDS, DEFAULT_MINHASHES,
                                            minhash_band_rows,
                                            staged_shingles)
 
-_BANDS_SCHEMA = "_id BIGINT, _b INT, _bh STRING"
-_ACCEPTED_SCHEMA = "doc_id BIGINT, batch_id BIGINT"
+_BANDS_SCHEMA = "_id BIGINT, _b INT, _bh STRING, batch_id BIGINT"
 _SHINGLES_SCHEMA = "_id BIGINT, _sh ARRAY<STRING>"
 
 
@@ -98,8 +100,13 @@ class StreamingNearDupStore:
         return self._read("bands", _BANDS_SCHEMA)
 
     def accepted(self) -> DataFrame:
-        """(doc_id, batch_id) of every accepted doc so far."""
-        return self._read("accepted", _ACCEPTED_SCHEMA)
+        """(doc_id, batch_id) of every accepted doc so far — DERIVED from
+        the band store (one aggregation over its (doc, batch) pairs), so
+        the bands append is the store's single commit point: there is no
+        second table that could disagree with it after a crash."""
+        return (self.band_store()
+                .groupBy(F.col("_id").alias("doc_id"))
+                .agg(F.min("batch_id").alias("batch_id")))
 
     def shingle_store(self) -> DataFrame:
         return self._read("shingles", _SHINGLES_SCHEMA)
@@ -158,29 +165,45 @@ class StreamingNearDupStore:
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> DataFrame:
         """One micro-batch through the filter; returns the accepted rows
-        and appends their keys to the store."""
+        and appends their keys to the store.
+
+        Commit protocol: the BANDS append is the single commit point —
+        accepted() derives from it, so a crash anywhere before it leaves
+        no trace and the checkpoint replay recomputes the identical
+        accept set. Verify mode writes its shingle segment BEFORE the
+        bands commit: a crash in between leaves orphan shingle rows,
+        which are harmless (the replayed batch re-appends identical
+        content; candidate joins end in distinct()). The batch's band
+        rows and accept set are persisted once and reused by every
+        consumer — the store joins, the writes, and the returned frame —
+        instead of re-running the tokenize/minhash pipeline per action."""
         batch = batch.select(self.id_col, self.text_col)
-        bands_df = self._batch_bands(batch)
-        survivors = self._intra_batch_reps(batch, bands_df)
-        hits = self._store_hits(batch, bands_df) \
-            .select(F.col("_id").alias(self.id_col))
-        accepted = survivors.join(F.broadcast(hits), self.id_col,
-                                  "left_anti")
-        acc_ids = accepted.select(self.id_col)
-        acc_bands = bands_df.join(
-            F.broadcast(acc_ids.withColumnRenamed(self.id_col, "_id")),
-            "_id", "left_semi")
-        acc_bands.write.mode("append").parquet(
-            os.path.join(self.root, "bands"))
-        acc_ids.select(F.col(self.id_col).cast("long").alias("doc_id"),
-                       F.lit(int(batch_id)).cast("long").alias("batch_id")) \
-            .write.mode("append").parquet(os.path.join(self.root, "accepted"))
-        if self.mode == "verify":
-            staged_shingles(accepted, self.text_col, self.id_col, self.n) \
-                .select(F.col("_id").cast("long").alias("_id"), "_sh") \
-                .write.mode("append") \
-                .parquet(os.path.join(self.root, "shingles"))
-        return accepted
+        bands_df = self._batch_bands(batch).persist()
+        try:
+            survivors = self._intra_batch_reps(batch, bands_df)
+            hits = self._store_hits(batch, bands_df) \
+                .select(F.col("_id").alias(self.id_col))
+            accepted = survivors.join(F.broadcast(hits), self.id_col,
+                                      "left_anti")
+            # materialize the accept decision exactly once; lineage
+            # truncation keeps the returned frame valid after unpersist
+            acc_ids = accepted.select(self.id_col).localCheckpoint()
+            if self.mode == "verify":
+                staged_shingles(accepted, self.text_col, self.id_col,
+                                self.n) \
+                    .select(F.col("_id").cast("long").alias("_id"), "_sh") \
+                    .write.mode("append") \
+                    .parquet(os.path.join(self.root, "shingles"))
+            acc_bands = bands_df.join(
+                F.broadcast(acc_ids.withColumnRenamed(self.id_col, "_id")),
+                "_id", "left_semi") \
+                .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            acc_bands.write.mode("append").parquet(
+                os.path.join(self.root, "bands"))
+            return batch.join(F.broadcast(acc_ids), self.id_col,
+                              "left_semi")
+        finally:
+            bands_df.unpersist()
 
 
     def compact(self) -> "StreamingNearDupStore":
@@ -193,7 +216,6 @@ class StreamingNearDupStore:
         import shutil
 
         for sub, schema in (("bands", _BANDS_SCHEMA),
-                            ("accepted", _ACCEPTED_SCHEMA),
                             ("shingles", _SHINGLES_SCHEMA)):
             path = os.path.join(self.root, sub)
             if not os.path.isdir(path):

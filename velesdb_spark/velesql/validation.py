@@ -170,11 +170,24 @@ class QueryValidator:
     def _validate_condition(cond, limit, config: ValidationConfig) -> None:
         # EPIC-044 US-001: multiple similarity in AND = cascade (allowed);
         # under one OR = union of vector searches (V001 in the reference;
-        # this engine executes it — the validator is compat gating)
+        # this engine executes it — the validator is compat gating).
+        # NB: the remediation prose IS the reference's fragment argument
+        # (validation.rs:242-245 passes it to multiple_similarity()).
         if (count_similarity_conditions(cond) > 1
                 and has_multiple_similarity_in_or(cond)):
             raise multiple_similarity_error(
                 "Multiple similarity() in OR are not supported. "
                 "Use AND instead.")
-        # US-002 similarity OR metadata and US-003 NOT similarity both
-        # validate cleanly (execution handles them)
+        # US-002: similarity OR metadata validates cleanly (union mode).
+        # US-003: NOT similarity() executes via full scan; the
+        # strict_not_similarity flag gates the pre-relaxation V003 rule —
+        # NOT similarity with no LIMIT is an unbounded full scan, which a
+        # strict deployment can still refuse. (The reference's current
+        # validate_condition ignores its config — the flag's documented
+        # contract, validation.rs:158-161, is what we wire here; lenient
+        # reproduces the reference's effective always-pass behavior.)
+        if (config.strict_not_similarity and limit is None
+                and has_not_similarity(cond)):
+            raise not_similarity_error(
+                "NOT similarity() without LIMIT requires an unbounded "
+                "full scan. Add a LIMIT or use lenient validation.")
