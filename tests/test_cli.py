@@ -1,0 +1,100 @@
+"""CLI shell (repl_commands.rs parity): every dot-command driven through
+Repl.handle without a TTY, plus VelesQL execution with $params, format
+switching, and export."""
+
+import pytest
+
+from velesdb_spark.cli import Repl, ReplConfig
+from velesdb_spark.database import Collection, Database
+
+
+@pytest.fixture(scope="module")
+def repl(spark):
+    db = Database(spark)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "alpha", 10), (2, [0.0, 1.0], "beta", 20),
+         (3, [0.5, 0.5], "gamma", 30)],
+        "id bigint, vector array<float>, name string, score bigint")
+    db.collections["docs"] = Collection(spark, "docs", dimension=2, df=df)
+    db.collections["other"] = Collection(
+        spark, "other",
+        df=spark.createDataFrame([(9, [0.1])],
+                                 "id bigint, vector array<float>"))
+    return Repl(db)
+
+
+def test_help_quit_unknown(repl):
+    out, q = repl.handle(".help")
+    assert ".collections" in out and not q
+    out, q = repl.handle(".q")
+    assert q
+    out, q = repl.handle(".bogus")
+    assert "Unknown command" in out and not q
+
+
+def test_collections_use_info(repl):
+    out, _ = repl.handle(".tables")
+    assert "docs" in out and "other" in out
+    out, _ = repl.handle(".use other")
+    assert "other" in out
+    out, _ = repl.handle(".info")
+    assert "current: other" in out
+    out, _ = repl.handle(".use nope")
+    assert "not found" in out
+    repl.handle(".use docs")
+
+
+def test_schema_describe_count_sample_stats(repl):
+    out, _ = repl.handle(".schema docs")
+    assert "vector  array<float>" in out and "score  bigint" in out
+    out, _ = repl.handle(".describe docs")
+    assert "Point Count: 3" in out and "Dimension: 2" in out
+    out, _ = repl.handle(".count docs")
+    assert "Count: 3 records" in out
+    out, _ = repl.handle(".sample docs 2")
+    assert "(2 rows)" in out and "alpha" in out
+    out, _ = repl.handle(".stats docs")
+    assert "rows: 3" in out and "ndv(name): " in out
+    out, _ = repl.handle(".count")
+    assert "Usage" in out
+
+
+def test_velesql_roundtrip_with_params_and_formats(repl):
+    out, _ = repl.handle(
+        "SELECT name, score FROM docs WHERE score > 15 ORDER BY score")
+    assert "beta" in out and "gamma" in out and "alpha" not in out
+    assert "(2 rows)" in out
+    # bound parameter
+    repl.handle(".set smin 25")
+    out, _ = repl.handle(
+        "SELECT name FROM docs WHERE score > $smin ORDER BY name")
+    assert "gamma" in out and "beta" not in out
+    out, _ = repl.handle(".show")
+    assert "$smin = 25" in out
+    repl.handle(".reset")
+    out, _ = repl.handle(".show")
+    assert "no parameters" in out
+    # json format
+    repl.handle(".format json")
+    out, _ = repl.handle("SELECT name FROM docs WHERE score = 10")
+    assert '"name": "alpha"' in out
+    repl.handle(".format table")
+    # timing
+    repl.handle(".timing on")
+    out, _ = repl.handle("SELECT name FROM docs LIMIT 1")
+    assert "Time: " in out and "ms" in out
+    repl.handle(".timing off")
+    # errors surface without killing the shell
+    out, q = repl.handle("SELECT FROM nothing")
+    assert out.startswith("Error:") and not q
+
+
+def test_export_and_limit(repl, tmp_path, spark):
+    p = str(tmp_path / "out")
+    out, _ = repl.handle(f".export docs {p}")
+    assert "Exported" in out
+    assert spark.read.parquet(p).count() == 3
+    repl.handle(".limit 1")
+    out, _ = repl.handle("SELECT name FROM docs ORDER BY name")
+    assert "(1 rows)" in out
+    repl.handle(".limit 20")

@@ -1,0 +1,324 @@
+"""Interactive VelesQL shell — CLI parity.
+
+Reference: crates/velesdb-cli/src/repl.rs + repl_commands.rs — a REPL
+over a Database with dot-commands (.collections .schema .describe
+.count .sample .stats .timing .format .use .export .set/.show/.reset
+.info .help .quit) and free-text VelesQL executed against the current
+collection. Output formats: table | json (repl_output.rs).
+
+Testability: ``Repl.handle(line)`` is pure with respect to I/O — it
+returns the rendered string (and a quit flag) instead of printing, so
+every command is unit-testable without a TTY; ``main()`` wires the
+input() loop. Rendering collects at most ``config.limit`` rows — the
+REPL is a human surface, never a data path, so the driver-side collect
+is always bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ReplConfig:
+    """repl.rs ReplConfig: timing + output format + row cap + current
+    collection (\\use)."""
+
+    timing: bool = False
+    format: str = "table"
+    limit: int = 20
+    current: str = ""
+    params: dict = field(default_factory=dict)
+
+
+HELP = """Commands:
+  .help | .h                 this help
+  .quit | .exit | .q         leave the shell
+  .collections | .tables     list collections
+  .schema [name]             column names + types
+  .describe | .desc <name>   collection details
+  .count <name>              row count
+  .sample <name> [n]         first n rows (default 5)
+  .stats <name>              cost-model statistics (rows, bytes, NDV)
+  .browse <name> [n]         alias for .sample
+  .timing on|off             print per-query wall time
+  .format table|json         result rendering
+  .limit <n>                 max rows rendered
+  .use <name>                set the current collection for queries
+  .info                      session + current collection
+  .set <k> <v> / .show / .reset   query parameters ($k binds in VelesQL)
+  .export <name> <path>      write the collection to parquet
+Anything else runs as VelesQL against the current collection."""
+
+
+def _render_table(df: DataFrame, limit: int) -> str:
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    cells = [[_short(r[c]) for c in cols] for r in rows]
+    widths = [max(len(c), *(len(row[i]) for row in cells))
+              if cells else len(c) for i, c in enumerate(cols)]
+    sep = "-+-".join("-" * w for w in widths)
+    head = " | ".join(c.ljust(w) for c, w in zip(cols, widths))
+    body = [" | ".join(row[i].ljust(widths[i]) for i in range(len(cols)))
+            for row in cells]
+    return "\n".join([head, sep] + body + [f"({len(rows)} rows)"])
+
+
+def _short(v, cap: int = 50) -> str:
+    s = "NULL" if v is None else str(v)
+    return s[:cap] + "..." if len(s) > cap else s
+
+
+def _render_json(df: DataFrame, limit: int) -> str:
+    return "\n".join(json.dumps(r.asDict(recursive=True), default=str)
+                     for r in df.limit(limit).collect())
+
+
+class Repl:
+    """Dot-command dispatcher (repl_commands.rs handle_command)."""
+
+    def __init__(self, db, config: ReplConfig | None = None):
+        self.db = db
+        self.config = config or ReplConfig()
+        if not self.config.current and db.collections:
+            self.config.current = sorted(db.collections)[0]
+
+    # -------------------------------------------------------- dispatch
+    def handle(self, line: str) -> tuple[str, bool]:
+        """Returns (rendered output, quit?)."""
+        line = line.strip()
+        if not line:
+            return "", False
+        if not (line.startswith(".") or line.startswith("\\")):
+            return self._run_query(line), False
+        parts = shlex.split(line)
+        cmd = parts[0].lstrip("\\").lstrip(".")
+        handler = getattr(self, f"_cmd_{cmd}", None)
+        aliases = {"h": "help", "q": "quit", "exit": "quit",
+                   "tables": "collections", "desc": "describe",
+                   "browse": "sample"}
+        if handler is None and cmd in aliases:
+            handler = getattr(self, f"_cmd_{aliases[cmd]}")
+        if handler is None:
+            return f"Unknown command: {parts[0]}", False
+        return handler(parts)
+
+    def _col(self, name: str):
+        col = self.db.collections.get(name)
+        if col is None:
+            raise KeyError(f"Collection '{name}' not found")
+        return col
+
+    def _run_query(self, sql: str) -> str:
+        import time
+
+        col = self.db.collections.get(self.config.current)
+        if col is None:
+            return ("No current collection — .use <name> "
+                    f"(available: {', '.join(sorted(self.db.collections)) or 'none'})")
+        t0 = time.time()
+        try:
+            df = col.query(sql, self.config.params or None)
+            out = (_render_json(df, self.config.limit)
+                   if self.config.format == "json"
+                   else _render_table(df, self.config.limit))
+        except Exception as exc:  # surface, never kill the shell
+            return f"Error: {exc}"
+        if self.config.timing:
+            out += f"\nTime: {(time.time() - t0) * 1000.0:.1f} ms"
+        return out
+
+    # -------------------------------------------------------- commands
+    def _cmd_help(self, parts):
+        return HELP, False
+
+    def _cmd_quit(self, parts):
+        return "bye", True
+
+    def _cmd_collections(self, parts):
+        names = sorted(self.db.collections)
+        if not names:
+            return "(no collections)", False
+        lines = []
+        for n in names:
+            mark = "*" if n == self.config.current else " "
+            lines.append(f"{mark} {n}")
+        return "\n".join(lines), False
+
+    def _cmd_schema(self, parts):
+        try:
+            name = parts[1] if len(parts) > 1 else self.config.current
+            col = self._col(name)
+        except KeyError as e:
+            return str(e), False
+        lines = [f"{name}:"]
+        for f_ in col.df.schema.fields:
+            lines.append(f"  {f_.name}  {f_.dataType.simpleString()}")
+        return "\n".join(lines), False
+
+    def _cmd_describe(self, parts):
+        if len(parts) < 2:
+            return "Usage: .describe <collection_name>", False
+        try:
+            col = self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        n = col.count()
+        dim = col.dimension or 0
+        est_mb = n * dim * 4 / 1_000_000.0
+        return ("Collection Details\n"
+                f"  Name: {col.name}\n"
+                f"  Dimension: {dim}\n"
+                f"  Metric: {col.metric}\n"
+                f"  Point Count: {n}\n"
+                f"  Est. Memory: {est_mb:.2f} MB (vectors only)"), False
+
+    def _cmd_count(self, parts):
+        if len(parts) < 2:
+            return "Usage: .count <collection_name>", False
+        try:
+            return f"Count: {self._col(parts[1]).count()} records", False
+        except KeyError as e:
+            return str(e), False
+
+    def _cmd_sample(self, parts):
+        if len(parts) < 2:
+            return "Usage: .sample <collection_name> [count]", False
+        try:
+            col = self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        n = int(parts[2]) if len(parts) > 2 else 5
+        return _render_table(col.df, n), False
+
+    def _cmd_stats(self, parts):
+        if len(parts) < 2:
+            return "Usage: .stats <collection_name>", False
+        try:
+            st = self._col(parts[1]).stats()
+        except KeyError as e:
+            return str(e), False
+        lines = [f"  rows: {st.live_row_count()}",
+                 f"  size: {st.total_size_bytes} bytes",
+                 f"  avg row: {st.avg_row_size:.1f} bytes"]
+        for c, ndv in sorted(st.column_cardinality.items()):
+            lines.append(f"  ndv({c}): {ndv}")
+        return "\n".join(lines), False
+
+    def _cmd_timing(self, parts):
+        if len(parts) < 2:
+            return f"Timing is {'on' if self.config.timing else 'off'}", False
+        val = parts[1].lower()
+        if val in ("on", "true", "1"):
+            self.config.timing = True
+        elif val in ("off", "false", "0"):
+            self.config.timing = False
+        else:
+            return "Use: .timing on|off", False
+        return f"Timing: {'on' if self.config.timing else 'off'}", False
+
+    def _cmd_format(self, parts):
+        if len(parts) < 2:
+            return f"Format is {self.config.format}", False
+        val = parts[1].lower()
+        if val not in ("table", "json"):
+            return "Use: .format table|json", False
+        self.config.format = val
+        return f"Format: {val}", False
+
+    def _cmd_limit(self, parts):
+        if len(parts) < 2:
+            return f"Limit is {self.config.limit}", False
+        self.config.limit = max(int(parts[1]), 1)
+        return f"Limit: {self.config.limit}", False
+
+    def _cmd_use(self, parts):
+        if len(parts) < 2:
+            return "Usage: .use <collection_name>", False
+        try:
+            self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        self.config.current = parts[1]
+        return f"Using collection: {parts[1]}", False
+
+    def _cmd_info(self, parts):
+        cur = self.config.current or "(none)"
+        return (f"collections: {len(self.db.collections)}\n"
+                f"current: {cur}\n"
+                f"format: {self.config.format}, timing: "
+                f"{'on' if self.config.timing else 'off'}, "
+                f"limit: {self.config.limit}"), False
+
+    def _cmd_set(self, parts):
+        if len(parts) < 3:
+            return "Usage: .set <name> <value>", False
+        raw = parts[2]
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        self.config.params[parts[1]] = val
+        return f"{parts[1]} = {val!r}", False
+
+    def _cmd_show(self, parts):
+        if not self.config.params:
+            return "(no parameters)", False
+        return "\n".join(f"  ${k} = {v!r}"
+                         for k, v in sorted(self.config.params.items())), False
+
+    def _cmd_reset(self, parts):
+        self.config.params.clear()
+        return "parameters cleared", False
+
+    def _cmd_export(self, parts):
+        if len(parts) < 3:
+            return "Usage: .export <collection_name> <path>", False
+        try:
+            col = self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        col.df.write.mode("overwrite").parquet(parts[2])
+        return f"Exported {parts[1]} to {parts[2]}", False
+
+    def _cmd_clear(self, parts):
+        return "\x1b[2J\x1b[1;1H", False
+
+
+def main(argv=None) -> int:
+    """``python -m velesdb_spark.cli [db_path]`` — open a Database
+    directory (Database.open layout) and drop into the shell."""
+    import argparse
+
+    from velesdb_spark.database import Database
+    from velesdb_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="VelesQL shell")
+    ap.add_argument("path", nargs="?", default=None,
+                    help="database directory (Database.open layout)")
+    args = ap.parse_args(argv)
+    spark = get_spark("velesdb-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    db = Database.open(spark, args.path)
+    repl = Repl(db)
+    print("velesdb-spark shell — .help for commands")
+    while True:
+        try:
+            line = input("veles> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        out, quit_ = repl.handle(line)
+        if out:
+            print(out)
+        if quit_:
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
