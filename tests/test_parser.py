@@ -271,3 +271,46 @@ def test_validation_error_codes_and_messages():
     assert e.kind == "V002" and "OR operator not supported" in str(e)
     assert "test OR" in str(e)
     assert not_similarity_error().kind == "V003"
+
+
+# ------------------------------------------------- bindings introspection
+
+
+def test_parsed_statement_introspection():
+    """velesql.rs ParsedStatement surface: every has_* flag, table/alias,
+    columns, order_by tuples, group_by, join_count, limit/offset."""
+    from velesdb_spark.velesql.introspect import ParsedStatement, VelesQL
+
+    p = VelesQL.parse(
+        "SELECT DISTINCT name, COUNT(*) FROM docs AS d "
+        "JOIN other ON d.id = other.id "
+        "WHERE score > 1 AND vector NEAR [1.0, 0.0] "
+        "GROUP BY name HAVING COUNT(*) > 2 "
+        "ORDER BY name DESC, COUNT(*) ASC LIMIT 7 OFFSET 2")
+    assert p.is_valid() and p.is_select() and not p.is_match()
+    assert p.table_name == "docs" and p.table_alias == "d"
+    assert p.columns == ["name", "Count"]
+    assert p.has_distinct() and p.has_where_clause() and p.has_order_by()
+    assert p.has_group_by() and p.has_having() and p.has_joins()
+    assert p.has_vector_search() and not p.has_fusion()
+    assert p.limit == 7 and p.offset == 2
+    assert p.order_by == [("name", "DESC"), ("Count", "ASC")]
+    assert p.group_by == ["name"] and p.join_count == 1
+    assert "SELECT FROM docs" in repr(p)
+
+    simple = VelesQL.parse("SELECT * FROM t")
+    assert simple.columns == ["*"]
+    assert not simple.has_where_clause() and simple.join_count == 0
+    assert simple.limit is None
+
+    m = VelesQL.parse("MATCH (a:Person)-[:KNOWS]->(b) RETURN a")
+    assert m.is_match() and not m.is_select()
+    assert m.table_name is None and "<graph>" in repr(m)
+
+    assert VelesQL.is_valid("SELECT * FROM t")
+    assert not VelesQL.is_valid("SELEKT nope")
+
+    u = ParsedStatement(__import__(
+        "velesdb_spark.velesql.parser", fromlist=["parse"]).parse(
+        "SELECT a FROM t UNION SELECT a FROM u"))
+    assert u.is_select() and u.table_name == "t"

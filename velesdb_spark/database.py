@@ -433,6 +433,27 @@ class Collection:
     def get_edges_by_label(self, label: str) -> DataFrame:
         return self.edges.filter(F.col("label") == label)
 
+    def edge_count(self) -> int:
+        """Total live edges (bindings graph.rs edge_count)."""
+        return self.edges.count() if self._has_edges() else 0
+
+    def has_edge(self, src: int, dst: int,
+                 label: Optional[str] = None) -> bool:
+        """Existence probe (bindings graph.rs has_edge) — limit(1), never
+        a full count."""
+        if not self._has_edges():
+            return False
+        e = self.edges.filter((F.col("src") == int(src))
+                              & (F.col("dst") == int(dst)))
+        if label is not None:
+            e = e.filter(F.col("label") == label)
+        return len(e.limit(1).collect()) > 0
+
+    def _has_edges(self) -> bool:
+        # _edges is hydrated from the edge log at init and refreshed on
+        # every mutation, so None ⇔ the collection has no edges
+        return self._edges is not None
+
     def remove_edge(self, edge_id: int) -> "Collection":
         if self.edge_store is not None and self.edge_store.exists():
             self.edge_store.append_delete([edge_id])
