@@ -275,3 +275,21 @@ def test_graph_schema_validation(spark):
     assert set(viol) == {2, 3}
     assert "undeclared" in viol[3] and "mismatch" in viol[2]
     assert sch.violations_df(edges.filter("id = 1"), nodes).count() == 0
+
+
+def test_edge_count_and_has_edge(spark):
+    from velesdb_spark.database import Collection
+
+    col = Collection(spark, "ec", df=spark.createDataFrame(
+        [(1, [1.0]), (2, [0.5]), (3, [0.1])],
+        "id bigint, vector array<float>"))
+    assert col.edge_count() == 0
+    assert col.has_edge(1, 2) is False
+    col.add_edges(spark.createDataFrame(
+        [(1, 1, 2, "KNOWS"), (2, 2, 3, "CITES")],
+        "id bigint, src bigint, dst bigint, label string"))
+    assert col.edge_count() == 2
+    assert col.has_edge(1, 2)
+    assert col.has_edge(1, 2, "KNOWS")
+    assert not col.has_edge(1, 2, "CITES")
+    assert not col.has_edge(3, 1)
