@@ -98,3 +98,25 @@ def test_export_and_limit(repl, tmp_path, spark):
     out, _ = repl.handle("SELECT name FROM docs ORDER BY name")
     assert "(1 rows)" in out
     repl.handle(".limit 20")
+
+
+def test_import_jsonl_csv_and_upsert(repl, tmp_path):
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "name": "x"}\n{"id": 2, "name": "y"}\n')
+    out, _ = repl.handle(f".import imported {jl}")
+    assert "Imported into imported (2 records)" in out
+    # upsert into the existing collection: LWW on id
+    jl2 = tmp_path / "in2.jsonl"
+    jl2.write_text('{"id": 2, "name": "y2"}\n{"id": 3, "name": "z"}\n')
+    out, _ = repl.handle(f".import imported {jl2}")
+    assert "(3 records)" in out
+    rows = {r.id: r.name
+            for r in repl.db.collections["imported"].df.collect()}
+    assert rows == {1: "x", 2: "y2", 3: "z"}
+    # csv
+    cv = tmp_path / "in.csv"
+    cv.write_text("id,name\n7,seven\n")
+    out, _ = repl.handle(f".import fromcsv {cv}")
+    assert "(1 records)" in out
+    out, _ = repl.handle(".import nope")
+    assert "Usage" in out

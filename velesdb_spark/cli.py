@@ -52,6 +52,9 @@ HELP = """Commands:
   .info                      session + current collection
   .set <k> <v> / .show / .reset   query parameters ($k binds in VelesQL)
   .export <name> <path>      write the collection to parquet
+  .import <name> <path> [jsonl|csv|parquet]   load a file into a
+                             collection (creates or upserts; format
+                             inferred from the extension by default)
 Anything else runs as VelesQL against the current collection."""
 
 
@@ -284,6 +287,36 @@ class Repl:
             return str(e), False
         col.df.write.mode("overwrite").parquet(parts[2])
         return f"Exported {parts[1]} to {parts[2]}", False
+
+    def _cmd_import(self, parts):
+        """import.rs parity (import_jsonl / import_csv): land a file into
+        a collection — creates it or LWW-upserts into an existing one."""
+        if len(parts) < 3:
+            return "Usage: .import <collection_name> <path> [format]", False
+        name, path = parts[1], parts[2]
+        fmt = parts[3].lower() if len(parts) > 3 else (
+            "jsonl" if path.endswith((".jsonl", ".json"))
+            else "csv" if path.endswith(".csv") else "parquet")
+        spark = self.db.spark
+        try:
+            if fmt in ("jsonl", "json"):
+                df = spark.read.json(path)
+            elif fmt == "csv":
+                df = spark.read.csv(path, header=True, inferSchema=True)
+            elif fmt == "parquet":
+                df = spark.read.parquet(path)
+            else:
+                return f"Unknown format: {fmt} (jsonl|csv|parquet)", False
+            if name in self.db.collections:
+                self.db.collections[name].upsert(df)
+            else:
+                from velesdb_spark.database import Collection
+
+                self.db.collections[name] = Collection(spark, name, df=df)
+            n = self.db.collections[name].count()
+            return f"Imported into {name} ({n} records)", False
+        except Exception as exc:
+            return f"Error: {exc}", False
 
     def _cmd_clear(self, parts):
         return "\x1b[2J\x1b[1;1H", False
