@@ -175,5 +175,12 @@ def stream_docs_into_bm25(docs_stream: DataFrame, index,
     q = (docs_stream.writeStream.foreachBatch(_sink)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    # incomplete drain = error, not silent truncation: availableNow
+    # terminates when the backlog is drained, so a timeout means the
+    # index is missing delta segments
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"BM25 ingest drain still running after {timeout_s}s — the "
+            "index is incomplete; raise timeout_s")
     return q

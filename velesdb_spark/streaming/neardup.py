@@ -232,11 +232,16 @@ class StreamingNearDupStore:
 
 def stream_docs_into_neardup(docs_stream: DataFrame,
                              store: StreamingNearDupStore,
-                             checkpoint: str, timeout_s: int = 120):
+                             checkpoint: str, timeout_s: int = 600):
     """Drain a (doc_id, text) file stream through the near-dup filter:
     each micro-batch is one accept/reject round + one store segment
     (foreachBatch = the transactional sink, exactly the
-    stream_docs_into_bm25 discipline)."""
+    stream_docs_into_bm25 discipline).
+
+    An incomplete drain is an ERROR, never a silent truncation: with
+    availableNow the query terminates when every pending file has been
+    processed, so hitting the timeout means the store is missing
+    batches — reading it then would look like mass rejection."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
@@ -246,5 +251,9 @@ def stream_docs_into_neardup(docs_stream: DataFrame,
     q = (docs_stream.writeStream.foreachBatch(_sink)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"near-dup drain still running after {timeout_s}s — the "
+            "store is incomplete; raise timeout_s")
     return q
