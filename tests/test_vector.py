@@ -237,3 +237,31 @@ def test_staged_score_bit_identical_to_column_form(spark):
     # zero query vector → cosine 0.0 for every row
     z = staged_score(df, "vector", [0.0] * 16, "cosine", "s").collect()
     assert all(r.s == 0.0 for r in z)
+
+
+def test_knn_batch_paths_agree(spark):
+    """Single-scan (literal-budget) path vs broadcast + partial-top-k path
+    must rank identically; exercised at Q=12 (single-scan for dim 8) and
+    via a forced broadcast run (budget monkeypatched to 0)."""
+    import random
+
+    from velesdb_spark.operators import topk as tk
+
+    rng = random.Random(9)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "id bigint, vector array<double>")
+    queries = [(q, [rng.uniform(-1, 1) for _ in range(8)])
+               for q in range(12)]
+    fast = sorted(tuple(r) for r in tk.knn_batch(
+        df, queries, 4, "cosine", "vector", "id").collect())
+    old_budget = tk.BATCH_LITERAL_BUDGET
+    try:
+        tk.BATCH_LITERAL_BUDGET = 0  # force the broadcast path
+        slow = sorted(tuple(r) for r in tk.knn_batch(
+            df, queries, 4, "cosine", "vector", "id").collect())
+    finally:
+        tk.BATCH_LITERAL_BUDGET = old_budget
+    assert [(a, b) for a, b, _ in fast] == [(a, b) for a, b, _ in slow]
+    for (_, _, sa), (_, _, sb) in zip(fast, slow):
+        assert sa == pytest.approx(sb, rel=1e-9)

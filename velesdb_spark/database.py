@@ -738,6 +738,16 @@ class Database:
         self.collections[name] = col
         return col
 
+    def create_metadata_collection(self, name: str, **kwargs) -> Collection:
+        """Vector-less collection (bindings create_metadata_collection):
+        payload-only rows, is_metadata_only() True, text/filter surface
+        fully available, vector search rejected by the missing column."""
+        return self.create_collection(name, dimension=None, **kwargs)
+
+    def delete_collection(self, name: str, delete_files: bool = False) -> None:
+        """Bindings alias for drop_collection."""
+        self.drop_collection(name, delete_files)
+
     def get_collection(self, name: str) -> Collection:
         return self.collections[name]
 

@@ -29,9 +29,12 @@ from pyspark.sql import functions as F
 from velesdb_spark.functions.distance import higher_is_better, metric_score
 
 DEFAULT_K = 10
-# Below this many queries, per-query TakeOrderedAndProject (no shuffle, no
-# Python) beats the broadcast-join + partial-top-k reduction.
-SMALL_BATCH_Q = 8
+# The single-scan path inlines every query as plan literals (Q·dim of
+# them); below this budget it beats the broadcast-join + Arrow
+# partial-top-k reduction (one job, no Python, vectors never leave the
+# scan). Above it, literal-heavy plans slow analysis/codegen and the
+# broadcast path wins.
+BATCH_LITERAL_BUDGET = 8192
 
 
 def vector_lit(vec: Sequence[float]) -> Column:
@@ -79,7 +82,7 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
     if not qrows:  # empty batch → empty (qid, id, score) result
         return base.select(F.lit(0).cast("bigint").alias("qid"),
                            F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-    if len(qrows) <= SMALL_BATCH_Q:
+    if len(qrows) * len(qrows[0][1]) <= BATCH_LITERAL_BUDGET:
         # Small batches: ONE scan scoring every query as a staged column
         # (queries ride as plan literals — fine while Q·dim stays small),
         # exploded to skinny (qid, id, score) rows, then the per-partition
