@@ -120,3 +120,27 @@ def test_import_jsonl_csv_and_upsert(repl, tmp_path):
     assert "(1 records)" in out
     out, _ = repl.handle(".import nope")
     assert "Usage" in out
+
+
+def test_no_input_kills_the_shell(repl, spark):
+    # unbalanced quote (shlex), non-numeric args, empty collection
+    for line in (".use o'brien", ".limit abc", ".sample docs abc"):
+        out, q = repl.handle(line)
+        assert out.startswith("Error:") and not q
+    from velesdb_spark.database import Collection
+
+    repl.db.collections["meta"] = Collection(spark, "meta", dimension=None)
+    for line in (".describe meta", ".count meta", ".stats meta",
+                 ".schema meta", ".sample meta", ".export meta /tmp/x"):
+        out, q = repl.handle(line)
+        assert out.startswith("Error:") and not q, line
+    del repl.db.collections["meta"]
+
+
+def test_sample_is_bounded(repl):
+    from velesdb_spark import cli as cli_mod
+
+    out, _ = repl.handle(".sample docs 100000000")
+    # collection only has 3 rows; the point is the cap exists
+    assert "(3 rows)" in out
+    assert cli_mod.MAX_SAMPLE_ROWS == 1000

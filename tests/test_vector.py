@@ -265,3 +265,28 @@ def test_knn_batch_paths_agree(spark):
     assert [(a, b) for a, b, _ in fast] == [(a, b) for a, b, _ in slow]
     for (_, _, sa), (_, _, sb) in zip(fast, slow):
         assert sa == pytest.approx(sb, rel=1e-9)
+
+
+def test_knn_batch_duplicate_qids_agree(spark):
+    """Duplicate qids: each query keeps its own score column and their
+    scores rank together under one partition — identical on both paths."""
+    import random
+
+    from velesdb_spark.operators import topk as tk
+
+    rng = random.Random(4)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)],
+        "id bigint, vector array<double>")
+    qs = [(7, [1.0, 0, 0, 0, 0, 0]), (7, [0, 0, 0, 0, 0, 1.0]),
+          (8, [0, 1.0, 0, 0, 0, 0])]
+    fast = sorted(tuple(r) for r in tk.knn_batch(
+        df, qs, 5, "cosine", "vector", "id").collect())
+    old = tk.BATCH_LITERAL_BUDGET
+    try:
+        tk.BATCH_LITERAL_BUDGET = 0
+        slow = sorted(tuple(r) for r in tk.knn_batch(
+            df, qs, 5, "cosine", "vector", "id").collect())
+    finally:
+        tk.BATCH_LITERAL_BUDGET = old
+    assert [(a, b) for a, b, _ in fast] == [(a, b) for a, b, _ in slow]

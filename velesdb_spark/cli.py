@@ -35,6 +35,8 @@ class ReplConfig:
     params: dict = field(default_factory=dict)
 
 
+MAX_SAMPLE_ROWS = 1000
+
 HELP = """Commands:
   .help | .h                 this help
   .quit | .exit | .q         leave the shell
@@ -92,7 +94,16 @@ class Repl:
 
     # -------------------------------------------------------- dispatch
     def handle(self, line: str) -> tuple[str, bool]:
-        """Returns (rendered output, quit?)."""
+        """Returns (rendered output, quit?). NO input may kill the shell:
+        every failure — unbalanced quotes in shlex, non-numeric command
+        arguments, empty-collection ValueErrors from Collection.df — is
+        rendered as an Error line, exactly like query failures."""
+        try:
+            return self._dispatch(line)
+        except Exception as exc:
+            return f"Error: {exc}", False
+
+    def _dispatch(self, line: str) -> tuple[str, bool]:
         line = line.strip()
         if not line:
             return "", False
@@ -195,7 +206,10 @@ class Repl:
             col = self._col(parts[1])
         except KeyError as e:
             return str(e), False
-        n = int(parts[2]) if len(parts) > 2 else 5
+        # bounded like every other render: a shell .sample must never
+        # become an unbounded driver collect
+        n = min(max(int(parts[2]), 1) if len(parts) > 2 else 5,
+                MAX_SAMPLE_ROWS)
         return _render_table(col.df, n), False
 
     def _cmd_stats(self, parts):

@@ -99,8 +99,11 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
             n2col = "_docn2"
             scored = scored.withColumn(n2col, doc_norm2(vector_col))
         cols = []
-        for qid, vec in qrows:
-            name = f"_s_{qid}"
+        for i, (qid, vec) in enumerate(qrows):
+            # positional column names: duplicate qids each keep their own
+            # score column (their scores then rank together under one
+            # qid partition, exactly like the broadcast path)
+            name = f"_s_{i}"
             scored = staged_score(scored, vector_col, vec, metric, name,
                                   norm2_col=n2col)
             cols.append((qid, name))

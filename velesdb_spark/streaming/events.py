@@ -153,7 +153,7 @@ def read_docs_stream(spark: SparkSession, path: str,
 
 
 def stream_docs_into_bm25(docs_stream: DataFrame, index,
-                          checkpoint: str, timeout_s: int = 120):
+                          checkpoint: str, timeout_s: int = 600):
     """Continuous text-index maintenance: every micro-batch of documents is
     upserted into an IncrementalBm25Index as ONE postings-delta segment
     (tokenize cost ∝ batch size, never corpus size — the streaming twin of
