@@ -144,3 +144,24 @@ def test_sample_is_bounded(repl):
     # collection only has 3 rows; the point is the cap exists
     assert "(3 rows)" in out
     assert cli_mod.MAX_SAMPLE_ROWS == 1000
+
+
+def test_quickstart_example_runs_end_to_end(spark):
+    """examples/quickstart.py is living documentation — the whole tour
+    must execute and return sane results."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import quickstart
+        out = quickstart.main(spark, verbose=False)
+    finally:
+        sys.path.remove("/root/repo/examples")
+    assert out["count"] == 4
+    assert out["knn"] == [1, 2]
+    assert 1 in out["text"] and 2 in out["text"]
+    assert out["hybrid"][0] in (1, 2)
+    assert out["velesql"] == [1, 2]
+    assert ("Intro to Spark", "Advanced Spark SQL") in out["match"]
+    assert out["bfs"] == [2, 3, 4]
+    assert out["explain_has_strategy"]
