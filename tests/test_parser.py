@@ -314,3 +314,12 @@ def test_parsed_statement_introspection():
         "velesdb_spark.velesql.parser", fromlist=["parse"]).parse(
         "SELECT a FROM t UNION SELECT a FROM u"))
     assert u.is_select() and u.table_name == "t"
+
+
+def test_named_path_pattern():
+    """MATCH p = (...) — the reference binds the path name and execution
+    ignores it (match_clause.rs:272-283)."""
+    q = parse("MATCH p = (a:Person)-[:KNOWS]->(b) RETURN a.name AS name")
+    assert q.path_name == "p"
+    assert q.nodes[0].alias == "a" and q.rels[0].types == ("KNOWS",)
+    assert parse("MATCH (a)-[:KNOWS]->(b) RETURN a").path_name is None

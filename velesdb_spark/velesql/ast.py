@@ -305,6 +305,9 @@ class MatchQuery:
     returns: tuple = ()  # of ReturnItem
     order_by: tuple = ()
     limit: Optional[int] = None
+    # named path pattern binding (MATCH p = (...); match_clause.rs:272-283
+    # — the reference parses and stores it, execution ignores it)
+    path_name: Optional[str] = None
 
 
 @dataclass(frozen=True)

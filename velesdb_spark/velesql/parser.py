@@ -535,6 +535,15 @@ class _Parser:
     # ---- MATCH (graph) -------------------------------------------------
     def match_query(self) -> ast.MatchQuery:
         self.expect_kw("MATCH")
+        # named path pattern: MATCH p = (a)-[:R]->(b)
+        # (match_clause.rs:272-283 parse_pattern_list binds the name; the
+        # reference stores it on GraphPattern and execution ignores it)
+        path_name = None
+        if (self.cur.kind == "IDENT" and self.peek().kind == "OP"
+                and self.peek().value == "="):
+            path_name = self.cur.value
+            self.advance()
+            self.advance()
         nodes = [self.node_pattern()]
         rels = []
         while self.at_punct("-") or self.at_punct("<-"):
@@ -549,7 +558,9 @@ class _Parser:
         limit = None
         if self.accept_kw("LIMIT"):
             limit = int(self.advance().value)
-        return ast.MatchQuery(tuple(nodes), tuple(rels), where, tuple(returns), order_by, limit)
+        return ast.MatchQuery(tuple(nodes), tuple(rels), where,
+                              tuple(returns), order_by, limit,
+                              path_name=path_name)
 
     def node_pattern(self) -> ast.NodePattern:
         self.expect_punct("(")
