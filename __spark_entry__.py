@@ -1564,6 +1564,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_sq8"] = _knn_sq8
 
+    # dual-precision search via VelesQL WITH hints (EPIC-055 US-005,
+    # dual_precision.rs:260-330 + with_clause.rs:116-131): coarse phase
+    # keeps k*oversampling candidates by the SQ8 score, exact f32 re-rank
+    # orders the final k. Exercises parser → translator → two-phase plan.
+    def _knn_dual(s, d):
+        return _vql(
+            s, d,
+            "SELECT * FROM embeddings WHERE vector NEAR $v LIMIT 10 "
+            "WITH (quantization = 'dual', oversampling = 4)",
+            {"v": QV1}).select("vec_id", F.round("score", 6).alias("score"))
+
+    q["knn_dual_precision"] = _knn_dual
+
+    # int8-only mode: the SQ8-approximate score IS the result score
+    # (QuantizationMode::Int8 — single-phase, fast/approximate)
+    def _near_int8(s, d):
+        return _vql(
+            s, d,
+            "SELECT * FROM embeddings WHERE vector NEAR $v LIMIT 10 "
+            "WITH (quantization = 'int8')",
+            {"v": QV1}).select("vec_id", F.round("score", 6).alias("score"))
+
+    q["near_quantized_int8"] = _near_int8
+
     def _knn_binary_packed(s, d):
         from velesdb_spark.functions.quantization import (binary_quantize,
                                                           packed_hamming)
@@ -1670,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-5 additions, unproven by any gate yet — first
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
+    "knn_dual_precision", "near_quantized_int8",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -2712,6 +2737,41 @@ ORDER BY list_cosine_similarity(deq, {_sql_vec(QV1)}) DESC, vec_id LIMIT 10"""
 
     # packed XOR+popcount hamming == per-dimension sign-mismatch count
     o["knn_binary_packed"] = o["knn_hamming"]
+
+    # dual-precision: DuckDB re-derives both phases — SQ8 round-trip for
+    # the coarse pool of k*oversampling = 40 (ties break on vec_id, same
+    # as the Spark plan), then exact f32 cosine re-rank of the pool
+    o["knn_dual_precision"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+), p AS (
+  SELECT vec_id, embedding, mn,
+         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+  FROM base
+), dq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> mn + round((CAST(x AS DOUBLE) - mn) / scale) * scale) AS deq
+  FROM p
+), pool AS (
+  SELECT vec_id, embedding FROM dq
+  ORDER BY list_cosine_similarity(deq, {_sql_vec(QV1)}) DESC, vec_id
+  LIMIT 40
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_sql_vec(QV1)}), 6)
+         AS score
+FROM pool
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_sql_vec(QV1)}) DESC,
+         vec_id
+LIMIT 10"""
+
+    # int8-only NEAR ranks by the SQ8-approximate score — same math as
+    # the knn_sq8 oracle
+    o["near_quantized_int8"] = o["knn_sq8"]
 
     # --- merged gate oracles (tagged unions of the component oracles) --
     o["outer_joins"] = " UNION ALL ".join(

@@ -328,6 +328,10 @@ def test_translation_runs_zero_jobs(catalog, spark):
         "LIMIT 5",
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(1, (SELECT MIN(c_custkey) FROM customer)) LIMIT 5",
+        # dual-precision restructure (coarse prune + exact re-rank) must
+        # also be pure plan construction
+        "SELECT vec_id FROM embeddings WHERE vector NEAR "
+        "[0.1, 0.2, 0.3] LIMIT 5 WITH (quantization = 'dual')",
     ]
     sc = spark.sparkContext
     group = "translation-purity-check"

@@ -246,9 +246,31 @@ class Collection:
         return self
 
     # ------------------------------------------------------------ search
-    def search(self, vector: Sequence[float], k: int = 10, **_ignored) -> DataFrame:
+    def search(self, vector: Sequence[float], k: int = 10,
+               quantization: Optional[str] = None,
+               oversampling: Optional[int] = None, **_ignored) -> DataFrame:
         """Exact k-NN (reference: HNSW ANN, search/vector.rs:18-59; quality
-        profiles / ef_search accepted and ignored — exact is 'Perfect')."""
+        profiles / ef_search accepted and ignored — exact is 'Perfect').
+
+        ``quantization`` selects the search precision, the bindings'
+        search_with_config surface (dual_precision.rs:260-282):
+        'int8'/'sq8' scores on the SQ8 representation; 'dual'/'hybrid'
+        does the coarse-SQ8 → exact-f32 two-phase re-rank with
+        ``oversampling``·k candidates (default 4·k); 'f32'/'auto'/None
+        keep exact scoring — exact IS this engine's auto choice."""
+        from velesdb_spark.functions.quantization import (
+            parse_quantization_mode, sq8_dequantize, sq8_quantize)
+
+        mode = parse_quantization_mode(quantization)
+        if mode == "dual":
+            return topk_ops.dual_precision_knn(
+                self.df, vector, k, self.metric, self.vector_col,
+                self.id_col, oversampling=oversampling)
+        if mode == "int8":
+            approx = self.df.withColumn(
+                "_sq8", sq8_dequantize(sq8_quantize(F.col(self.vector_col))))
+            return (topk_ops.knn(approx, vector, k, self.metric, "_sq8",
+                                 self.id_col).drop("_sq8"))
         return topk_ops.knn(self.df, vector, k, self.metric,
                             self.vector_col, self.id_col)
 

@@ -18,6 +18,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# ------------------------------------------------------- query-time modes
+
+# Reference defaults (index/hnsw/native/dual_precision.rs:46-55
+# DualPrecisionConfig): oversample 4x for the coarse int8 phase; indexes
+# below 10k vectors skip dual-precision entirely (f32 is already cheap).
+DUAL_DEFAULT_OVERSAMPLING = 4
+DUAL_MIN_INDEX_SIZE = 10_000
+
+
+def parse_quantization_mode(s) -> str | None:
+    """Case-insensitive quantization-mode aliases → canonical mode, the
+    reference's QuantizationMode::parse (velesql/ast/with_clause.rs:24-35).
+    Returns one of 'f32' | 'int8' | 'dual' | 'auto', or None if ``s`` is
+    not a recognised mode string."""
+    if not isinstance(s, str):
+        return None
+    return {
+        "f32": "f32", "full": "f32", "exact": "f32",
+        "int8": "int8", "sq8": "int8", "quantized": "int8",
+        "dual": "dual", "hybrid": "dual",
+        "auto": "auto", "default": "auto",
+    }.get(s.lower())
+
+
 # ------------------------------------------------------------------ SQ8
 
 def sq8_quantize(vec: Column) -> Column:

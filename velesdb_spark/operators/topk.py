@@ -67,6 +67,58 @@ def knn(df: DataFrame, query_vector: Sequence[float], k: int = DEFAULT_K,
     return scored.orderBy(*_best_order(score_col, metric, id_col)).limit(k)
 
 
+def dual_precision_knn(df: DataFrame, query_vector: Sequence[float],
+                       k: int = DEFAULT_K, metric: str = "cosine",
+                       vector_col: str = "vector", id_col: str = "id",
+                       oversampling: int = None, filter_cond: Column | None = None,
+                       quantized_col: str | None = None,
+                       use_int8_phase: bool = True,
+                       score_col: str = "score") -> DataFrame:
+    """Two-phase dual-precision top-k (EPIC-055, the reference's
+    search_with_config / search_int8_traversal in
+    index/hnsw/native/dual_precision.rs:260-330):
+
+    - phase 1 scores the SQ8-quantized representation and keeps the best
+      ``k * oversampling`` candidates (reference default 4,
+      DualPrecisionConfig.oversampling_ratio);
+    - phase 2 re-scores ONLY that candidate pool with the exact f32
+      metric and returns the top k ordered by the exact score.
+
+    Scale shape: both phases are TakeOrderedAndProject (per-partition
+    partial top-k, no shuffle of the scored set). On a stored collection
+    with a materialized SQ8 column (pass ``quantized_col``) phase 1 reads
+    the int8 codes — the reference's 4x memory-bandwidth reduction
+    becomes a 4x smaller column scan — and phase 2 touches at most
+    ``k * oversampling`` rows of the f32 column. Without a materialized
+    column the codes are derived in-plan from the f32 vectors
+    (correctness-identical; the bandwidth win needs the stored layout).
+
+    ``use_int8_phase=False`` reproduces the reference's f32 fallback
+    (DualPrecisionConfig.use_int8_traversal=false → plain search).
+    Ties at the pool / final cut break by ascending id, so results are
+    deterministic and relationally re-derivable.
+    """
+    from velesdb_spark.functions.quantization import (
+        DUAL_DEFAULT_OVERSAMPLING, sq8_dequantize, sq8_quantize)
+
+    if not use_int8_phase:
+        return knn(df, query_vector, k, metric, vector_col, id_col,
+                   filter_cond, score_col)
+    oversampling = DUAL_DEFAULT_OVERSAMPLING if oversampling is None \
+        else max(int(oversampling), 1)
+    base = df.filter(filter_cond) if filter_cond is not None else df
+    codes = (F.col(quantized_col) if quantized_col is not None
+             else sq8_quantize(F.col(vector_col)))
+    approx = metric_score(sq8_dequantize(codes), vector_lit(query_vector),
+                          metric)
+    pool = (base.withColumn("_approx", approx)
+            .orderBy(*_best_order("_approx", metric, id_col))
+            .limit(int(k) * oversampling)
+            .drop("_approx"))
+    exact = with_score(pool, query_vector, metric, vector_col, score_col)
+    return exact.orderBy(*_best_order(score_col, metric, id_col)).limit(k)
+
+
 def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
               k: int = DEFAULT_K, metric: str = "cosine",
               vector_col: str = "vector", id_col: str = "id",

@@ -91,6 +91,70 @@ class ParsedStatement:
 
         return bool(self._sel and contains_similarity(self._sel.where))
 
+    # ---------------------------------------------- WITH clause (hints)
+    def with_option(self, key: str):
+        """Case-insensitive WITH-option lookup (with_clause.rs:74-80)."""
+        if not self._sel:
+            return None
+        for k, v in self._sel.with_options.items():
+            if k.lower() == key.lower():
+                return v
+        return None
+
+    @property
+    def quantization(self) -> Optional[str]:
+        """Canonical quantization mode ('f32'|'int8'|'dual'|'auto') from
+        WITH (quantization=...), or None (with_clause.rs:116-120)."""
+        from velesdb_spark.functions.quantization import (
+            parse_quantization_mode)
+
+        return parse_quantization_mode(self.with_option("quantization"))
+
+    @property
+    def oversampling(self) -> Optional[int]:
+        """WITH (oversampling=N), clamped to ≥1 (with_clause.rs:127-131)."""
+        v = self.with_option("oversampling")
+        try:
+            return max(int(v), 1) if v is not None else None
+        except (TypeError, ValueError):
+            return None
+
+    @property
+    def ef_search(self) -> Optional[int]:
+        v = self.with_option("ef_search")
+        return int(v) if v is not None else None
+
+    @property
+    def search_mode(self) -> Optional[str]:
+        v = self.with_option("mode")
+        return v if isinstance(v, str) else None
+
+    @property
+    def rerank(self) -> Optional[bool]:
+        v = self.with_option("rerank")
+        return v if isinstance(v, bool) else None
+
+    @property
+    def timeout_ms(self) -> Optional[int]:
+        v = self.with_option("timeout_ms")
+        return int(v) if v is not None else None
+
+    # --------------------------------------------------------- routing
+    def query_type(self) -> str:
+        """Unified query routing (EPIC-052 detect_query_type,
+        velesdb-server/src/handlers/query.rs:356-386): 'graph' for MATCH,
+        else 'aggregation' for aggregate columns or GROUP BY, else
+        'search' when the WHERE tree carries a vector predicate, else
+        'rows'."""
+        if self.is_match():
+            return "graph"
+        if self._sel and (self._sel.group_by or any(
+                isinstance(c, ast.Aggregate) for c in self._sel.columns)):
+            return "aggregation"
+        if self.has_vector_search():
+            return "search"
+        return "rows"
+
     @property
     def limit(self) -> Optional[int]:
         return self._sel.limit if self._sel else None

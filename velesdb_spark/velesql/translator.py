@@ -176,7 +176,8 @@ class Translator:
 
         # --- special predicates → score columns
         outer_aliases = {base_alias} | {j.alias or j.table for j in s.joins}
-        st = _SearchState(self, info, outer_aliases)
+        st = _SearchState(self, info, outer_aliases,
+                          with_options=s.with_options)
         pred = None
         if s.where is not None:
             base, pred = st.prepare(base, s.where)
@@ -192,6 +193,26 @@ class Translator:
 
         if pred is not None:
             base = base.filter(pred)
+
+        if st.dual_pending is not None:
+            aname, exact_fn = st.dual_pending
+            if has_agg or s.distinct or s.order_by:
+                # exact fallback: aggregation / DISTINCT / explicit
+                # ordering consume rows beyond the NEAR top-k, so a
+                # coarse prune would change results — score exact, like
+                # the reference's f32 fallback (dual_precision.rs:268-276)
+                base = base.withColumn(st.near_score, exact_fn()).drop(aname)
+            else:
+                # dual-precision coarse phase: keep (k+offset)·oversampling
+                # candidates by the SQ8 score (TakeOrderedAndProject — a
+                # per-partition partial top-k, no shuffle of the scored
+                # set), then compute the exact f32 score for the pool only
+                k = limit if limit is not None else DEFAULT_LIMIT
+                pool = (k + (s.offset or 0)) * st.oversampling
+                first = (F.desc(aname) if higher_is_better(info.metric)
+                         else F.asc(aname))
+                base = (base.orderBy(first, F.asc(info.id_col)).limit(pool)
+                        .withColumn(st.near_score, exact_fn()).drop(aname))
 
         if has_agg:
             return self._aggregate(base, s, limit)
@@ -477,7 +498,11 @@ class _SearchState:
     column on the base DataFrame, and exposes the final implicit ordering."""
 
     def __init__(self, tr: Translator, info: TableInfo,
-                 outer_aliases: Optional[set] = None):
+                 outer_aliases: Optional[set] = None,
+                 with_options: Optional[dict] = None):
+        from velesdb_spark.functions.quantization import (
+            DUAL_DEFAULT_OVERSAMPLING, parse_quantization_mode)
+
         self.tr = tr
         self.info = info
         self.outer_aliases = outer_aliases or set()
@@ -486,9 +511,30 @@ class _SearchState:
         self.text_score: Optional[str] = None
         self.sim_scores: list[str] = []
         self.score_output: Optional[str] = None
+        # WITH (quantization=..., oversampling=N) hints (EPIC-055 US-005,
+        # velesql/ast/with_clause.rs:116-131). 'f32' and 'auto' both mean
+        # exact scoring here: exact IS this engine's default/auto choice.
+        wo = with_options or {}
+        self.qmode = parse_quantization_mode(wo.get("quantization"))
+        try:
+            self.oversampling = max(
+                int(wo.get("oversampling", DUAL_DEFAULT_OVERSAMPLING)), 1)
+        except (TypeError, ValueError):
+            self.oversampling = DUAL_DEFAULT_OVERSAMPLING
+        # dual-precision NEAR: (approx_col_name, exact_column_thunk) —
+        # resolved in Translator.select() after the coarse-phase prune
+        self.dual_pending: Optional[tuple] = None
 
     def prepare(self, base: DataFrame, cond) -> tuple[DataFrame, Column]:
         base, pred = self._walk(base, cond)
+        # Dual-precision only accelerates the pure NEAR top-k path; a
+        # hybrid NEAR+MATCH query needs the exact vector score for rank
+        # fusion, so resolve the pending exact column here (the
+        # reference's f32 fallback, dual_precision.rs:268-276).
+        if self.dual_pending is not None and self.text_score:
+            aname, exact_fn = self.dual_pending
+            base = base.withColumn(self.near_score, exact_fn()).drop(aname)
+            self.dual_pending = None
         # Hybrid NEAR + MATCH → RRF-fused score (query/mod.rs:294-305,
         # text.rs:113-203): rank each component, weight/(rank+60).
         if self.near_score and self.text_score:
@@ -654,22 +700,50 @@ class _SearchState:
             vec = tr.value(cond.vector)
             name = self._next("sim")
             field = self.info.vector_col if cond.field_name == "vector" else cond.field_name
+            qlit = F.array(*[F.lit(float(x)) for x in vec])
+            scol = _col(field)
+            if self.qmode == "int8":
+                # WITH (quantization='int8'): single-phase approximate
+                # scoring on the SQ8 representation (QuantizationMode::Int8
+                # — "fast, approximate"); thresholds apply to that score.
+                from velesdb_spark.functions.quantization import (
+                    sq8_dequantize, sq8_quantize)
+
+                scol = sq8_dequantize(sq8_quantize(scol))
             base = base.withColumn(
-                name,
-                metric_score(_col(field), F.array(*[F.lit(float(x)) for x in vec]),
-                             self.info.metric),
-            )
+                name, metric_score(scol, qlit, self.info.metric))
             self.sim_scores.append(name)
             return base, similarity_passes(F.col(name), cond.op, cond.threshold,
                                            self.info.metric)
         if isinstance(cond, ast.VectorSearch):
             vec = tr.value(cond.vector)
             name = self._next("near")
-            base = base.withColumn(
-                name,
-                metric_score(_col(self.info.vector_col),
-                             F.array(*[F.lit(float(x)) for x in vec]), self.info.metric),
-            )
+            qlit = F.array(*[F.lit(float(x)) for x in vec])
+            vcol = self.info.vector_col
+            if self.qmode in ("int8", "dual"):
+                from velesdb_spark.functions.quantization import (
+                    sq8_dequantize, sq8_quantize)
+
+                approx = metric_score(
+                    sq8_dequantize(sq8_quantize(_col(vcol))), qlit,
+                    self.info.metric)
+                if self.qmode == "int8":
+                    # int8-only: the approximate score IS the result score
+                    base = base.withColumn(name, approx)
+                else:
+                    # dual: stage the approx column now; the exact column
+                    # is added AFTER the coarse-phase top-(k·oversampling)
+                    # prune in select(), so exact f32 scoring touches only
+                    # the candidate pool (dual_precision.rs:286-330).
+                    aname = name + "a"
+                    base = base.withColumn(aname, approx)
+                    self.dual_pending = (
+                        aname,
+                        lambda: metric_score(_col(vcol), qlit,
+                                             self.info.metric))
+            else:
+                base = base.withColumn(
+                    name, metric_score(_col(vcol), qlit, self.info.metric))
             self.near_score = name
             return base, F.lit(True)
         if isinstance(cond, ast.VectorFusedSearch):
