@@ -1,0 +1,238 @@
+"""LangChain / LlamaIndex vector-store adapters + shared validation.
+
+Reference: integrations/langchain/src/langchain_velesdb/{vectorstore,
+security}.py and the llamaindex twin — surface and semantics ported
+over the Spark engine; these tests mirror the reference's own test
+strategy (integrations/*/tests/test_vectorstore.py): deterministic fake
+embeddings, structural assertions on Documents/Nodes, round-trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from velesdb_spark.integrations.langchain_store import (
+    Document,
+    VelesDBVectorStore as LCStore,
+    _stable_hash_id,
+)
+from velesdb_spark.integrations.llamaindex_store import (
+    TextNode,
+    VectorStoreQuery,
+    VelesDBVectorStore as LIStore,
+)
+from velesdb_spark.integrations.security import (
+    SecurityError,
+    validate_collection_name,
+    validate_metric,
+    validate_path,
+    validate_weight,
+)
+
+
+class FakeEmbeddings:
+    """Deterministic content-hash embeddings: identical text → identical
+    vector, so a query equal to a stored text ranks that doc first."""
+
+    dim = 8
+
+    def _vec(self, text: str):
+        seed = _stable_hash_id(text) % (2**31)
+        v = np.random.RandomState(seed).randn(self.dim)
+        return [float(x) for x in v]
+
+    def embed_documents(self, texts):
+        return [self._vec(t) for t in texts]
+
+    def embed_query(self, text):
+        return self._vec(text)
+
+
+TEXTS = ["spark engine joins tables", "vector search with graphs",
+         "bm25 text ranking engine", "streaming ingestion pipeline"]
+METAS = [{"lang": "en", "n": i} for i in range(len(TEXTS))]
+
+
+@pytest.fixture(scope="module")
+def lc_store(spark):
+    return LCStore.from_texts(TEXTS, FakeEmbeddings(), metadatas=METAS,
+                              spark=spark, collection_name="lc_test")
+
+
+# ------------------------------------------------------------- security
+
+def test_security_validators():
+    with pytest.raises(SecurityError):
+        validate_path("../../etc/passwd")
+    with pytest.raises(SecurityError):
+        validate_path("")
+    with pytest.raises(SecurityError):
+        validate_metric("manhattan")
+    assert validate_metric("COSINE") == "cosine"
+    with pytest.raises(SecurityError):
+        validate_collection_name("bad name!")
+    with pytest.raises(SecurityError):
+        validate_weight(1.5)
+    assert validate_weight(0.3) == 0.3
+
+
+# ------------------------------------------------------------- langchain
+
+def test_lc_similarity_search_ranks_exact_match_first(lc_store):
+    docs = lc_store.similarity_search(TEXTS[1], k=2)
+    assert len(docs) == 2
+    assert docs[0].page_content == TEXTS[1]
+    assert docs[0].metadata["lang"] == "en" and docs[0].metadata["n"] == 1
+
+
+def test_lc_with_score_sorted_and_thresholded(lc_store):
+    scored = lc_store.similarity_search_with_score(TEXTS[0], k=4)
+    scores = [s for _, s in scored]
+    assert scores == sorted(scores, reverse=True)
+    assert scored[0][1] == pytest.approx(1.0, abs=1e-6)  # cosine self-match
+    top = lc_store.similarity_search_with_relevance_scores(
+        TEXTS[0], k=4, score_threshold=0.99)
+    assert [d.page_content for d, _ in top] == [TEXTS[0]]
+
+
+def test_lc_filter_search(lc_store):
+    docs = lc_store.similarity_search_with_filter(
+        TEXTS[0], k=4, filter={"type": "gt", "field": "n", "value": 1})
+    assert docs and all(d.metadata["n"] > 1 for d in docs)
+
+
+def test_lc_text_and_hybrid_search(lc_store):
+    tres = lc_store.text_search("engine", k=4)
+    assert {d.page_content for d, _ in tres} == {TEXTS[0], TEXTS[2]}
+    assert all(s > 0 for _, s in tres)
+    hres = lc_store.hybrid_search(TEXTS[2], k=3, vector_weight=0.5)
+    assert hres[0][0].page_content == TEXTS[2]  # top in both legs
+
+
+def test_lc_batch_and_multi_query(lc_store):
+    per = lc_store.batch_search_with_score([TEXTS[0], TEXTS[3]], k=2)
+    assert len(per) == 2
+    assert per[0][0][0].page_content == TEXTS[0]
+    assert per[1][0][0].page_content == TEXTS[3]
+    fused = lc_store.multi_query_search_with_score(
+        [TEXTS[1], TEXTS[1]], k=3, fusion="rrf", fusion_params={"k": 60})
+    assert fused[0][0].page_content == TEXTS[1]
+    weighted = lc_store.multi_query_search(
+        [TEXTS[1], TEXTS[2]], k=2, fusion="weighted",
+        fusion_params={"avg_weight": 0.6, "max_weight": 0.3,
+                       "hit_weight": 0.1})
+    assert len(weighted) == 2
+    with pytest.raises(ValueError):
+        lc_store.multi_query_search([TEXTS[0]], fusion="bogus")
+
+
+def test_lc_velesql_query(lc_store):
+    docs = lc_store.query(
+        "SELECT * FROM lc_test WHERE n >= $lo ORDER BY n LIMIT 10",
+        {"lo": 2})
+    assert [d.metadata["n"] for d in docs] == [2, 3]
+
+
+def test_lc_retriever_and_info(lc_store):
+    r = lc_store.as_retriever(search_kwargs={"k": 1})
+    docs = r.invoke(TEXTS[2])
+    assert [d.page_content for d in docs] == [TEXTS[2]]
+    info = lc_store.get_collection_info()
+    assert info["count"] == 4 and info["metric"] == "cosine"
+    assert not lc_store.is_empty()
+
+
+def test_lc_ids_roundtrip_and_delete(spark):
+    store = LCStore(FakeEmbeddings(), spark=spark,
+                    collection_name="lc_ids")
+    ids = store.add_texts(["alpha", "beta"], ids=["doc-a", "doc-b"])
+    assert ids == ["doc-a", "doc-b"]
+    docs = store.get_by_ids(["doc-a"])
+    assert [d.page_content for d in docs] == ["alpha"]
+    assert store.delete(["doc-a"]) is True
+    assert store.get_by_ids(["doc-a"]) == []
+    assert store.get_by_ids(["doc-b"])[0].page_content == "beta"
+    assert store.delete([]) is None
+    # auto-generated numeric ids round-trip through delete too (the
+    # int()-first resolution deviation from the reference)
+    auto = store.add_texts(["gamma"])
+    assert store.delete(auto) is True
+    assert store.get_by_ids(auto) == []
+
+
+# ------------------------------------------------------------ llamaindex
+
+@pytest.fixture(scope="module")
+def li_store(spark):
+    store = LIStore(spark=spark, collection_name="li_test")
+    emb = FakeEmbeddings()
+    nodes = [TextNode(text=t, id_=f"node-{i}",
+                      metadata={"n": i}, embedding=emb._vec(t))
+             for i, t in enumerate(TEXTS)]
+    ids = store.add(nodes)
+    assert ids == [f"node-{i}" for i in range(4)]
+    return store
+
+
+def test_li_query(li_store):
+    emb = FakeEmbeddings()
+    res = li_store.query(VectorStoreQuery(
+        query_embedding=emb.embed_query(TEXTS[2]), similarity_top_k=2))
+    assert res.ids[0] == "node-2"
+    assert res.nodes[0].get_content() == TEXTS[2]
+    assert res.nodes[0].metadata == {"n": 2}
+    assert res.similarities[0] == pytest.approx(1.0, abs=1e-6)
+    thr = li_store.query_with_score_threshold(VectorStoreQuery(
+        query_embedding=emb.embed_query(TEXTS[2]), similarity_top_k=4),
+        score_threshold=0.99)
+    assert thr.ids == ["node-2"]
+
+
+def test_li_text_hybrid_batch(li_store):
+    tres = li_store.text_query("engine", similarity_top_k=4)
+    assert set(tres.ids) == {"node-0", "node-2"}
+    emb = FakeEmbeddings()
+    hres = li_store.hybrid_query(TEXTS[0], emb.embed_query(TEXTS[0]),
+                                 similarity_top_k=3)
+    assert hres.ids[0] == "node-0"
+    batch = li_store.batch_query([
+        VectorStoreQuery(query_embedding=emb.embed_query(TEXTS[1]),
+                         similarity_top_k=1),
+        VectorStoreQuery(query_embedding=None),
+        VectorStoreQuery(query_embedding=emb.embed_query(TEXTS[3]),
+                         similarity_top_k=1),
+    ])
+    assert batch[0].ids == ["node-1"]
+    assert batch[1].ids == []
+    assert batch[2].ids == ["node-3"]
+
+
+def test_li_multi_query_and_velesql(li_store):
+    emb = FakeEmbeddings()
+    fused = li_store.multi_query_search(
+        [emb.embed_query(TEXTS[1]), emb.embed_query(TEXTS[1])],
+        similarity_top_k=2, fusion="rrf")
+    assert fused.ids[0] == "node-1"
+    # unknown fusion name falls back to rrf (reference :707-708)
+    fb = li_store.multi_query_search(
+        [emb.embed_query(TEXTS[1])], similarity_top_k=2, fusion="nope")
+    assert fb.ids[0] == "node-1"
+    res = li_store.velesql(
+        "SELECT * FROM li_test WHERE n = 3 LIMIT 5")
+    assert res.ids == ["node-3"]
+
+
+def test_li_get_nodes_delete_info(spark):
+    store = LIStore(spark=spark, collection_name="li_crud")
+    emb = FakeEmbeddings()
+    nodes = [TextNode(text=t, id_=f"d{i}", embedding=emb._vec(t))
+             for i, t in enumerate(["one", "two"])]
+    store.add(nodes)
+    got = store.get_nodes(["d1", "d0"])
+    assert [n.get_content() for n in got] == ["two", "one"]
+    store.delete("d0")
+    assert store.get_nodes(["d0"]) == []
+    info = store.get_collection_info()
+    assert info["count"] == 1
+    assert not store.is_empty()
+    assert Document("x").page_content == "x"  # stand-in sanity

@@ -322,10 +322,13 @@ class Collection:
 
     def multi_query_search(self, vectors: Iterable[Sequence[float]], k: int = 10,
                            strategy: str = "rrf", filter_cond=None,
+                           fusion_params: Optional[dict] = None,
                            **params) -> DataFrame:
         """Fused multi-query search (batch.rs:231-352, fusion/strategy.rs);
         optional shared filter (bindings collection.rs:430) applied before
-        per-query top-k — exact, no over-fetch."""
+        per-query top-k — exact, no over-fetch. Strategy parameters come
+        from ``fusion_params`` (needed for rrf's constant, whose name
+        'k' collides with the top-k kwarg) merged over ``**params``."""
         from velesdb_spark.functions import fusion as fusion_mod
 
         base = self.df
@@ -333,6 +336,8 @@ class Collection:
         if cond is not None:
             base = base.filter(cond)
         vlist = list(vectors)
+        if fusion_params:
+            params = {**params, **fusion_params}
         per_query = topk_ops.knn_batch(base, list(enumerate(vlist)),
                                        max(k * 2, k), self.metric,
                                        self.vector_col, self.id_col)
