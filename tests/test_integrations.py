@@ -222,6 +222,89 @@ def test_li_multi_query_and_velesql(li_store):
     assert res.ids == ["node-3"]
 
 
+# ---------------------------------------------------- memory + retriever
+
+def test_chat_memory_roundtrip(spark):
+    from velesdb_spark.integrations.memory import (
+        AIMessage, HumanMessage, VelesDBChatMemory)
+
+    mem = VelesDBChatMemory(spark=spark)
+    assert mem.memory_variables == ["history"]
+    assert mem.load_memory_variables({}) == {"history": ""}
+    mem.save_context({"input": "Hi"}, {"output": "Hello!"})
+    mem.save_context({"input": "How are you?"}, {"output": "Great."})
+    hist = mem.load_memory_variables({})["history"]
+    assert hist == ("Human: Hi\nAI: Hello!\n"
+                    "Human: How are you?\nAI: Great.")
+    mem.return_messages = True
+    msgs = mem.load_memory_variables({})["history"]
+    assert msgs[:2] == [HumanMessage("Hi"), AIMessage("Hello!")]
+
+
+def test_semantic_memory_facts(spark):
+    from velesdb_spark.integrations.memory import VelesDBSemanticMemory
+
+    mem = VelesDBSemanticMemory(FakeEmbeddings(), spark=spark)
+    assert mem.dimension == FakeEmbeddings.dim  # auto-detected
+    fid = mem.add_fact("Paris is the capital of France")
+    ids = mem.add_facts(["Spark shuffles on joins", "BM25 ranks text"])
+    assert len(ids) == 2 and ids[0] > fid
+    hits = mem.query("Paris is the capital of France", k=2)
+    assert hits[0]["id"] == fid
+    assert hits[0]["content"] == "Paris is the capital of France"
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def graph_store(spark):
+    """Docs 1..4 with a chain of edges 1→2→3 and 4 isolated."""
+    store = LCStore(FakeEmbeddings(), spark=spark,
+                    collection_name="lc_graph")
+    store.add_texts(TEXTS, metadatas=[{"doc_id": i + 1}
+                                      for i in range(len(TEXTS))])
+    col = store._collection
+    col.add_edges([
+        {"id": 1, "src": 1, "dst": 2, "label": "REL"},
+        {"id": 2, "src": 2, "dst": 3, "label": "REL"},
+    ])
+    return store
+
+
+def test_graph_retriever_expands_context(graph_store):
+    from velesdb_spark.integrations.graph_retriever import GraphRetriever
+
+    r = GraphRetriever(vector_store=graph_store, seed_k=1, expand_k=4,
+                       max_depth=2, score_threshold=0.99)
+    docs = r.invoke(TEXTS[0])  # seed = doc 1 (self-match); expands 2, 3
+    contents = [d.page_content for d in docs]
+    assert contents[0] == TEXTS[0]
+    assert set(contents) == {TEXTS[0], TEXTS[1], TEXTS[2]}
+    assert docs[0].metadata["graph_depth"] == 0
+    assert docs[0].metadata["retrieval_mode"] == "graph_expanded"
+    assert all(d.metadata["graph_depth"] == 1 for d in docs[1:])
+
+
+def test_graph_retriever_low_latency_mode(graph_store):
+    from velesdb_spark.integrations.graph_retriever import GraphRetriever
+
+    r = GraphRetriever(vector_store=graph_store, low_latency=True,
+                       expand_k=2, score_threshold=0.99)
+    docs = r.invoke(TEXTS[0])
+    assert [d.page_content for d in docs] == [TEXTS[0]]
+    assert docs[0].metadata["retrieval_mode"] == "vector_only"
+
+
+def test_graph_qa_retriever_dedup_and_rank(graph_store):
+    from velesdb_spark.integrations.graph_retriever import GraphQARetriever
+
+    r = GraphQARetriever(vector_store=graph_store, seed_k=1, expand_k=4,
+                         max_depth=2, score_threshold=0.99)
+    docs = r.invoke(TEXTS[0])
+    depths = [d.metadata["graph_depth"] for d in docs]
+    assert depths == sorted(depths)  # seeds first
+    assert len({d.page_content for d in docs}) == len(docs)  # deduped
+
+
 def test_li_get_nodes_delete_info(spark):
     store = LIStore(spark=spark, collection_name="li_crud")
     emb = FakeEmbeddings()
