@@ -167,6 +167,26 @@ def test_quickstart_example_runs_end_to_end(spark):
     assert out["explain_has_strategy"]
 
 
+def test_ecommerce_example_runs_end_to_end(spark):
+    """examples/ecommerce.py — the reference's flagship demo
+    (examples/ecommerce_recommendation): all four query types execute
+    and the combined scorer honors the business-rule filters."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import ecommerce
+        out = ecommerce.main(spark, verbose=False)
+    finally:
+        sys.path.remove("/root/repo/examples")
+    assert out["n_products"] == 400
+    assert out["q1_ids"][0] == 42
+    assert len(out["q1_ids"]) == 10
+    assert out["q2_ids"]  # in-stock under $500 similar products exist
+    assert set(out["q3_ids"]) >= {43, 44} and 45 not in out["q3_ids"]
+    assert out["q4"] and 42 not in [i for i, _ in out["q4"]]
+
+
 def test_traverse_and_degree_commands(repl, spark):
     from velesdb_spark.database import Collection
 

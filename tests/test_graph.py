@@ -118,6 +118,23 @@ def test_match_where_and_order(g):
     assert ("alice", "carol") in rows and ("carol", "alice") in rows
 
 
+def test_match_where_on_node_id(g):
+    """WHERE p.id = N and RETURN other.id resolve to the binding column
+    — the node id is excluded from the hydrated alias__* props."""
+    cat, _, _ = g
+    out = translate(
+        "MATCH (p:Person)-[:WROTE]->(other:Doc) WHERE p.id = 10 "
+        "RETURN other.id AS rec_id, other.name AS rec ORDER BY rec_id",
+        cat)
+    rows = [(r.rec_id, r.rec) for r in out.collect()]
+    assert rows == [(11, "d11"), (12, "d12")]
+    # bare id in RETURN resolves to the target binding
+    bare = translate(
+        "MATCH (p:Person)-[:WROTE]->(other:Doc) WHERE p.id = 10 "
+        "RETURN id AS rid ORDER BY rid", cat)
+    assert [r.rid for r in bare.collect()] == [11, 12]
+
+
 def test_match_incoming(g):
     cat, _, _ = g
     out = translate(

@@ -291,9 +291,16 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
         if "." in name:
             a, p = name.split(".", 1)
             if a in bound:
+                if p == id_col:
+                    # the node's id property IS the binding column — the
+                    # hydration join excludes it from alias__* props
+                    # (WHERE p.id = 42 / RETURN other.id)
+                    return F.col(f"_b_{a}")
                 return F.col(f"{a}__{p}")
         if name in bound:
             return F.col(f"_b_{name}")
+        if name == id_col:
+            return F.col(f"_b_{target_alias}")
         return F.col(f"{target_alias}__{name}")  # bare prop → target node
 
     if q.where is not None:
