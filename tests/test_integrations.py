@@ -305,6 +305,34 @@ def test_graph_qa_retriever_dedup_and_rank(graph_store):
     assert len({d.page_content for d in docs}) == len(docs)  # deduped
 
 
+def test_graph_loader_and_edge_bindings(spark):
+    from velesdb_spark.integrations.graph_loader import (
+        GraphLoader, _generate_id)
+
+    store = LIStore(spark=spark, collection_name="li_graphload")
+    emb = FakeEmbeddings()
+    store.add([TextNode(text="seed", id_="s0", embedding=emb._vec("seed"))])
+    loader = GraphLoader(store)
+    loader.add_node(1, "PERSON", metadata={"name": "John", "age": 30})
+    loader.add_node(2, "PERSON", metadata={"name": "Ada"})
+    loader.add_edge(7, source=1, target=2, label="KNOWS",
+                    metadata={"since": "2024-01-01"})
+    edges = loader.get_edges(label="KNOWS")
+    assert edges == [{"id": 7, "source": 1, "target": 2, "label": "KNOWS",
+                      "properties": {"since": "2024-01-01"}}]
+    assert loader.get_edges(label="NOPE") == []
+    # load_from_nodes: one batched upsert, deterministic SHA ids
+    counts = loader.load_from_nodes(
+        [TextNode(text="alpha " * 60, id_="n1", metadata={"lang": "en"}),
+         TextNode(text="beta", id_="n2")])
+    assert counts == {"nodes": 2, "edges": 0}
+    col = store._collection
+    nid = _generate_id("n1", "DOCUMENT")
+    row = col.get(nid)
+    assert row["labels"] == ["DOCUMENT"] and row["lang"] == "en"
+    assert len(row["text_preview"]) == 200  # preview truncation
+
+
 def test_li_get_nodes_delete_info(spark):
     store = LIStore(spark=spark, collection_name="li_crud")
     emb = FakeEmbeddings()

@@ -449,6 +449,53 @@ class Collection:
                 self._edges.unionByName(new, allowMissingColumns=True)
         return self
 
+    def add_node(self, id: int, label: str,
+                 metadata: Optional[dict] = None,
+                 vector: Optional[Sequence[float]] = None) -> "Collection":
+        """Single graph-node upsert (bindings graph API; the llamaindex
+        GraphLoader drives this — graph_loader.py:57-91): a point row
+        with ``labels=[label]`` plus metadata columns, optional vector."""
+        row: dict = {self.id_col: int(id), "labels": [label],
+                     **(metadata or {})}
+        if vector is not None:
+            row[self.vector_col] = [float(x) for x in vector]
+        return self.upsert([row])
+
+    def add_edge(self, id: int, source: int, target: int, label: str,
+                 metadata: Optional[dict] = None) -> "Collection":
+        """Single edge upsert (bindings add_edge; graph_loader.py:93-129):
+        metadata lands as edge-property columns."""
+        return self.add_edges([{"id": int(id), "src": int(source),
+                                "dst": int(target), "label": label,
+                                **(metadata or {})}])
+
+    def get_edges(self, label: Optional[str] = None,
+                  limit: Optional[int] = None) -> list[dict]:
+        """Edges as bindings dicts {id, source, target, label, properties}
+        (graph_loader.py:131-166). ``limit`` bounds the driver collect —
+        pass None for the reference's collect-all behavior, but prefer a
+        bound (or the ``edges`` DataFrame directly) on a large graph."""
+        if not self._has_edges():
+            return []
+        e = self.edges
+        if label is not None:
+            e = e.filter(F.col("label") == label)
+        if limit is not None:
+            e = e.limit(int(limit))
+        core = {"id", "src", "dst", "label"}
+        out = []
+        for r in e.collect():
+            row = r.asDict(recursive=True)
+            out.append({
+                "id": int(row.get("id", 0)),
+                "source": int(row.get("src", 0)),
+                "target": int(row.get("dst", 0)),
+                "label": row.get("label", ""),
+                "properties": {k: v for k, v in row.items()
+                               if k not in core and v is not None},
+            })
+        return out
+
     def get_outgoing(self, node_id: int, label: Optional[str] = None) -> DataFrame:
         e = self.edges.filter(F.col("src") == int(node_id))
         return e.filter(F.col("label") == label) if label else e
