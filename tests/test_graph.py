@@ -310,3 +310,69 @@ def test_edge_count_and_has_edge(spark):
     assert col.has_edge(1, 2, "KNOWS")
     assert not col.has_edge(1, 2, "CITES")
     assert not col.has_edge(3, 1)
+
+
+def test_traverse_bfs_streaming_and_degree_bindings(spark):
+    """Bindings graph_store.rs parity: traverse_bfs_streaming returns
+    TraversalResult discovery edges (depth, source, target, label) with
+    min-edge-id tie-break, capped at max_visited; in/out degree and
+    get_outgoing_by_label aliases."""
+    from velesdb_spark.database import Collection, StreamingConfig
+
+    col = Collection(spark, "g", df=spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "id bigint"))
+    col.add_edges([
+        {"id": 1, "src": 1, "dst": 2, "label": "A"},
+        {"id": 2, "src": 1, "dst": 3, "label": "B"},
+        {"id": 3, "src": 2, "dst": 4, "label": "A"},
+        {"id": 4, "src": 3, "dst": 4, "label": "A"},  # 4 reachable 2 ways
+        {"id": 5, "src": 4, "dst": 5, "label": "A"},
+    ])
+    res = col.traverse_bfs_streaming(1, StreamingConfig(max_depth=3))
+    got = {(r.depth, r.source, r.target, r.label) for r in res}
+    # node 4 discovered at depth 2 via edge id 3 (2→4), not edge id 4
+    assert got == {(1, 1, 2, "A"), (1, 1, 3, "B"),
+                   (2, 2, 4, "A"), (3, 4, 5, "A")}
+    # max_visited caps results (ordered by depth, target)
+    capped = col.traverse_bfs_streaming(
+        1, StreamingConfig(max_depth=3, max_visited=2))
+    assert [(r.depth, r.target) for r in capped] == [(1, 2), (1, 3)]
+    # relationship_types filter
+    only_a = col.traverse_bfs_streaming(
+        1, StreamingConfig(max_depth=3, relationship_types=["A"]))
+    assert {(r.depth, r.target) for r in only_a} == {(1, 2), (2, 4), (3, 5)}
+    # degree aliases
+    assert col.out_degree(1) == 2 and col.in_degree(4) == 2
+    assert col.in_degree(1) == 0
+    assert [r.dst for r in
+            col.get_outgoing_by_label(1, "B").collect()] == [3]
+
+
+def test_agent_memory_bindings_views(spark):
+    """Bindings agent.rs parity: db.agent_memory() with episodic
+    record/recent/recall_similar, semantic store/query, procedural."""
+    from velesdb_spark.agent import ProceduralMemory
+    from velesdb_spark.database import Database
+
+    db = Database(spark)
+    mem = db.agent_memory(dimension=4)
+    assert db.agent_memory() is mem  # one instance per database
+
+    mem.episodic.record(1, "User login", 1000)
+    mem.episodic.record(2, "Ask weather", 2000, embedding=[1, 0, 0, 0])
+    mem.episodic.record(3, "Logout", 3000)
+    recent = mem.episodic.recent(limit=2)
+    assert [(e["id"], e["timestamp"]) for e in recent] == [(3, 3000),
+                                                           (2, 2000)]
+    since = mem.episodic.recent(limit=10, since=2000)  # exclusive
+    assert [e["id"] for e in since] == [3]
+    sim = mem.episodic.recall_similar([1.0, 0.0, 0.0, 0.0], top_k=1)
+    assert sim[0]["id"] == 2 and sim[0]["score"] > 0.99
+
+    mem.semantic.store(7, "Paris is in France", [0.0, 1.0, 0.0, 0.0])
+    mem.semantic.store(8, "Rust is fast", [0.0, 0.0, 1.0, 0.0])
+    hits = mem.semantic.query([0.0, 1.0, 0.0, 0.0], top_k=1)
+    assert hits == [{"id": 7, "score": hits[0]["score"],
+                     "content": "Paris is in France"}]
+    assert isinstance(mem.procedural, ProceduralMemory)
+    assert mem.procedural is mem.procedural  # cached instance

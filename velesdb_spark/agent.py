@@ -115,6 +115,91 @@ class AgentMemory:
                     raise
         return mem
 
+    # ------------------------------------------- bindings layer views
+    @property
+    def episodic(self) -> "EpisodicView":
+        """memory.episodic.record/recent/recall_similar (bindings
+        agent.rs PyEpisodicMemory)."""
+        return EpisodicView(self)
+
+    @property
+    def semantic(self) -> "SemanticView":
+        """memory.semantic.store/query (bindings agent.rs
+        PySemanticMemory)."""
+        return SemanticView(self)
+
+    @property
+    def procedural(self) -> "ProceduralMemory":
+        """memory.procedural.learn/recall/reinforce (bindings agent.rs
+        PyProceduralMemory) — one instance per AgentMemory."""
+        pm = getattr(self, "_procedural", None)
+        if pm is None:
+            pm = self._procedural = ProceduralMemory(self)
+        return pm
+
+
+class EpisodicView:
+    """Bindings-shaped episodic API over the episodic layer
+    (velesdb-python agent.rs:184-270)."""
+
+    def __init__(self, memory: AgentMemory):
+        self.memory = memory
+
+    def record(self, event_id: int, description: str, timestamp: int,
+               embedding: Optional[Sequence[float]] = None) -> None:
+        row: dict = {"id": int(event_id), "description": description,
+                     "_ts": float(timestamp)}
+        if embedding is not None:
+            row["vector"] = [float(x) for x in embedding]
+        self.memory.remember("episodic", [row])
+
+    def recent(self, limit: int = 10,
+               since: Optional[int] = None) -> list[dict]:
+        """Newest-first (temporal_index.rs:122-140 iterates the ts map in
+        reverse); ``since`` is exclusive (ts <= since skipped)."""
+        layer = self.memory.layers["episodic"]
+        if layer._df is None:
+            return []
+        df = self.memory._alive("episodic")
+        if since is not None:
+            df = df.filter(F.col("_ts") > float(since))
+        rows = (df.orderBy(F.desc("_ts"), F.desc(layer.id_col))
+                .limit(int(limit)).collect())
+        return [{"id": int(r[layer.id_col]), "description": r["description"],
+                 "timestamp": int(r["_ts"])} for r in rows]
+
+    def recall_similar(self, embedding: Sequence[float],
+                       top_k: int = 10) -> list[dict]:
+        layer = self.memory.layers["episodic"]
+        if layer._df is None:
+            return []
+        rows = self.memory.recall("episodic", embedding, top_k).collect()
+        return [{"id": int(r[layer.id_col]), "description": r["description"],
+                 "timestamp": int(r["_ts"]), "score": float(r["score"])}
+                for r in rows]
+
+
+class SemanticView:
+    """Bindings-shaped semantic API (velesdb-python agent.rs:120-181)."""
+
+    def __init__(self, memory: AgentMemory):
+        self.memory = memory
+
+    def store(self, id: int, content: str,
+              embedding: Sequence[float]) -> None:
+        self.memory.remember("semantic", [{
+            "id": int(id), "content": content,
+            "vector": [float(x) for x in embedding]}])
+
+    def query(self, embedding: Sequence[float],
+              top_k: int = 10) -> list[dict]:
+        layer = self.memory.layers["semantic"]
+        if layer._df is None:
+            return []
+        rows = self.memory.recall("semantic", embedding, top_k).collect()
+        return [{"id": int(r[layer.id_col]), "score": float(r["score"]),
+                 "content": r["content"]} for r in rows]
+
 
 # ---------------------------------------------------------------- reinforcement
 

@@ -28,6 +28,26 @@ from velesdb_spark.operators import graph as graph_ops
 from velesdb_spark.operators import topk as topk_ops
 from velesdb_spark.velesql.translator import Catalog, Translator, translate
 from velesdb_spark.velesql.parser import parse
+from dataclasses import dataclass
+
+
+@dataclass
+class StreamingConfig:
+    """Streaming-traversal bounds (bindings graph_store.rs:27-51)."""
+
+    max_depth: int = 3
+    max_visited: int = 10_000
+    relationship_types: Optional[list] = None
+
+
+@dataclass
+class TraversalResult:
+    """One BFS discovery edge (bindings graph_store.rs:55-68)."""
+
+    depth: int
+    source: int
+    target: int
+    label: str
 
 
 class Collection:
@@ -541,6 +561,39 @@ class Collection:
             .filter(F.col("node_id") == int(node_id)).collect()
         return deg[0]["degree"] if deg else 0
 
+    def out_degree(self, node_id: int) -> int:
+        """bindings graph_store.rs:305-311."""
+        return self.node_degree(node_id, "out") if self._has_edges() else 0
+
+    def in_degree(self, node_id: int) -> int:
+        """bindings graph_store.rs:321-327."""
+        return self.node_degree(node_id, "in") if self._has_edges() else 0
+
+    def get_outgoing_by_label(self, node_id: int, label: str) -> DataFrame:
+        """bindings graph_store.rs:175+ — alias of the labeled form."""
+        return self.get_outgoing(node_id, label)
+
+    def traverse_bfs_streaming(self, start_node: int,
+                               config: "StreamingConfig" = None
+                               ) -> list["TraversalResult"]:
+        """Memory-bounded BFS returning discovery edges (bindings
+        graph_store.rs:210-246 over core streaming.rs BfsIterator):
+        TraversalResult {depth, source, target, label} per first-reached
+        node, capped at config.max_visited results. The traversal itself
+        is the distributed min-depth BFS + one discovery-edge join; only
+        ≤ max_visited skinny rows reach the driver."""
+        config = config or StreamingConfig()
+        if not self._has_edges():
+            return []
+        df = graph_ops.bfs_edge_trace(
+            self.edges, int(start_node), config.max_depth,
+            tuple(config.relationship_types or ()))
+        rows = (df.orderBy("depth", "target")
+                .limit(int(config.max_visited)).collect())
+        return [TraversalResult(int(r["depth"]), int(r["source"]),
+                                int(r["target"]), r["label"])
+                for r in rows]
+
     def traverse_bfs(self, start_id: int, max_depth: int = 3,
                      rel_types: Sequence[str] = (), direction: str = "out") -> DataFrame:
         return graph_ops.bfs(self.edges, [start_id], 1, max_depth, rel_types, direction)
@@ -827,6 +880,21 @@ class Database:
 
     def list_collections(self) -> list[str]:
         return sorted(self.collections)
+
+    def agent_memory(self, dimension: Optional[int] = None):
+        """Agent memory rooted at this database (bindings lib.rs:344-346:
+        ``db.agent_memory(dimension=...)`` → memory with .episodic /
+        .semantic / .procedural layer views). One instance per database;
+        layers persist under ``<path>/memory_*`` when the db is durable."""
+        mem = getattr(self, "_agent_memory", None)
+        if mem is None:
+            from velesdb_spark.agent import AgentMemory
+
+            mem = self._agent_memory = AgentMemory(
+                self.spark, dimension=dimension,
+                path=(os.path.join(self.path, "agent_memory")
+                      if self.path else None))
+        return mem
 
     def drop_collection(self, name: str, delete_files: bool = False) -> None:
         """Remove from the directory; with delete_files=True also remove

@@ -157,6 +157,41 @@ def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
     )
 
 
+def bfs_edge_trace(edges: DataFrame, start_id: int, max_depth: int = 3,
+                   rel_types: Sequence[str] = ()) -> DataFrame:
+    """BFS discovery edges → (depth, source, target, label).
+
+    The bindings' streaming traversal (velesdb-python graph_store.rs
+    traverse_bfs_streaming, TraversalResult {depth, source, target,
+    label}) reports the EDGE that first reaches each node, not just the
+    node. Derived from the min-depth BFS: a node discovered at depth d
+    pairs with its incoming edges from depth d-1 nodes; ties pick the
+    minimum edge id (the reference's insertion order). One extra join
+    over the node-level BFS — no per-edge iteration."""
+    reach = bfs(edges, [start_id], 1, max_depth, rel_types, "out") \
+        .select("node_id", "depth")
+    spark = edges.sparkSession
+    # depth of every frontier node incl. the root at depth 0
+    depths = reach.unionByName(spark.createDataFrame(
+        [(int(start_id), 0)], "node_id bigint, depth int"))
+    e = edges
+    if rel_types:
+        e = e.filter(F.col("label").isin(list(rel_types)))
+    cand = (e.join(depths.select(F.col("node_id").alias("src"),
+                                 F.col("depth").alias("_src_d")), "src")
+            .join(reach.select(F.col("node_id").alias("dst"),
+                               F.col("depth").alias("_dst_d")), "dst")
+            .filter(F.col("_dst_d") == F.col("_src_d") + 1))
+    picked = (cand.groupBy("dst")
+              .agg(F.min(F.struct("id", "src", "label", "_dst_d"))
+                   .alias("_e")))
+    return picked.select(
+        F.col("_e._dst_d").alias("depth"),
+        F.col("_e.src").alias("source"),
+        F.col("dst").alias("target"),
+        F.col("_e.label").alias("label"))
+
+
 def node_degree(edges: DataFrame, direction: str = "both") -> DataFrame:
     """(node_id, degree) — graph_api.rs node degree."""
     parts = []
