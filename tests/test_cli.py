@@ -209,3 +209,53 @@ def test_traverse_and_degree_commands(repl, spark):
     out, _ = repl.handle(".traverse g")
     assert "Usage" in out
     del repl.db.collections["g"]
+
+
+def test_oneshot_cli_commands(spark, tmp_path):
+    """main.rs Commands parity: query/info/list/show/export/import/graph
+    one-shots route through the same Repl handlers, TTY-free."""
+    import json
+    import os
+
+    from velesdb_spark.cli import run_command
+    from velesdb_spark.database import Database
+
+    dbdir = str(tmp_path / "db")
+    db = Database.open(spark, dbdir)
+    col = db.create_collection("items", dimension=2, text_col="name")
+    col.upsert([{"id": 1, "vector": [1.0, 0.0], "name": "alpha"},
+                {"id": 2, "vector": [0.0, 1.0], "name": "beta"}])
+    col.add_edges([{"id": 1, "src": 1, "dst": 2, "label": "REL"}])
+
+    assert "Collections: 1" in run_command(["info", dbdir])
+    listed = run_command(["list", dbdir])
+    assert "items" in listed and "count=2" in listed
+    jlisted = json.loads(run_command(["list", dbdir, "--format", "json"]))
+    assert jlisted[0]["name"] == "items" and jlisted[0]["count"] == 2
+
+    # query routes to the collection named in FROM (no .use needed)
+    out = run_command(["query", dbdir,
+                       "SELECT id, name FROM items WHERE id = 2"])
+    assert "beta" in out
+    jout = run_command(["query", dbdir,
+                        "SELECT id FROM items ORDER BY id", "-f", "json"])
+    assert [json.loads(x)["id"] for x in jout.splitlines()] == [1, 2]
+
+    shown = run_command(["show", dbdir, "items", "--samples", "1"])
+    assert "items" in shown
+
+    exp = str(tmp_path / "out.jsonl")
+    msg = run_command(["export", dbdir, "items", "-o", exp,
+                       "--include-vectors", "false"])
+    assert "Exported" in msg and os.path.exists(exp)
+    lines = [json.loads(x) for x in open(exp)]
+    assert len(lines) == 2 and "vector" not in lines[0]
+
+    # import the export into a new collection of the same db
+    msg = run_command(["import", exp, "-d", dbdir, "-c", "copies"])
+    assert "2 records" in msg
+
+    deg = run_command(["graph", dbdir, "degree", "items", "1", "out"])
+    assert "Degree: 1" in deg
+    trav = run_command(["graph", dbdir, "traverse", "items", "1"])
+    assert "2" in trav

@@ -375,21 +375,135 @@ class Repl:
         return "\x1b[2J\x1b[1;1H", False
 
 
-def main(argv=None) -> int:
-    """``python -m velesdb_spark.cli [db_path]`` — open a Database
-    directory (Database.open layout) and drop into the shell."""
-    import argparse
+_SUBCOMMANDS = ("repl", "query", "info", "list", "show", "export",
+                "import", "graph")
 
+
+def _open(path):
     from velesdb_spark.database import Database
     from velesdb_spark.session import get_spark
 
-    ap = argparse.ArgumentParser(description="VelesQL shell")
-    ap.add_argument("path", nargs="?", default=None,
-                    help="database directory (Database.open layout)")
-    args = ap.parse_args(argv)
     spark = get_spark("velesdb-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    db = Database.open(spark, args.path)
+    return Database.open(spark, path)
+
+
+def run_command(argv) -> str:
+    """One-shot CLI commands (reference velesdb-cli main.rs Commands enum:
+    Query/Info/List/Show/Export/Import/Graph) routed through the same
+    Repl handlers as the shell; returns the rendered output (tested
+    TTY-free like Repl.handle)."""
+    import argparse
+
+    cmd, rest = argv[0], argv[1:]
+    ap = argparse.ArgumentParser(prog=f"velesdb-cli {cmd}")
+    if cmd == "query":
+        ap.add_argument("path"), ap.add_argument("query")
+        ap.add_argument("-f", "--format", default="table",
+                        choices=("table", "json"))
+        a = ap.parse_args(rest)
+        db = _open(a.path)
+        repl = Repl(db)
+        repl.config.format = a.format
+        # route to the collection the query names (detect_query_type /
+        # ParsedStatement.table_name — the reference's unified routing)
+        try:
+            from velesdb_spark.velesql.introspect import VelesQL
+
+            table = VelesQL.parse(a.query).table_name
+            if table in db.collections:
+                repl.config.current = table
+        except Exception:
+            pass  # MATCH / unparsable → current collection reports
+        return repl.handle(a.query)[0]
+    if cmd == "info":
+        ap.add_argument("path")
+        a = ap.parse_args(rest)
+        db = _open(a.path)
+        lines = [f"Database: {db.path or '(in-memory)'}",
+                 f"Collections: {len(db.collections)}"]
+        lines += [f"  {n}" for n in sorted(db.collections)]
+        return "\n".join(lines)
+    if cmd == "list":
+        ap.add_argument("path")
+        ap.add_argument("-f", "--format", default="table",
+                        choices=("table", "json"))
+        a = ap.parse_args(rest)
+        db = _open(a.path)
+        infos = [db.collections[n].info() for n in sorted(db.collections)]
+        if a.format == "json":
+            import json
+
+            return json.dumps(infos)
+        return "\n".join(
+            f"{i['name']}  dim={i['dimension']}  metric={i['metric']}  "
+            f"count={i['count']}" for i in infos) or "(no collections)"
+    if cmd == "show":
+        ap.add_argument("path"), ap.add_argument("collection")
+        ap.add_argument("-s", "--samples", type=int, default=0)
+        a = ap.parse_args(rest)
+        repl = Repl(_open(a.path))
+        out = repl.handle(f".describe {a.collection}")[0]
+        if a.samples:
+            out += "\n" + repl.handle(
+                f".sample {a.collection} {a.samples}")[0]
+        return out
+    if cmd == "export":
+        ap.add_argument("path"), ap.add_argument("collection")
+        ap.add_argument("-o", "--output", default=None)
+        ap.add_argument("--include-vectors", default="true")
+        a = ap.parse_args(rest)
+        db = _open(a.path)
+        col = db.collections.get(a.collection)
+        if col is None:
+            return f"Collection '{a.collection}' not found"
+        out_path = a.output or f"{a.collection}.jsonl"
+        df = col.df
+        if a.include_vectors.lower() != "true" \
+                and col.vector_col in df.columns:
+            df = df.drop(col.vector_col)
+        # JSONL, streamed partition-by-partition — bounded driver memory
+        # (the reference buffers one JSON array, main.rs Export)
+        with open(out_path, "w") as fh:
+            for line in df.toJSON().toLocalIterator():
+                fh.write(line + "\n")
+        return f"Exported {a.collection} to {out_path}"
+    if cmd == "import":
+        ap.add_argument("file")
+        ap.add_argument("-d", "--database", default="./data")
+        ap.add_argument("-c", "--collection", required=True)
+        ap.add_argument("--format", default=None)
+        a = ap.parse_args(rest)
+        repl = Repl(_open(a.database))
+        parts = [".import", a.collection, a.file]
+        if a.format:
+            parts.append(a.format)
+        return repl.handle(" ".join(parts))[0]
+    if cmd == "graph":
+        ap.add_argument("path"), ap.add_argument("action",
+                                                 choices=("traverse",
+                                                          "degree"))
+        ap.add_argument("args", nargs="*")
+        a = ap.parse_args(rest)
+        repl = Repl(_open(a.path))
+        return repl.handle(f".{a.action} " + " ".join(a.args))[0]
+    return f"Unknown command: {cmd}"
+
+
+def main(argv=None) -> int:
+    """``python -m velesdb_spark.cli [command] ...`` — one-shot commands
+    (query/info/list/show/export/import/graph, main.rs Commands) or the
+    interactive shell (``repl [path]``; a bare path also opens it)."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in _SUBCOMMANDS and argv[0] != "repl":
+        print(run_command(argv))
+        return 0
+    if argv and argv[0] == "repl":
+        argv = argv[1:]
+    path = argv[0] if argv else None
+    db = _open(path)
     repl = Repl(db)
     print("velesdb-spark shell — .help for commands")
     while True:
