@@ -255,6 +255,9 @@ def test_oneshot_cli_commands(spark, tmp_path):
     msg = run_command(["import", exp, "-d", dbdir, "-c", "copies"])
     assert "2 records" in msg
 
+    ms = run_command(["multi-search", dbdir, "items",
+                      "[[1.0, 0.0], [0.0, 1.0]]", "-k", "2"])
+    assert "1" in ms and "2" in ms
     deg = run_command(["graph", dbdir, "degree", "items", "1", "out"])
     assert "Degree: 1" in deg
     trav = run_command(["graph", dbdir, "traverse", "items", "1"])

@@ -376,7 +376,7 @@ class Repl:
 
 
 _SUBCOMMANDS = ("repl", "query", "info", "list", "show", "export",
-                "import", "graph")
+                "import", "multi-search", "graph")
 
 
 def _open(path):
@@ -479,6 +479,32 @@ def run_command(argv) -> str:
         if a.format:
             parts.append(a.format)
         return repl.handle(" ".join(parts))[0]
+    if cmd == "multi-search":
+        # main.rs:229-255 MultiSearch: query vectors as a JSON array of
+        # arrays, fused per strategy
+        import json
+
+        ap.add_argument("path"), ap.add_argument("collection")
+        ap.add_argument("vectors")
+        ap.add_argument("-k", "--top-k", type=int, default=10)
+        ap.add_argument("-s", "--strategy", default="rrf",
+                        choices=("average", "maximum", "rrf", "weighted"))
+        ap.add_argument("--rrf-k", type=int, default=60)
+        ap.add_argument("-f", "--format", default="table",
+                        choices=("table", "json"))
+        a = ap.parse_args(rest)
+        db = _open(a.path)
+        col = db.collections.get(a.collection)
+        if col is None:
+            return f"Collection '{a.collection}' not found"
+        vectors = json.loads(a.vectors)
+        if not vectors:
+            return "No query vectors provided"
+        fused = col.multi_query_search(vectors, a.top_k,
+                                       strategy=a.strategy,
+                                       fusion_params={"k": a.rrf_k})
+        render = _render_json if a.format == "json" else _render_table
+        return render(fused, a.top_k)
     if cmd == "graph":
         ap.add_argument("path"), ap.add_argument("action",
                                                  choices=("traverse",
