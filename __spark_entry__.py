@@ -1588,6 +1588,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_quantized_int8"] = _near_int8
 
+    # Matryoshka serving path: coarse rank on the first 16 dims, exact
+    # re-rank of the 4k pool on full vectors (operators/topk.py mrl_knn)
+    def _knn_mrl(s, d):
+        from velesdb_spark.operators.topk import mrl_knn
+
+        return (mrl_knn(_t(s, d, "embeddings"), QV1, 10, prefix_dim=16,
+                        oversampling=4, metric="cosine",
+                        vector_col="embedding", id_col="vec_id")
+                .select("vec_id", F.round("score", 6).alias("score")))
+
+    q["knn_mrl"] = _knn_mrl
+
     def _knn_binary_packed(s, d):
         from velesdb_spark.functions.quantization import (binary_quantize,
                                                           packed_hamming)
@@ -1694,7 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-5 additions, unproven by any gate yet — first
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
-    "knn_dual_precision", "near_quantized_int8",
+    "knn_dual_precision", "near_quantized_int8", "knn_mrl",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -2772,6 +2784,26 @@ LIMIT 10"""
     # int8-only NEAR ranks by the SQ8-approximate score — same math as
     # the knn_sq8 oracle
     o["near_quantized_int8"] = o["knn_sq8"]
+
+    # Matryoshka: DuckDB re-derives the 16-dim prefix pool then the
+    # exact full-vector re-rank
+    _qv1_16 = "[" + ", ".join(f"CAST({float(x)} AS DOUBLE)"
+                              for x in QV1[:16]) + "]"
+    o["knn_mrl"] = f"""
+WITH pool AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY list_cosine_similarity(
+    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)),
+    {_qv1_16}) DESC, vec_id
+  LIMIT 40
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_sql_vec(QV1)}), 6)
+         AS score
+FROM pool
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_sql_vec(QV1)}) DESC,
+         vec_id
+LIMIT 10"""
 
     # --- merged gate oracles (tagged unions of the component oracles) --
     o["outer_joins"] = " UNION ALL ".join(

@@ -197,6 +197,33 @@ def test_quant_hint_translation_is_pure(catalog, spark):
     assert jobs == []
 
 
+def test_mrl_knn_matches_numpy_two_phase(catalog, emb_np):
+    """Matryoshka prefix search: coarse on the first p dims, exact
+    re-rank — vs a NumPy re-derivation; full prefix ≡ exact."""
+    from velesdb_spark.operators.topk import knn, mrl_knn
+
+    ids, V = emb_np
+    qv = _qv(V.shape[1], 0.91)
+    df = catalog.resolve("embeddings").df
+    p, os_ = 16, 4
+    approx = _cos(V[:, :p], np.array(qv[:p]))
+    exact = _cos(V, np.array(qv))
+    pool = sorted(range(len(ids)),
+                  key=lambda i: (-approx[i], ids[i]))[:K * os_]
+    want = [int(ids[i]) for i in
+            sorted(pool, key=lambda i: (-exact[i], ids[i]))[:K]]
+    got = [r.vec_id for r in mrl_knn(
+        df, qv, K, prefix_dim=p, oversampling=os_, metric="cosine",
+        vector_col="embedding", id_col="vec_id").collect()]
+    assert got == want
+    # prefix = full dimension ⇒ identical to exact knn
+    full = [r.vec_id for r in mrl_knn(
+        df, qv, K, prefix_dim=V.shape[1], oversampling=len(ids) // K + 1,
+        metric="cosine", vector_col="embedding", id_col="vec_id").collect()]
+    assert full == [r.vec_id for r in knn(
+        df, qv, K, "cosine", "embedding", "vec_id").collect()]
+
+
 def test_collection_search_quantization_config(spark, catalog, emb_np):
     """Bindings surface: Collection.search(quantization=..., oversampling=...)
     — the reference's search_with_config (dual_precision.rs:260-282)."""

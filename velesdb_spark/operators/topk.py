@@ -119,6 +119,37 @@ def dual_precision_knn(df: DataFrame, query_vector: Sequence[float],
     return exact.orderBy(*_best_order(score_col, metric, id_col)).limit(k)
 
 
+def mrl_knn(df: DataFrame, query_vector: Sequence[float], k: int = DEFAULT_K,
+            prefix_dim: int = 64, oversampling: int = 4,
+            metric: str = "cosine", vector_col: str = "vector",
+            id_col: str = "id", filter_cond: Column | None = None,
+            score_col: str = "score") -> DataFrame:
+    """Matryoshka (MRL) two-phase top-k: coarse rank on the first
+    ``prefix_dim`` dimensions, exact re-rank of the k·oversampling pool
+    on the full vectors.
+
+    The serving pattern for matryoshka-trained embeddings (Kusupati et
+    al. 2022, "Matryoshka Representation Learning"): prefixes of the
+    embedding are themselves valid lower-dim embeddings, so phase 1
+    reads/computes only prefix_dim/d of the vector data — the same
+    bandwidth story as dual-precision SQ8 (dual_precision.rs), achieved
+    by truncation instead of quantization. Both phases are
+    TakeOrderedAndProject; ties break on ascending id. On a stored
+    layout with a materialized prefix column, phase 1's scan shrinks by
+    d/prefix_dim at 100 TB scale.
+    """
+    base = df.filter(filter_cond) if filter_cond is not None else df
+    pool = max(int(k) * max(int(oversampling), 1), int(k))
+    prefix = F.slice(F.col(vector_col), 1, int(prefix_dim))
+    qprefix = vector_lit(list(query_vector)[:int(prefix_dim)])
+    stage1 = (base.withColumn("_approx", metric_score(prefix, qprefix,
+                                                      metric))
+              .orderBy(*_best_order("_approx", metric, id_col))
+              .limit(pool).drop("_approx"))
+    exact = with_score(stage1, query_vector, metric, vector_col, score_col)
+    return exact.orderBy(*_best_order(score_col, metric, id_col)).limit(k)
+
+
 def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
               k: int = DEFAULT_K, metric: str = "cosine",
               vector_col: str = "vector", id_col: str = "id",
