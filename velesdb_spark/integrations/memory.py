@@ -164,9 +164,8 @@ class VelesDBSemanticMemory:
         if fact_id is None:
             self._fact_counter += 1
             fact_id = self._fact_counter
-        vec = [float(x) for x in self.embedding.embed_query(fact)]
-        self._memory.remember("semantic", [{
-            "id": int(fact_id), "content": fact, "vector": vec}])
+        self._memory.semantic.store(int(fact_id), fact,
+                                    self.embedding.embed_query(fact))
         return fact_id
 
     def add_facts(self, facts: List[str]) -> List[int]:
@@ -186,14 +185,10 @@ class VelesDBSemanticMemory:
         return ids
 
     def query(self, query: str, k: int = 5) -> List[Dict[str, Any]]:
-        """Top-k similar facts → [{'id', 'content', 'score'}]."""
-        vec = self.embedding.embed_query(query)
-        layer = self._memory.layers["semantic"]
-        if layer._df is None:
-            return []
-        rows = self._memory.recall("semantic", vec, k).collect()
-        return [{"id": int(r[layer.id_col]), "content": r["content"],
-                 "score": float(r["score"])} for r in rows]
+        """Top-k similar facts → [{'id', 'score', 'content'}] (the
+        bindings' semantic.query shape)."""
+        return self._memory.semantic.query(
+            self.embedding.embed_query(query), top_k=k)
 
     def clear(self) -> None:
         """Reset the fact counter (facts persist, memory.py:269-271)."""
