@@ -328,3 +328,21 @@ def test_query_cache_errors_not_cached():
             c.parse("SELEKT nope")
     s = c.stats()
     assert s.hits == 0 and s.misses == 2 and c.len() == 0
+
+
+def test_explain_shows_quantization_nodes():
+    from velesdb_spark.plans.explain import plan_tree
+    from velesdb_spark.velesql.parser import parse
+
+    dual = plan_tree(parse(
+        "SELECT * FROM docs WHERE vector NEAR [0.1] LIMIT 5 "
+        "WITH (quantization='dual', oversampling=8)"))
+    assert "quantization=dual" in dual and "pool=k*8" in dual \
+        and "f32 rerank" in dual
+    i8 = plan_tree(parse(
+        "SELECT * FROM docs WHERE vector NEAR [0.1] LIMIT 5 "
+        "WITH (quantization='int8')"))
+    assert "quantization=int8" in i8 and "approximate=true" in i8
+    plain = plan_tree(parse(
+        "SELECT * FROM docs WHERE vector NEAR [0.1] LIMIT 5"))
+    assert "exact=true" in plain and "quantization" not in plain

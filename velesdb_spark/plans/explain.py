@@ -16,18 +16,30 @@ from __future__ import annotations
 from velesdb_spark.velesql import ast
 
 
-def _walk_cond(cond, nodes: list[str]) -> None:
+def _walk_cond(cond, nodes: list[str], qmode=None, oversampling=4) -> None:
     if cond is None:
         return
     if isinstance(cond, (ast.And, ast.Or)):
         for c in cond.conditions:
-            _walk_cond(c, nodes)
+            _walk_cond(c, nodes, qmode, oversampling)
         return
     if isinstance(cond, ast.Not):
-        _walk_cond(cond.condition, nodes)
+        _walk_cond(cond.condition, nodes, qmode, oversampling)
         return
     if isinstance(cond, ast.VectorSearch):
-        nodes.append("VectorSearch(metric=collection, exact=true, cost=1.00)")
+        if qmode == "dual":
+            # two-phase WITH (quantization='dual') — coarse SQ8 pool then
+            # exact re-rank (dual_precision.rs search_int8_traversal)
+            nodes.append(
+                f"VectorSearch(quantization=dual, phase1=sq8 "
+                f"pool=k*{oversampling}, phase2=f32 rerank, cost=0.40)")
+        elif qmode == "int8":
+            nodes.append(
+                "VectorSearch(quantization=int8, approximate=true, "
+                "cost=0.30)")
+        else:
+            nodes.append(
+                "VectorSearch(metric=collection, exact=true, cost=1.00)")
         return
     if isinstance(cond, ast.VectorFusedSearch):
         n = len(cond.vectors)
@@ -63,8 +75,17 @@ def plan_tree(q) -> str:
             q.op, plan_tree(q.left).replace("\n", "\n  "),
             plan_tree(q.right).replace("\n", "\n  ")))
     s = q
+    from velesdb_spark.functions.quantization import (
+        DUAL_DEFAULT_OVERSAMPLING, parse_quantization_mode)
+
+    wo = getattr(s, "with_options", {}) or {}
+    qmode = parse_quantization_mode(wo.get("quantization"))
+    try:
+        osamp = max(int(wo.get("oversampling", DUAL_DEFAULT_OVERSAMPLING)), 1)
+    except (TypeError, ValueError):
+        osamp = DUAL_DEFAULT_OVERSAMPLING
     nodes: list[str] = [f"TableScan({s.table}, columnar=parquet, cost=1.00)"]
-    _walk_cond(s.where, nodes)
+    _walk_cond(s.where, nodes, qmode, osamp)
     if s.group_by or _has_aggregates(s):
         nodes.append("Sequence(aggregate, partial+final, cost=0.30)")
     if s.order_by:
