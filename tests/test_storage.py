@@ -122,3 +122,89 @@ def test_collection_in_memory_unchanged(spark):
     assert col.store is None
     rows = col.df.collect()
     assert len(rows) == 1 and rows[0]["vector"] == [0.0, 1.0]
+
+
+def test_storage_mode_sq8(spark):
+    """storage_mode='sq8' (quantization.rs SQ8 + collection config):
+    vectors are stored as the quantized struct (4x at rest) and every
+    search path scores the dequantized values — identical to quantizing
+    then searching by hand."""
+    import numpy as np
+
+    from velesdb_spark.database import Collection
+
+    rng = np.random.RandomState(3)
+    rows = [{"id": i, "vector": [float(x) for x in rng.randn(8)]}
+            for i in range(1, 41)]
+    qv = [float(x) for x in rng.randn(8)]
+
+    col = Collection(spark, "sq8col", dimension=8, storage_mode="sq8")
+    col.upsert(rows)
+    # stored representation is the struct, not f32
+    assert col.df.schema["vector"].dataType.typeName() == "struct"
+    assert col.info()["storage_mode"] == "sq8"
+
+    # ground truth: NumPy sq8 round-trip then cosine
+    V = np.array([r["vector"] for r in rows])
+    mn = V.min(axis=1, keepdims=True); mx = V.max(axis=1, keepdims=True)
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    deq = mn + np.round((V - mn) / scale) * scale
+    q = np.array(qv)
+    cos = deq @ q / (np.linalg.norm(deq, axis=1) * np.linalg.norm(q))
+    want = [int(i + 1) for i in
+            sorted(range(len(rows)), key=lambda i: (-cos[i], i + 1))[:5]]
+    got = [r.id for r in col.search(qv, 5).collect()]
+    assert got == want
+    # VelesQL NEAR binarizes the query via the catalog transform
+    vql = [r.id for r in col.query(
+        "SELECT id FROM bincol WHERE vector NEAR $v LIMIT 5",
+        {"v": qv}).collect()]
+    assert vql == want
+    # VelesQL NEAR goes through the same score view
+    vql = [r.id for r in col.query(
+        "SELECT id FROM sq8col WHERE vector NEAR $v LIMIT 5",
+        {"v": qv}).collect()]
+    assert vql == want
+    # LWW re-upsert keeps the representation consistent
+    col.upsert([{"id": 1, "vector": [1.0] * 8}])
+    assert col.count() == 40
+
+
+def test_storage_mode_binary(spark):
+    """storage_mode='binary': packed sign bits (32x at rest), hamming
+    ranking equals the NumPy sign-mismatch count; non-bitwise metrics
+    are rejected at creation."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from velesdb_spark.database import Collection
+
+    with _pytest.raises(ValueError):
+        Collection(spark, "bad", dimension=8, storage_mode="binary",
+                   metric="cosine")
+    with _pytest.raises(ValueError):
+        Collection(spark, "bad2", storage_mode="frob")
+
+    rng = np.random.RandomState(5)
+    rows = [{"id": i, "vector": [float(x) for x in rng.randn(70)]}
+            for i in range(1, 31)]
+    qv = [float(x) for x in rng.randn(70)]
+    col = Collection(spark, "bincol", dimension=70, metric="hamming",
+                     storage_mode="binary")
+    col.upsert(rows)
+    # two packed words for 70 dims
+    first = col.df.select("vector").first()[0]
+    assert len(first) == 2
+    V = (np.array([r["vector"] for r in rows]) > 0).astype(int)
+    qb = (np.array(qv) > 0).astype(int)
+    ham = (V != qb).sum(axis=1)
+    want = [int(i + 1) for i in
+            sorted(range(len(rows)), key=lambda i: (ham[i], i + 1))[:5]]
+    got = [r.id for r in col.search(qv, 5).collect()]
+    assert got == want
+    # VelesQL NEAR binarizes the query via the catalog transform
+    vql = [r.id for r in col.query(
+        "SELECT id FROM bincol WHERE vector NEAR $v LIMIT 5",
+        {"v": qv}).collect()]
+    assert vql == want

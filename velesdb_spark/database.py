@@ -55,11 +55,27 @@ class Collection:
                  metric: str = "cosine", df: Optional[DataFrame] = None,
                  id_col: str = "id", vector_col: str = "vector",
                  text_col: Optional[str] = None,
-                 edges: Optional[DataFrame] = None, path: Optional[str] = None):
+                 edges: Optional[DataFrame] = None, path: Optional[str] = None,
+                 storage_mode: str = "full"):
         self.spark = spark
         self.name = name
         self.dimension = dimension
         self.metric = metric.lower()
+        # storage modes (quantization.rs + collection types.rs config):
+        # 'full' stores f32; 'sq8' stores the SQ8 struct (4x smaller,
+        # scores approximate); 'binary' stores packed sign bits (32x
+        # smaller, hamming/jaccard only). Quantized modes transform the
+        # vector column ON WRITE; reads score the stored representation.
+        storage_mode = storage_mode.lower()
+        if storage_mode not in ("full", "sq8", "binary"):
+            raise ValueError(f"unknown storage_mode: {storage_mode!r} "
+                             "(full|sq8|binary)")
+        if storage_mode == "binary" and self.metric not in ("hamming",
+                                                            "jaccard"):
+            raise ValueError(
+                "binary storage keeps only sign bits — metric must be "
+                "hamming or jaccard (quantization.rs Binary mode)")
+        self.storage_mode = storage_mode
         self.id_col = id_col
         self.vector_col = vector_col
         self.text_col = text_col
@@ -106,13 +122,15 @@ class Collection:
         """Insert-or-replace by id (crud.rs:19-118 → MERGE semantics)."""
         new = points if isinstance(points, DataFrame) else \
             self.spark.createDataFrame(points)
-        if self.dimension is not None and self.vector_col in new.columns:
+        if self.dimension is not None and self.vector_col in new.columns \
+                and not self._vectors_quantized(new):
             bad = new.filter(
                 F.col(self.vector_col).isNotNull()
                 & (F.size(self.vector_col) != self.dimension)).limit(1).count()
             if bad:
                 raise ValueError(
                     f"vector dimension mismatch (expected {self.dimension})")
+        new = self._quantize_on_write(new)
         if self.store is not None:
             # durable path: append an immutable log segment, commit the
             # manifest, re-resolve the read view (read-your-writes)
@@ -137,6 +155,68 @@ class Collection:
         return self
 
     upsert_bulk = upsert
+
+    # ---------------------------------------------------- storage modes
+    def _vectors_quantized(self, df: DataFrame) -> bool:
+        """True when the frame's vector column already carries the stored
+        (quantized) representation — struct for sq8, bigint words for
+        binary — so re-merges of store reads aren't double-transformed."""
+        from pyspark.sql.types import ArrayType, FloatType, StructType
+
+        if self.storage_mode == "full" or self.vector_col not in df.columns:
+            return False
+        dt = df.schema[self.vector_col].dataType
+        if self.storage_mode == "sq8":
+            return isinstance(dt, StructType)
+        return (isinstance(dt, ArrayType)
+                and not isinstance(dt.elementType, FloatType)
+                and dt.elementType.simpleString() == "bigint")
+
+    def _quantize_on_write(self, new: DataFrame) -> DataFrame:
+        """Apply the collection's storage mode to incoming f32 vectors
+        (quantization.rs: SQ8 4x / Binary 32x smaller at rest). Idempotent
+        on frames already carrying the stored representation."""
+        vc = self.vector_col
+        if self.storage_mode == "full" or vc not in new.columns \
+                or self._vectors_quantized(new):
+            return new
+        from velesdb_spark.functions.quantization import (binary_quantize,
+                                                          sq8_quantize)
+
+        if self.storage_mode == "sq8":
+            q = sq8_quantize(F.col(vc))
+        else:
+            if not self.dimension:
+                raise ValueError("binary storage needs an explicit "
+                                 "collection dimension")
+            q = binary_quantize(F.col(vc), int(self.dimension))
+        return new.withColumn(
+            vc, F.when(F.col(vc).isNotNull(), q))
+
+    def _prep_query_vec(self, vector):
+        """Binary storage binarizes the query to sign bits so hamming /
+        jaccard compare like-with-like (the stored representation)."""
+        if self.storage_mode == "binary":
+            return [1.0 if float(x) > 0 else 0.0 for x in vector]
+        return list(vector)
+
+    def _score_df(self) -> DataFrame:
+        """The collection with the vector column in scoreable array form:
+        sq8 dequantizes (approximate values — the mode's contract),
+        binary unpacks sign bits to 0/1 (hamming/jaccard on the unpacked
+        array ≡ the packed kernels). Lazy column transform — the stored
+        data stays quantized; every search/VelesQL path reads this view."""
+        if self.storage_mode == "full" or self._df is None \
+                or self.vector_col not in self.df.columns:
+            return self.df
+        from velesdb_spark.functions.quantization import (binary_unpack,
+                                                          sq8_dequantize)
+
+        vc = self.vector_col
+        if self.storage_mode == "sq8":
+            return self.df.withColumn(vc, sq8_dequantize(F.col(vc)))
+        return self.df.withColumn(
+            vc, binary_unpack(F.col(vc), int(self.dimension)))
 
     def delete(self, ids: Sequence[int]) -> "Collection":
         if self.store is not None:
@@ -212,7 +292,7 @@ class Collection:
             "name": self.name,
             "dimension": self.dimension,
             "metric": self.metric,
-            "storage_mode": "parquet",
+            "storage_mode": self.storage_mode,
             "count": 0 if self._df is None else self.count(),
         }
 
@@ -291,8 +371,8 @@ class Collection:
                 "_sq8", sq8_dequantize(sq8_quantize(F.col(self.vector_col))))
             return (topk_ops.knn(approx, vector, k, self.metric, "_sq8",
                                  self.id_col).drop("_sq8"))
-        return topk_ops.knn(self.df, vector, k, self.metric,
-                            self.vector_col, self.id_col)
+        return topk_ops.knn(self._score_df(), self._prep_query_vec(vector),
+                            k, self.metric, self.vector_col, self.id_col)
 
     def search_with_filter(self, vector: Sequence[float], filter_cond, k: int = 10) -> DataFrame:
         """Filtered k-NN — filter BEFORE top-k (exact; no 4× over-fetch).
@@ -304,8 +384,9 @@ class Collection:
             from velesdb_spark.functions.filters import filter_to_column
 
             filter_cond = filter_to_column(filter_cond)
-        return topk_ops.knn(self.df, vector, k, self.metric,
-                            self.vector_col, self.id_col, filter_cond=filter_cond)
+        return topk_ops.knn(self._score_df(), self._prep_query_vec(vector),
+                            k, self.metric, self.vector_col, self.id_col,
+                            filter_cond=filter_cond)
 
     def search_ids(self, vector: Sequence[float], k: int = 10) -> DataFrame:
         return self.search(vector, k).select(self.id_col, "score")
@@ -325,13 +406,17 @@ class Collection:
         "top_k": n, "filter": <condition dict>} with per-query filters.
         All queries execute as ONE Spark job (union of per-query plans)."""
         if searches is None:
-            queries = [(i, v) for i, v in enumerate(vectors)]
-            return topk_ops.knn_batch(self.df, queries, k, self.metric,
-                                      self.vector_col, self.id_col)
+            queries = [(i, self._prep_query_vec(v))
+                       for i, v in enumerate(vectors)]
+            return topk_ops.knn_batch(self._score_df(), queries, k,
+                                      self.metric, self.vector_col,
+                                      self.id_col)
         parts = []
         for i, req in enumerate(searches):
             cond = self._as_column(req.get("filter"))
-            part = topk_ops.knn(self.df, req["vector"], req.get("top_k", k),
+            part = topk_ops.knn(self._score_df(),
+                                self._prep_query_vec(req["vector"]),
+                                req.get("top_k", k),
                                 self.metric, self.vector_col, self.id_col,
                                 filter_cond=cond)
             parts.append(part.select(F.lit(i).alias("qid"), "*"))
@@ -351,13 +436,14 @@ class Collection:
         'k' collides with the top-k kwarg) merged over ``**params``."""
         from velesdb_spark.functions import fusion as fusion_mod
 
-        base = self.df
+        base = self._score_df()
         cond = self._as_column(filter_cond)
         if cond is not None:
             base = base.filter(cond)
         vlist = list(vectors)
         if fusion_params:
             params = {**params, **fusion_params}
+        vlist = [self._prep_query_vec(v) for v in vlist]
         per_query = topk_ops.knn_batch(base, list(enumerate(vlist)),
                                        max(k * 2, k), self.metric,
                                        self.vector_col, self.id_col)
@@ -692,9 +778,12 @@ class Collection:
     # ------------------------------------------------------------ VelesQL
     def _catalog(self) -> Catalog:
         cat = Catalog()
-        cat.register(self.name, self.df, metric=self.metric,
+        cat.register(self.name, self._score_df(), metric=self.metric,
                      vector_col=self.vector_col, id_col=self.id_col,
-                     text_col=self.text_col)
+                     text_col=self.text_col,
+                     query_vec_transform=(self._prep_query_vec
+                                          if self.storage_mode == "binary"
+                                          else None))
         # graph convention: MATCH resolves 'nodes'/'edges'
         if self._df is not None:
             cat.register("nodes", self._df, id_col=self.id_col)

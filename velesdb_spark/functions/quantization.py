@@ -86,6 +86,19 @@ def binary_quantize(vec: Column, dim: int) -> Column:
     return F.array(*words)
 
 
+def binary_unpack(packed: Column, dim: int) -> Column:
+    """array<bigint> of packed sign bits → array<float> of 0/1 — the
+    scoreable view of binary storage (hamming/jaccard on the unpacked
+    array equals the packed XOR+popcount kernels). dim literal exprs;
+    fine at embedding dims, document plan size at dim ≫ 4k."""
+    one = F.lit(1).cast("bigint")
+    return F.array(*[
+        F.shiftrightunsigned(F.element_at(packed, i // WORD_BITS + 1),
+                             i % WORD_BITS)
+        .bitwiseAND(one).cast("float")
+        for i in range(dim)])
+
+
 def packed_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between packed bit arrays: Σ bit_count(a[i] XOR b[i])
     — the quantized SIMD kernel's semantics (quantization.rs / distance.rs),

@@ -131,7 +131,8 @@ class VelesDBVectorStore:
             else:
                 self._collection = self._db.create_collection(
                     self._collection_name, dimension=dimension,
-                    metric=self._metric, text_col="text")
+                    metric=self._metric, text_col="text",
+                    storage_mode=self._storage_mode)
         return self._collection
 
     def _generate_id(self) -> int:

@@ -53,6 +53,9 @@ class TableInfo:
     vector_col: str = "vector"
     id_col: str = "id"
     text_col: Optional[str] = None  # BM25 target; None → first string column
+    # query-side vector prep (binary storage mode binarizes the query so
+    # NEAR/similarity literals match the stored representation)
+    query_vec_transform: Optional[object] = None
     # date-typed partition column paired with the timestamp column; temporal
     # predicates derive a redundant bound on it so the scan prunes
     # partitions (the 100 TB layout: events partitioned by day)
@@ -698,6 +701,8 @@ class _SearchState:
             return base, c.isNotNull() if cond.negated else c.isNull()
         if isinstance(cond, ast.Similarity):
             vec = tr.value(cond.vector)
+            if self.info.query_vec_transform is not None:
+                vec = self.info.query_vec_transform(vec)
             name = self._next("sim")
             field = self.info.vector_col if cond.field_name == "vector" else cond.field_name
             qlit = F.array(*[F.lit(float(x)) for x in vec])
@@ -717,6 +722,8 @@ class _SearchState:
                                            self.info.metric)
         if isinstance(cond, ast.VectorSearch):
             vec = tr.value(cond.vector)
+            if self.info.query_vec_transform is not None:
+                vec = self.info.query_vec_transform(vec)
             name = self._next("near")
             qlit = F.array(*[F.lit(float(x)) for x in vec])
             vcol = self.info.vector_col
