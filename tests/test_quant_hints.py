@@ -346,3 +346,28 @@ def test_explain_shows_quantization_nodes():
     plain = plan_tree(parse(
         "SELECT * FROM docs WHERE vector NEAR [0.1] LIMIT 5"))
     assert "exact=true" in plain and "quantization" not in plain
+
+
+def test_auto_quantization_decision_rule(spark):
+    """'auto' applies should_quantize (config.rs:250-253) + the dual
+    min-index-size: dual ≥ 10k vectors, exact below; the count is cached
+    and invalidated on mutation."""
+    from pyspark.sql import functions as SF
+
+    from velesdb_spark.database import Collection
+
+    big = spark.range(1, 12_001).select(
+        F.col("id"),
+        F.array(*[SF.sin(F.col("id") * (0.1 * (j + 1)))
+                  .cast("float") for j in range(8)]).alias("vector"))
+    col = Collection(spark, "bigauto", dimension=8, df=big)
+    qv = [0.5] * 8
+    auto = [r.id for r in col.search(qv, 5, quantization="auto").collect()]
+    dual = [r.id for r in col.search(qv, 5, quantization="dual").collect()]
+    assert auto == dual
+    assert col._n_cached == 12_000  # decision used the cached count
+    # small collection: auto == exact (covered structurally here too)
+    small = Collection(spark, "smallauto", dimension=8, df=big.limit(50))
+    a2 = [r.id for r in small.search(qv, 5, quantization="auto").collect()]
+    e2 = [r.id for r in small.search(qv, 5).collect()]
+    assert a2 == e2

@@ -144,6 +144,7 @@ class Collection:
             self._df = old.unionByName(new, allowMissingColumns=True)
         self._refresh_bm25(new_docs=new)
         self._stats = None  # cost statistics reflect the pre-mutation table
+        self._n_cached = None
         bloom = getattr(self, "_id_bloom", None)
         if bloom is not None:
             if isinstance(points, DataFrame):
@@ -228,6 +229,7 @@ class Collection:
                 ~F.col(self.id_col).isin([int(i) for i in ids]))
         self._refresh_bm25(deleted_ids=[int(i) for i in ids])
         self._stats = None
+        self._n_cached = None
         return self
 
     def _refresh_bm25(self, new_docs: DataFrame | None = None,
@@ -356,12 +358,23 @@ class Collection:
         search_with_config surface (dual_precision.rs:260-282):
         'int8'/'sq8' scores on the SQ8 representation; 'dual'/'hybrid'
         does the coarse-SQ8 → exact-f32 two-phase re-rank with
-        ``oversampling``·k candidates (default 4·k); 'f32'/'auto'/None
-        keep exact scoring — exact IS this engine's auto choice."""
+        ``oversampling``·k candidates (default 4·k); 'auto' applies the
+        reference's decision rule (config.rs should_quantize +
+        DualPrecisionConfig.min_index_size): dual above 10k vectors
+        (cached count — one job, invalidated on mutation), exact below;
+        'f32'/None keep exact scoring. On a quantized-storage collection
+        the hint is ignored — the storage mode already fixes precision."""
         from velesdb_spark.functions.quantization import (
-            parse_quantization_mode, sq8_dequantize, sq8_quantize)
+            DUAL_MIN_INDEX_SIZE, parse_quantization_mode, sq8_dequantize,
+            sq8_quantize)
 
         mode = parse_quantization_mode(quantization)
+        if self.storage_mode != "full":
+            mode = None
+        if mode == "auto":
+            if getattr(self, "_n_cached", None) is None:
+                self._n_cached = self.count()
+            mode = "dual" if self._n_cached >= DUAL_MIN_INDEX_SIZE else None
         if mode == "dual":
             return topk_ops.dual_precision_knn(
                 self.df, vector, k, self.metric, self.vector_col,
