@@ -155,11 +155,6 @@ def test_storage_mode_sq8(spark):
             sorted(range(len(rows)), key=lambda i: (-cos[i], i + 1))[:5]]
     got = [r.id for r in col.search(qv, 5).collect()]
     assert got == want
-    # VelesQL NEAR binarizes the query via the catalog transform
-    vql = [r.id for r in col.query(
-        "SELECT id FROM bincol WHERE vector NEAR $v LIMIT 5",
-        {"v": qv}).collect()]
-    assert vql == want
     # VelesQL NEAR goes through the same score view
     vql = [r.id for r in col.query(
         "SELECT id FROM sq8col WHERE vector NEAR $v LIMIT 5",
