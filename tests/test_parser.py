@@ -323,3 +323,57 @@ def test_named_path_pattern():
     assert q.path_name == "p"
     assert q.nodes[0].alias == "a" and q.rels[0].types == ("KNOWS",)
     assert parse("MATCH (a)-[:KNOWS]->(b) RETURN a").path_name is None
+
+
+def test_parser_never_panics_fuzz():
+    """fuzz/fuzz_targets/fuzz_velesql_parser.rs parity: arbitrary input
+    must either parse or raise VelesQLSyntaxError / TranslationError-free
+    clean failure — never any other exception type. Random bytes plus
+    mutated valid queries (char deletions/insertions/swaps)."""
+    import random
+
+    from velesdb_spark.velesql.lexer import VelesQLSyntaxError
+    from velesdb_spark.velesql.parser import parse
+
+    rng = random.Random(42)
+    seeds = [
+        "SELECT * FROM docs WHERE a = 1 AND b > 2.5 ORDER BY a LIMIT 5",
+        "SELECT id FROM t WHERE vector NEAR [0.1, 0.2] LIMIT 3 "
+        "WITH (quantization = 'dual', oversampling = 4)",
+        "MATCH (a:P {x: 1})-[:R*1..3]->(b) WHERE b.y > 2 RETURN a, b.y",
+        "SELECT COUNT(*), cat FROM t GROUP BY cat HAVING COUNT(*) > 1",
+        "SELECT a FROM t WHERE x IN (SELECT y FROM u) UNION "
+        "SELECT b FROM v",
+        "SELECT * FROM t WHERE similarity(vector, $v) > 0.8 "
+        "AND text MATCH 'hello world' USING FUSION (strategy = 'rrf')",
+    ]
+    charset = "abcXYZ019_.,()[]'\"$*<>=!-+%| \t\n;:{}"
+    cases = ["", " ", "\x00", "SELECT", "'", '"', "(((((", "]]]",
+             "SELECT * FROM", "$" * 50, "." * 30]
+    for s in seeds:
+        for _ in range(40):
+            chars = list(s)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.random()
+                pos = rng.randrange(max(len(chars), 1))
+                if op < 0.4 and chars:
+                    del chars[pos % len(chars)]
+                elif op < 0.8:
+                    chars.insert(pos, rng.choice(charset))
+                elif len(chars) >= 2:
+                    j = rng.randrange(len(chars))
+                    chars[pos % len(chars)], chars[j] = \
+                        chars[j], chars[pos % len(chars)]
+            cases.append("".join(chars))
+    for _ in range(200):
+        cases.append("".join(rng.choice(charset)
+                             for _ in range(rng.randint(1, 60))))
+    parsed = failed = 0
+    for case in cases:
+        try:
+            parse(case)
+            parsed += 1
+        except VelesQLSyntaxError:
+            failed += 1
+        # any other exception type propagates and fails the test
+    assert parsed + failed == len(cases) and parsed > 0

@@ -92,6 +92,32 @@ class _Parser:
         if not self.accept_punct(p):
             raise VelesQLSyntaxError(f"expected {p!r}, got {self.cur.value!r} at {self.cur.pos}")
 
+    def expect_number(self, what: str) -> float:
+        """Numeric literal (INT/FLOAT, optional unary minus) or a clean
+        syntax error — same no-panic contract as expect_int."""
+        neg = False
+        if (self.cur.kind == "OP" and self.cur.value == "-"):
+            neg = True
+            self.advance()
+        tok = self.cur
+        if tok.kind not in ("INT", "FLOAT"):
+            raise VelesQLSyntaxError(
+                f"expected number in {what}, got {tok.value!r} at {tok.pos}")
+        self.advance()
+        v = float(tok.value)
+        return -v if neg else v
+
+    def expect_int(self, what: str) -> int:
+        """Integer literal or a clean syntax error — LIMIT/OFFSET must
+        never surface a raw ValueError on malformed input (the parser's
+        no-panic contract, fuzz_velesql_parser.rs)."""
+        tok = self.cur
+        if tok.kind != "INT":
+            raise VelesQLSyntaxError(
+                f"expected integer after {what}, got {tok.value!r} at {tok.pos}")
+        self.advance()
+        return int(tok.value)
+
     def identifier(self) -> str:
         tok = self.cur
         if tok.kind in ("IDENT", "QIDENT"):
@@ -171,9 +197,9 @@ class _Parser:
 
         limit = offset = None
         if self.accept_kw("LIMIT"):
-            limit = int(self.advance().value)
+            limit = self.expect_int("LIMIT")
         if self.accept_kw("OFFSET"):
-            offset = int(self.advance().value)
+            offset = self.expect_int("OFFSET")
 
         with_options: dict = {}
         if self.at_kw("WITH"):
@@ -418,9 +444,9 @@ class _Parser:
         if self.cur.kind == "PARAM":
             return ast.Param(self.advance().value)
         self.expect_punct("[")
-        vals = [float(self.advance().value)]
+        vals = [self.expect_number("vector literal")]
         while self.accept_punct(","):
-            vals.append(float(self.advance().value))
+            vals.append(self.expect_number("vector literal"))
         self.expect_punct("]")
         return vals
 
@@ -557,7 +583,7 @@ class _Parser:
         order_by = self.order_by_clause() if self.at_kw("ORDER") else ()
         limit = None
         if self.accept_kw("LIMIT"):
-            limit = int(self.advance().value)
+            limit = self.expect_int("LIMIT")
         return ast.MatchQuery(tuple(nodes), tuple(rels), where,
                               tuple(returns), order_by, limit,
                               path_name=path_name)
