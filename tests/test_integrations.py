@@ -347,3 +347,55 @@ def test_li_get_nodes_delete_info(spark):
     assert info["count"] == 1
     assert not store.is_empty()
     assert Document("x").page_content == "x"  # stand-in sanity
+
+
+def test_llamaindex_graph_retriever(spark):
+    """LlamaIndex GraphRetriever/GraphQARetriever (llamaindex twin of
+    the seed+expand pattern): seeds via the store, expansion along the
+    collection's edges (hashed node ids), neighbors at fixed score 0.5."""
+    from velesdb_spark.integrations.llamaindex_retriever import (
+        GraphQARetriever, GraphRetriever, NodeWithScore)
+    from velesdb_spark.integrations.llamaindex_store import (
+        _stable_hash_id)
+
+    store = LIStore(spark=spark, collection_name="li_retr")
+    emb = FakeEmbeddings()
+    hids = {f"n{i}": _stable_hash_id(f"n{i}") for i in range(len(TEXTS))}
+    # only the anchor carries an extractable id: the reference drops
+    # id-less seeds from the result set and fills the freed expand_k
+    # slots with graph neighbors (graph_retriever.py:166-218)
+    nodes = [TextNode(text=t, id_=f"n{i}",
+                      metadata=({"doc_id": hids["n0"]} if i == 0 else {}),
+                      embedding=emb._vec(t))
+             for i, t in enumerate(TEXTS)]
+    store.add(nodes)
+    col = store._collection
+    col.add_edges([
+        {"id": 1, "src": hids["n0"], "dst": hids["n1"], "label": "REL"},
+        {"id": 2, "src": hids["n1"], "dst": hids["n2"], "label": "REL"},
+    ])
+
+    r = GraphRetriever(vector_store=store, embed_model=emb, seed_k=1,
+                       expand_k=4, max_depth=2)
+    # seed = n0 (the only id-bearing node); expands n1 (d1) and n2 (d2)
+    out = r.retrieve(TEXTS[0])
+    assert all(isinstance(x, NodeWithScore) for x in out)
+    by_id = {x.node.node_id: x for x in out}
+    assert set(by_id) == {"n0", "n1", "n2"}  # n3 unreachable, id-less
+    assert by_id["n0"].node.metadata["graph_depth"] == 0
+    assert by_id["n0"].score == pytest.approx(1.0, abs=1e-6)
+    assert by_id["n1"].score == 0.5  # reference's fixed expanded score
+    assert by_id["n1"].node.metadata["graph_depth"] == 1
+    assert by_id["n1"].node.metadata["retrieval_mode"] == "graph_expanded"
+
+    low = GraphRetriever(vector_store=store, embed_model=emb,
+                         low_latency=True, expand_k=2)
+    lout = low.retrieve(TEXTS[0])
+    assert lout[0].node.metadata["retrieval_mode"] == "vector_only"
+
+    qa = GraphQARetriever(vector_store=store, embed_model=emb, seed_k=1,
+                          expand_k=4, max_depth=2)
+    qout = qa.retrieve(TEXTS[0])
+    depths = [x.node.metadata["graph_depth"] for x in qout]
+    assert depths == sorted(depths)
+    assert len({x.node.node_id for x in qout}) == len(qout)

@@ -178,7 +178,9 @@ class VelesDBVectorStore:
                    "text": text}
             if metadatas and i < len(metadatas):
                 for k, v in metadatas[i].items():
-                    if isinstance(v, (str, int, float, bool)):
+                    # reserved row fields never get shadowed by metadata
+                    if k not in row and isinstance(v, (str, int, float,
+                                                       bool)):
                         row[k] = v
             points.append(row)
         collection.upsert(_normalize_points(points))

@@ -172,7 +172,9 @@ class VelesDBVectorStore:
                    "text": node.get_content(), "node_id": nid}
             if getattr(node, "metadata", None):
                 for k, v in node.metadata.items():
-                    if isinstance(v, (str, int, float, bool)):
+                    # reserved row fields never get shadowed by metadata
+                    if k not in row and isinstance(v, (str, int, float,
+                                                       bool)):
                         row[k] = v
             points.append(row)
         if points:
