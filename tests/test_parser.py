@@ -377,3 +377,30 @@ def test_parser_never_panics_fuzz():
             failed += 1
         # any other exception type propagates and fails the test
     assert parsed + failed == len(cases) and parsed > 0
+
+
+def test_string_escaping_doubled_quote():
+    """VELESQL_SPEC.md String Escaping: '' inside a literal is one
+    quote; empty strings parse; backslash is NOT an escape."""
+    q = parse("SELECT * FROM docs WHERE name = 'O''Brien'")
+    assert q.where.value == "O'Brien"
+    q = parse("SELECT * FROM docs WHERE text = 'It''s working'")
+    assert q.where.value == "It's working"
+    q = parse("SELECT * FROM docs WHERE name = ''")
+    assert q.where.value == ""
+    # adjacent literals stay separate tokens
+    with pytest.raises(VelesQLSyntaxError):
+        parse("SELECT * FROM docs WHERE name = 'a' 'b'")
+
+
+def test_quoted_identifiers_spec_examples():
+    """VELESQL_SPEC.md Identifier Quoting: backticks and double quotes
+    let reserved keywords act as identifiers; "" escapes inside
+    double-quoted identifiers."""
+    q = parse('SELECT `select`, "order" FROM `order` WHERE `limit` > 10')
+    assert q.table == "order"
+    assert [c.name for c in q.columns] == ["select", "order"]
+    q = parse('SELECT "col""name" FROM docs')
+    assert q.columns[0].name == 'col"name'
+    q = parse("SELECT id AS `select` FROM docs ORDER BY `order` ASC")
+    assert q.columns[0].alias == "select"

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|--[^\n]*)
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
-  | (?P<string>'(?:[^'])*')
+  | (?P<string>'(?:[^']|'')*')
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<backtick>`[^`]+`)
   | (?P<dquote>"(?:[^"]|"")*")
@@ -66,7 +66,10 @@ def tokenize(sql: str) -> list[Token]:
         elif kind == "int":
             tokens.append(Token("INT", text, pos))
         elif kind == "string":
-            tokens.append(Token("STRING", text[1:-1], pos))
+            # '' escapes a quote inside the literal (VELESQL_SPEC.md
+            # "String Escaping"; backslash escaping is NOT supported)
+            tokens.append(Token("STRING", text[1:-1].replace("''", "'"),
+                                pos))
         elif kind == "param":
             tokens.append(Token("PARAM", text[1:], pos))
         elif kind == "backtick":
