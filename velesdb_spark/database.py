@@ -855,9 +855,24 @@ class Collection:
                       limits=None, rails=None, client_id: str = "default"):
         """query() + collect under guard-rails (guardrails.rs EPIC-048):
         rate/circuit pre-check, timeout watchdog cancelling the job group,
-        cardinality probe. Returns rows."""
-        from velesdb_spark.guardrails import guarded_collect
+        cardinality probe. Returns rows.
 
+        A ``WITH (timeout_ms = N)`` hint on the query overrides the
+        limits' timeout for THIS execution (VELESQL_SPEC.md WITH clause
+        — per-query timeout; floor 100ms per the spec's minimum)."""
+        import dataclasses
+
+        from velesdb_spark.guardrails import QueryLimits, guarded_collect
+
+        try:
+            from velesdb_spark.velesql.introspect import ParsedStatement
+
+            hint = ParsedStatement(parse(sql)).timeout_ms
+        except Exception:
+            hint = None  # hint extraction never blocks the query
+        if hint is not None and rails is None:
+            limits = dataclasses.replace(limits or QueryLimits(),
+                                         timeout_ms=max(int(hint), 100))
         return guarded_collect(self.query(sql, params), limits=limits,
                                rails=rails, client_id=client_id)
 
