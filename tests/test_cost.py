@@ -130,3 +130,31 @@ def test_stats_cache_cleared_on_mutation(spark):
     assert col.stats().row_count == 3       # recomputed after mutation
     col.delete([1])
     assert col.stats().row_count == 2
+
+
+def test_plan_cache_and_query_optimizer():
+    """query_executor.rs parity: cached plan reuse by query
+    characteristics, least-accessed eviction, per-collection
+    invalidation."""
+    from velesdb_spark.plans.cost import (CollectionStats, PlanCache,
+                                          QueryOptimizer)
+
+    stats = CollectionStats(row_count=50_000, deleted_count=0)
+    opt = QueryOptimizer(cache=PlanCache(max_entries=2))
+    p1 = opt.optimize("docs", stats, filter_col=None, k=10)
+    assert p1 is not None
+    assert opt.optimize("docs", stats, filter_col=None, k=10) is p1  # hit
+    # different characteristics → different cache slot
+    p2 = opt.optimize("docs", stats, k=50)
+    assert p2 is not None and len(opt.cache) == 2
+    # capacity 2: inserting a third evicts the least-accessed (p2:
+    # accessed once vs p1: twice)
+    p3 = opt.optimize("other", stats, k=10)
+    assert len(opt.cache) == 2
+    assert opt.optimize("docs", stats, k=10) is p1  # survivor
+    # invalidation drops only that collection's plans
+    opt.invalidate("docs")
+    assert len(opt.cache) == 1
+    assert opt.optimize("other", stats, k=10) is p3
+    # generate_all_plans bypasses the cache
+    assert opt.generate_all_plans(stats, k=10)

@@ -20,6 +20,7 @@ sit above Catalyst.
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -223,3 +224,85 @@ class PlanGenerator:
                  ef_search: int = 64) -> Optional[CandidatePlan]:
         return self.select_best(
             self.generate_plans(stats, filter_col, k, ef_search))
+
+
+class PlanCache:
+    """Least-accessed plan cache (query_cost/query_executor.rs:12-106):
+    keys are query characteristics, values CandidatePlans; at capacity
+    the least-accessed entry evicts; ``invalidate_collection`` drops
+    every plan cached for that collection (call after DDL)."""
+
+    def __init__(self, max_entries: int = 1000):
+        if max_entries < 1:
+            raise ValueError("max_entries must be >= 1")
+        self.max_entries = int(max_entries)
+        self._cache: dict = {}   # key -> [plan, access_count]
+        self._lock = threading.Lock()
+
+    def get(self, key) -> Optional[CandidatePlan]:
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is None:
+                return None
+            hit[1] += 1
+            return hit[0]
+
+    def insert(self, key, plan: CandidatePlan) -> None:
+        with self._lock:
+            if key not in self._cache and \
+                    len(self._cache) >= self.max_entries:
+                evict = min(self._cache, key=lambda k: self._cache[k][1])
+                del self._cache[evict]
+            self._cache[key] = [plan, 1]
+
+    def invalidate_collection(self, collection: str) -> None:
+        with self._lock:
+            self._cache = {k: v for k, v in self._cache.items()
+                           if k[0] != collection}
+
+    def clear(self) -> None:
+        with self._lock:
+            self._cache.clear()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._cache)
+
+
+class QueryOptimizer:
+    """PlanGenerator + PlanCache (query_executor.rs:128-188): optimize()
+    returns the cached best plan for matching query characteristics, or
+    generates-and-caches; generate_all_plans bypasses the cache."""
+
+    def __init__(self, generator: Optional[PlanGenerator] = None,
+                 cache: Optional[PlanCache] = None):
+        # explicit None checks: an EMPTY PlanCache is falsy (__len__ 0),
+        # so `cache or PlanCache()` would silently discard it
+        self.generator = generator if generator is not None \
+            else PlanGenerator()
+        self.cache = cache if cache is not None else PlanCache()
+
+    @staticmethod
+    def _key(collection: str, filter_col, k: int, ef_search: int):
+        return (collection, filter_col, int(k), int(ef_search))
+
+    def optimize(self, collection: str, stats: CollectionStats,
+                 filter_col: Optional[str] = None, k: int = 10,
+                 ef_search: int = 64) -> Optional[CandidatePlan]:
+        key = self._key(collection, filter_col, k, ef_search)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        best = self.generator.optimize(stats, filter_col, k, ef_search)
+        if best is not None:
+            self.cache.insert(key, best)
+        return best
+
+    def generate_all_plans(self, stats: CollectionStats,
+                           filter_col: Optional[str] = None, k: int = 10,
+                           ef_search: int = 64) -> list:
+        return self.generator.generate_plans(stats, filter_col, k,
+                                             ef_search)
+
+    def invalidate(self, collection: str) -> None:
+        self.cache.invalidate_collection(collection)
