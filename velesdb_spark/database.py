@@ -145,6 +145,7 @@ class Collection:
         self._refresh_bm25(new_docs=new)
         self._stats = None  # cost statistics reflect the pre-mutation table
         self._n_cached = None
+        self._invalidate_plans()
         bloom = getattr(self, "_id_bloom", None)
         if bloom is not None:
             if isinstance(points, DataFrame):
@@ -230,6 +231,7 @@ class Collection:
         self._refresh_bm25(deleted_ids=[int(i) for i in ids])
         self._stats = None
         self._n_cached = None
+        self._invalidate_plans()
         return self
 
     def _refresh_bm25(self, new_docs: DataFrame | None = None,
@@ -326,6 +328,7 @@ class Collection:
         self._declared_indexes = [
             i for i in self.list_indexes()
             if not (i["label"] == label and i["property"] == prop)]
+        self._invalidate_plans()  # DDL invalidates cached plans
         return self
 
     def flush(self) -> "Collection":
@@ -835,21 +838,39 @@ class Collection:
             self._stats = collect_stats(self.df)
         return self._stats
 
+    def _plan_optimizer(self):
+        """One QueryOptimizer per collection (query_executor.rs:128-188);
+        its plan cache invalidates on mutation/DDL via
+        _invalidate_plans."""
+        opt = getattr(self, "_optimizer", None)
+        if opt is None:
+            from velesdb_spark.plans.cost import QueryOptimizer
+
+            opt = self._optimizer = QueryOptimizer()
+        return opt
+
+    def _invalidate_plans(self) -> None:
+        opt = getattr(self, "_optimizer", None)
+        if opt is not None:
+            opt.invalidate(self.name)
+
     def estimate_query_cost(self, sql: str, k: int = 10):
         """Candidate access strategies with costs for a VelesQL query
         (query_cost/plan_generator.rs): scan vs filter-first vs
         vector-first, ranked by the cost model over this collection's
-        statistics. Returns (best, all_candidates)."""
+        statistics. The best plan is served from the per-collection plan
+        cache when the query characteristics match (query_executor.rs).
+        Returns (best, all_candidates)."""
         from velesdb_spark.plans.advisor import pattern_from_velesql
-        from velesdb_spark.plans.cost import PlanGenerator
 
         pattern = pattern_from_velesql(sql)
         filter_col = next(
             (p for p in pattern.properties
              if p in self.df.columns), None)
-        gen = PlanGenerator()
-        plans = gen.generate_plans(self.stats(), filter_col, k)
-        return gen.select_best(plans), plans
+        opt = self._plan_optimizer()
+        best = opt.optimize(self.name, self.stats(), filter_col, k)
+        plans = opt.generate_all_plans(self.stats(), filter_col, k)
+        return best, plans
 
     def guarded_query(self, sql: str, params: Optional[dict] = None,
                       limits=None, rails=None, client_id: str = "default"):
