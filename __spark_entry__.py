@@ -1258,6 +1258,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_split"] = _train_split
 
+    # stratified quality sampling: per-language keep rates applied by a
+    # deterministic md5 bucket (no RNG — reproducible across engines,
+    # partitionings, reruns; map-only, zero shuffle before the count).
+    # The curation move for rebalancing a multilingual corpus: downsample
+    # the over-represented strata, keep the rest.
+    def _stratified_sample(s, d):
+        docs = _t(s, d, "documents")
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("strat:"),
+                                              F.col("doc_id").cast("string"))),
+                               1, 4), 16, 10).cast("long") % 100)
+        rate = (F.when(F.col("lang") == "en", 30)   # 30% of english
+                .when(F.col("lang") == "de", 60)    # 60% of german
+                .otherwise(100))                    # keep the tail whole
+        kept = docs.filter(bucket < rate)
+        return (kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+                .orderBy("lang"))
+
+    q["stratified_sample"] = _stratified_sample
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -1707,6 +1727,7 @@ _GATE_ORDER = [
     # ---- round-5 additions, unproven by any gate yet — first
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
     "knn_dual_precision", "near_quantized_int8", "knn_mrl",
+    "stratified_sample",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -2543,6 +2564,18 @@ SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n
 FROM b GROUP BY 1 ORDER BY 1"""
+
+    o["stratified_sample"] = """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                              1, 4)) AS BIGINT) % 100 AS bk
+  FROM documents)
+SELECT lang, count(*) AS n_kept
+FROM b
+WHERE bk < CASE WHEN lang = 'en' THEN 30
+                WHEN lang = 'de' THEN 60 ELSE 100 END
+GROUP BY lang ORDER BY lang"""
 
     words_pack = _DK_WORDS.format(c="lower(text)")
     o["seq_packing"] = f"""
