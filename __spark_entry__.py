@@ -874,6 +874,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_var_length"] = _var_len
 
+    # the Expert-Finder chain shape (docs/guides/USE_CASES.md §2): a
+    # mixed-direction pattern — forward hop then a REVERSE mid-chain hop
+    # through the shared node: co-nationals of customer 1
+    def _match_mixed(s, d):
+        from velesdb_spark.velesql.translator import translate
+
+        cat, _, _ = _graph(s, d)
+        return translate(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)"
+            "<-[:IN_NATION]-(other:Customer) WHERE c.id = 1 "
+            "RETURN other.name AS name ORDER BY name LIMIT 100000", cat)
+
+    q["match_mixed_direction"] = _match_mixed
+
+    # similarity-threshold aggregation (USE_CASES.md §4 Document
+    # Clustering): category counts among semantically similar vectors —
+    # the vector predicate filters, the aggregation runs on the survivors
+    def _sim_groupby(s, d):
+        return _vql(
+            s, d,
+            "SELECT label, COUNT(*) AS doc_count FROM embeddings "
+            "WHERE similarity(vector, $v) > 0.2 GROUP BY label "
+            "ORDER BY doc_count DESC, label LIMIT 100", {"v": QV2})
+
+    q["similarity_groupby"] = _sim_groupby
+
     def _match_reverse(s, d):
         from velesdb_spark.velesql.translator import translate
 
@@ -1727,7 +1753,7 @@ _GATE_ORDER = [
     # ---- round-5 additions, unproven by any gate yet — first
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
     "knn_dual_precision", "near_quantized_int8", "knn_mrl",
-    "stratified_sample",
+    "stratified_sample", "match_mixed_direction", "similarity_groupby",
     # ---- positions 1-27: queries with only local-sweep evidence so far —
     # front-loaded so a driver gate that samples or truncates queries()
     # proves the newest surface first (r4 headliners, the newly
@@ -1921,6 +1947,11 @@ GROUP BY n_name ORDER BY revenue DESC, n_name"""
     o["similarity_threshold"] = (
         f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "
         f"ORDER BY vec_id LIMIT 100000")
+
+    o["similarity_groupby"] = (
+        f"SELECT label, COUNT(*) AS doc_count FROM embeddings "
+        f"WHERE {cos(QV2)} > 0.2 GROUP BY label "
+        f"ORDER BY doc_count DESC, label LIMIT 100")
 
     o["not_similarity"] = (
         f"SELECT vec_id FROM embeddings WHERE NOT ({cos(QV1)} > 0.25) "
@@ -2128,6 +2159,11 @@ UNION ALL
 SELECT c.c_custkey AS start_id, n.n_regionkey + 2000000 AS node_id, 2 AS depth
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_custkey IN (1, 2, 3, 4, 5)"""
+
+    o["match_mixed_direction"] = """
+SELECT c2.c_name AS name FROM customer c1
+JOIN customer c2 ON c2.c_nationkey = c1.c_nationkey
+WHERE c1.c_custkey = 1 ORDER BY name"""
 
     o["graph_var_length"] = """
 SELECT n.n_name AS name FROM customer c
