@@ -262,3 +262,37 @@ def test_oneshot_cli_commands(spark, tmp_path):
     assert "Degree: 1" in deg
     trav = run_command(["graph", dbdir, "traverse", "items", "1"])
     assert "2" in trav
+
+
+def test_repl_never_raises_fuzz(repl):
+    """Repl.handle's contract: ANY input renders as a string (possibly
+    an Error line) — randomized dot-commands, mangled args, and raw
+    bytes must never escape as exceptions."""
+    import random
+
+    rng = random.Random(7)
+    # .export writes to its path argument on success — excluded so the
+    # fuzz can never litter the working directory
+    cmds = [".help", ".collections", ".schema", ".describe", ".count",
+            ".sample", ".stats", ".timing", ".format", ".limit", ".use",
+            ".info", ".set", ".show", ".reset", ".import",
+            ".traverse", ".degree", ".clear"]
+    args = ["docs", "nope", "-1", "9" * 30, "abc", "'unterminated",
+            "a b c", "[1,2]", "$", "..", "\x00", "{}", "|", ""]
+    lines = []
+    for _ in range(150):
+        line = rng.choice(cmds)
+        for _ in range(rng.randint(0, 3)):
+            line += " " + rng.choice(args)
+        lines.append(line)
+    for _ in range(50):
+        lines.append("".join(rng.choice(".$()'\"abcSELECT FROM *;")
+                             for _ in range(rng.randint(1, 40))))
+    for line in lines:
+        out, quit_ = repl.handle(line)
+        assert isinstance(out, str) and isinstance(quit_, bool)
+    # the fuzz may have flipped session settings; restore defaults
+    repl.config.format, repl.config.limit, repl.config.timing = \
+        "table", 20, False
+    repl.config.params.clear()
+    repl.handle(".use docs")
