@@ -443,3 +443,43 @@ def test_ivf_auto_reindex(spark):
     # disabled config never triggers
     off = S.AutoReindexManager(S.AutoReindexConfig.disabled())
     assert off.maybe_reindex(idx, df, "embedding", "vec_id") is idx
+
+
+def test_ngram_jaccard_max_shingle_df_cap(spark):
+    """Cap OFF (or above every df) is exact; cap ON drops only candidates
+    whose overlap ran through stop-shingles and never raises a pair's
+    jaccard — bounded loss, no false positives (dedup.py max_shingle_df)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(1, 25):
+        words = [rng.choice(vocab) for _ in range(12)]
+        # every doc shares one boilerplate trigram → a df=24 stop-shingle
+        rows.append((i, "common boiler plate " + " ".join(words)))
+    # one true near-dup pair that also shares non-boilerplate content
+    rows.append((100, "common boiler plate unique body text here now"))
+    rows.append((101, "common boiler plate unique body text here soon"))
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.05).collect()}
+    dedup.release_staged()
+    # a cap above the max df changes nothing (recall preserved when off)
+    loose = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(
+                 df, threshold=0.05, max_shingle_df=10_000).collect()}
+    dedup.release_staged()
+    assert loose == exact
+
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.05, max_shingle_df=5).collect()}
+    dedup.release_staged()
+    # subset: no new pairs, and no pair's jaccard went UP
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12
+    # the true near-dups share sub-cap shingles → still found
+    assert (100, 101) in capped

@@ -399,3 +399,89 @@ def test_llamaindex_graph_retriever(spark):
     depths = [x.node.metadata["graph_depth"] for x in qout]
     assert depths == sorted(depths)
     assert len({x.node.node_id for x in qout}) == len(qout)
+
+
+# ------------------------------------------- metric-direction regressions
+
+def test_lc_batch_search_distance_metric_orders_ascending(spark):
+    """batch_search_with_score must sort with the metric's direction:
+    euclidean is lower-is-better, so a blanket descending sort would
+    return worst-first (reference adapter preserves engine order)."""
+    store = LCStore.from_texts(TEXTS, FakeEmbeddings(), metadatas=METAS,
+                               spark=spark, collection_name="lc_euclid",
+                               metric="euclidean")
+    per = store.batch_search_with_score([TEXTS[1], TEXTS[3]], k=3)
+    for pairs in per:
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores)  # ascending = best-first
+    # the query's own text is the exact match → distance 0 first
+    assert per[0][0][0].page_content == TEXTS[1]
+    assert per[0][0][1] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_li_batch_query_distance_metric_orders_ascending(spark):
+    store = LIStore(spark=spark, collection_name="li_euclid",
+                    metric="euclidean")
+    emb = FakeEmbeddings()
+    nodes = [TextNode(text=t, id_=f"e-{i}", metadata={"n": i},
+                      embedding=emb._vec(t))
+             for i, t in enumerate(TEXTS)]
+    store.add(nodes)
+    out = store.batch_query([
+        VectorStoreQuery(query_embedding=emb._vec(TEXTS[2]),
+                         similarity_top_k=3),
+        VectorStoreQuery(query_embedding=emb._vec(TEXTS[0]),
+                         similarity_top_k=3)])
+    for res in out:
+        assert res.similarities == sorted(res.similarities)
+    assert out[0].ids[0] == "e-2"
+    assert out[1].ids[0] == "e-0"
+
+
+def test_lc_hydrate_ranked_skips_missing_id_without_shifting(lc_store):
+    """A ranked id missing from the collection drops only its own pair —
+    a positional zip with get_by_ids would shift every later pairing."""
+    col = lc_store._collection
+    ranked = [(999999999, 0.9),
+              (int(col.df.select(col.id_col).first()[0]), 0.5)]
+    pairs = lc_store._hydrate_ranked(col, ranked)
+    assert len(pairs) == 1
+    assert pairs[0][1] == 0.5
+    assert pairs[0][0].page_content in TEXTS
+
+
+def test_graph_loader_metadata_cannot_shadow_reserved_fields(spark):
+    from velesdb_spark.integrations.graph_loader import (GraphLoader,
+                                                         _generate_id)
+
+    store = LIStore(spark=spark, collection_name="gl_shadow")
+    emb = FakeEmbeddings()
+    store.add([TextNode(text=TEXTS[0], id_="seed", metadata={},
+                        embedding=emb._vec(TEXTS[0]))])
+    loader = GraphLoader(store)
+    evil = TextNode(text="payload", id_="victim",
+                    metadata={"id": 123, "node_id": "hijacked",
+                              "labels": "X", "text_preview": "fake",
+                              "lang": "en"})
+    loader.load_from_nodes([evil], node_label="DOCUMENT")
+    col = store._collection
+    want_id = _generate_id("victim", "DOCUMENT")
+    row = col.df.filter(col.df.id == want_id).first()
+    assert row is not None  # SHA256 id survived the metadata 'id' key
+    assert row["node_id"] == "victim"
+    assert row["labels"] == ["DOCUMENT"]
+    assert row["text_preview"].startswith("payload")
+    assert row["lang"] == "en"  # benign metadata still lands
+
+
+def test_add_node_metadata_cannot_shadow_reserved_fields(spark):
+    from velesdb_spark.database import Collection
+
+    col = Collection(spark, "shadow_nodes")
+    col.add_node(id=7, label="PERSON",
+                 metadata={"id": 42, "labels": "EVIL", "name": "alice"},
+                 vector=None)
+    row = col.df.first()
+    assert row["id"] == 7
+    assert row["labels"] == ["PERSON"]
+    assert row["name"] == "alice"

@@ -203,3 +203,39 @@ def test_storage_mode_binary(spark):
         "SELECT id FROM bincol WHERE vector NEAR $v LIMIT 5",
         {"v": qv}).collect()]
     assert vql == want
+
+
+def test_storage_mode_binary_raw_int_vectors_still_quantized(spark):
+    """Raw 0/1 integer vectors (createDataFrame infers bigint from Python
+    ints) share the array<bigint> schema with packed words but are
+    dim-long — they must still be packed on write, or later unpacks read
+    garbage sign bits. Store re-reads (already packed, ceil(dim/64)-long)
+    pass through unchanged."""
+    import numpy as np
+
+    from velesdb_spark.database import Collection
+
+    rng = np.random.RandomState(11)
+    bits = rng.randint(0, 2, size=(20, 70))
+    rows = [{"id": i + 1, "vector": [int(b) for b in bits[i]]}
+            for i in range(20)]
+    col = Collection(spark, "binraw", dimension=70, metric="hamming",
+                     storage_mode="binary")
+    col.upsert(rows)
+    stored = col.df.orderBy("id").select("vector").collect()
+    assert all(len(r[0]) == 2 for r in stored)  # packed, not raw
+
+    qv = [float(x) for x in rng.randint(0, 2, size=70)]
+    qb = (np.array(qv) > 0).astype(int)
+    ham = ((bits > 0).astype(int) != qb).sum(axis=1)
+    want = [int(i + 1) for i in
+            sorted(range(20), key=lambda i: (ham[i], i + 1))[:5]]
+    got = [r.id for r in col.search(qv, 5).collect()]
+    assert got == want
+
+    # re-upserting already-packed rows (store re-read shape) is idempotent
+    packed_row = col.df.filter(col.df.id == 1).select("id", "vector").first()
+    col.upsert([{"id": 1, "vector": [int(w) for w in packed_row["vector"]]}])
+    again = col.df.filter(col.df.id == 1).select("vector").first()[0]
+    assert list(again) == list(packed_row["vector"])
+    assert col.count() == 20

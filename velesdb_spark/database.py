@@ -124,9 +124,14 @@ class Collection:
             self.spark.createDataFrame(points)
         if self.dimension is not None and self.vector_col in new.columns \
                 and not self._vectors_quantized(new):
+            wrong = F.size(self.vector_col) != self.dimension
+            packed_len = self._binary_packed_len()
+            if packed_len is not None and self._is_integral_array(
+                    new.schema[self.vector_col].dataType):
+                # binary collections accept pre-packed words too
+                wrong = wrong & (F.size(self.vector_col) != packed_len)
             bad = new.filter(
-                F.col(self.vector_col).isNotNull()
-                & (F.size(self.vector_col) != self.dimension)).limit(1).count()
+                F.col(self.vector_col).isNotNull() & wrong).limit(1).count()
             if bad:
                 raise ValueError(
                     f"vector dimension mismatch (expected {self.dimension})")
@@ -162,17 +167,36 @@ class Collection:
     def _vectors_quantized(self, df: DataFrame) -> bool:
         """True when the frame's vector column already carries the stored
         (quantized) representation — struct for sq8, bigint words for
-        binary — so re-merges of store reads aren't double-transformed."""
-        from pyspark.sql.types import ArrayType, FloatType, StructType
+        binary — so re-merges of store reads aren't double-transformed.
+
+        For binary mode the schema alone is ambiguous: raw 0/1 integer
+        vectors (createDataFrame infers bigint from Python ints) share the
+        array<bigint> type with packed words but are dim-long, not
+        ceil(dim/64)-long, so classification is per-row by length inside
+        ``_quantize_on_write`` — this returns False for them and the
+        write path passes genuinely-packed rows through unchanged."""
+        from pyspark.sql.types import ArrayType, StructType
 
         if self.storage_mode == "full" or self.vector_col not in df.columns:
             return False
         dt = df.schema[self.vector_col].dataType
         if self.storage_mode == "sq8":
             return isinstance(dt, StructType)
-        return (isinstance(dt, ArrayType)
-                and not isinstance(dt.elementType, FloatType)
-                and dt.elementType.simpleString() == "bigint")
+        return (isinstance(dt, ArrayType) and self._binary_packed_len() is not
+                None and self._binary_packed_len() == int(self.dimension)
+                and self._is_integral_array(dt))
+
+    @staticmethod
+    def _is_integral_array(dt) -> bool:
+        from pyspark.sql.types import ArrayType
+
+        return (isinstance(dt, ArrayType) and dt.elementType.simpleString()
+                in ("tinyint", "smallint", "int", "bigint"))
+
+    def _binary_packed_len(self) -> Optional[int]:
+        if self.storage_mode != "binary" or not self.dimension:
+            return None
+        return (int(self.dimension) + 63) // 64
 
     def _quantize_on_write(self, new: DataFrame) -> DataFrame:
         """Apply the collection's storage mode to incoming f32 vectors
@@ -192,6 +216,17 @@ class Collection:
                 raise ValueError("binary storage needs an explicit "
                                  "collection dimension")
             q = binary_quantize(F.col(vc), int(self.dimension))
+            if self._is_integral_array(new.schema[vc].dataType):
+                # array<bigint> is ambiguous: store re-reads carry packed
+                # words (length ceil(dim/64)); raw 0/1 integer vectors are
+                # dim-long and must still be packed — a schema-only check
+                # would skip them and later unpack garbage sign bits
+                packed_len = self._binary_packed_len()
+                return new.withColumn(
+                    vc, F.when(F.col(vc).isNull(), F.lit(None)
+                               .cast("array<bigint>"))
+                         .when(F.size(vc) == packed_len, F.col(vc))
+                         .otherwise(q))
         return new.withColumn(
             vc, F.when(F.col(vc).isNotNull(), q))
 
@@ -577,8 +612,11 @@ class Collection:
         """Single graph-node upsert (bindings graph API; the llamaindex
         GraphLoader drives this — graph_loader.py:57-91): a point row
         with ``labels=[label]`` plus metadata columns, optional vector."""
-        row: dict = {self.id_col: int(id), "labels": [label],
-                     **(metadata or {})}
+        # metadata first, reserved fields last: a metadata key named like
+        # the id/labels/vector columns must not shadow the real values
+        row: dict = dict(metadata or {})
+        row[self.id_col] = int(id)
+        row["labels"] = [label]
         if vector is not None:
             row[self.vector_col] = [float(x) for x in vector]
         return self.upsert([row])

@@ -190,7 +190,8 @@ def release_staged() -> None:
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "id",
                         n: int = DEFAULT_SHINGLE,
-                        return_handle: bool = False):
+                        return_handle: bool = False,
+                        max_shingle_df: int | None = None):
     """All-pairs exact n-gram Jaccard ≥ threshold via inverted shingle index.
 
     No O(N²) crossJoin and no shingle-array transfer: candidate pairs come
@@ -198,6 +199,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     as a count (shingles are distinct per doc), and |A∪B| = |A|+|B|−|A∩B|
     from a tiny per-doc size table. One shuffle on the shingle hash, one on
     the pair key — both map-side combinable.
+
+    ``max_shingle_df`` (default off — exact) drops shingles whose document
+    frequency exceeds the cap BEFORE the self-join: the standard web-scale
+    guard against stop-shingles (boilerplate n-grams with df in the
+    millions) that quadratically inflate one join key — a shingle shared by
+    d docs contributes d·(d−1)/2 candidate rows. Cost is one extra
+    map-combinable groupBy + a co-partitioned join on the shingle hash.
+    Semantics with the cap ON are a documented lower bound: per-doc set
+    sizes stay exact (computed before the drop), so surviving pairs report
+    jaccard ≤ their exact value, and pairs whose overlap is entirely
+    stop-shingles vanish — bounded loss, never a false positive. With the
+    cap OFF the result is exact (property-tested equal).
 
     With return_handle=True returns (pairs_df, persisted_shingles) so the
     caller owns the cache lifetime; otherwise the handle is tracked in a
@@ -215,6 +228,15 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     ex = base.select("_id", F.size("_sh").alias("_sz"),
                      F.explode("_sh").alias("_s")) \
         .withColumn("_s", F.xxhash64("_s"))
+    if max_shingle_df is not None:
+        # document frequency per shingle hash (shingles are distinct per
+        # doc, so count(*) IS the df), then keep only sub-cap postings.
+        # Both sides hash-partition on _s, so the join reuses the shuffle.
+        live = (ex.groupBy("_s")
+                  .agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") <= int(max_shingle_df))
+                  .select("_s"))
+        ex = ex.join(live, "_s")
     a = ex.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_s")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_s")
     inter = (

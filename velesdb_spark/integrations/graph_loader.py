@@ -70,6 +70,11 @@ class GraphLoader:
                    "text_preview": content[:200] if content else ""}
             if getattr(node, "metadata", None):
                 for k, v in node.metadata.items():
+                    # reserved row fields (id/labels/node_id/text_preview)
+                    # win over same-named metadata keys, matching the
+                    # shadowing guard in both vectorstore adapters
+                    if k in row:
+                        continue
                     if isinstance(v, (str, int, float, bool)):
                         row[k] = v
             rows.append(row)

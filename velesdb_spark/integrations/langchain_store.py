@@ -150,6 +150,29 @@ class VelesDBVectorStore:
         pairs = [_row_to_doc(r) for r in rows]
         return pairs if with_score else [d for d, _ in pairs]
 
+    def _hydrate_ranked(self, collection,
+                        ranked: List[Tuple[int, float]]
+                        ) -> List[Tuple[Document, float]]:
+        """(id, score) pairs → (Document, score) via ONE isin scan, keyed
+        per id so a missing row drops only its own pair — a positional zip
+        with get_by_ids would shift every pairing after the first gap."""
+        from pyspark.sql import functions as F
+
+        col = self._require_collection() if collection is None else collection
+        rows = {int(r[col.id_col]): r.asDict(recursive=True)
+                for r in col.df.filter(F.col(col.id_col).isin(
+                    [i for i, _ in ranked])).collect()}
+        out: List[Tuple[Document, float]] = []
+        for iid, score in ranked:
+            row = rows.get(iid)
+            if row is None:
+                continue
+            row = dict(row)
+            row.pop(col.id_col, None)
+            row.pop(col.vector_col, None)
+            out.append((_row_to_doc(row)[0], score))
+        return out
+
     # ------------------------------------------------------------- writes
     def add_texts(self, texts: Iterable[str],
                   metadatas: Optional[List[dict]] = None,
@@ -254,8 +277,7 @@ class VelesDBVectorStore:
         # isin scan, preserving the fused ranking
         ranked = [(int(r[collection.id_col]), float(r["score"]))
                   for r in df.collect()]
-        docs = self.get_by_ids([str(i) for i, _ in ranked])
-        return [(doc, s) for (_, s), doc in zip(ranked, docs)]
+        return self._hydrate_ranked(collection, ranked)
 
     def text_search(self, query: str, k: int = 4,
                     filter: Optional[dict] = None,
@@ -278,6 +300,8 @@ class VelesDBVectorStore:
             **kwargs: Any) -> List[List[Tuple[Document, float]]]:
         if not queries:
             return []
+        from velesdb_spark.functions.distance import higher_is_better
+
         embs = [self._embedding.embed_query(q) for q in queries]
         collection = self._get_collection(len(embs[0]))
         df = collection.batch_search(
@@ -286,7 +310,10 @@ class VelesDBVectorStore:
         for r in df.collect():
             row = r.asDict(recursive=True)
             by_qid[int(row.pop("qid"))].append(_row_to_doc(row))
-        return [sorted(by_qid[i], key=lambda p: -p[1])
+        # sort with the metric's direction: distances (euclidean, hamming)
+        # rank ascending — a blanket descending sort would return worst-first
+        hib = higher_is_better(collection.metric)
+        return [sorted(by_qid[i], key=lambda p: p[1], reverse=hib)
                 for i in range(len(queries))]
 
     def multi_query_search(self, queries: List[str], k: int = 4,
@@ -323,8 +350,7 @@ class VelesDBVectorStore:
         # one isin scan, keeping the fused ranking order
         ranked = [(int(r[collection.id_col]), float(r["score"]))
                   for r in fused.select(collection.id_col, "score").collect()]
-        docs = self.get_by_ids([str(i) for i, _ in ranked])
-        return [(doc, s) for (_, s), doc in zip(ranked, docs)]
+        return self._hydrate_ranked(collection, ranked)
 
     # ------------------------------------------------------------- lookups
     def get_by_ids(self, ids: List[str], **kwargs: Any) -> List[Document]:

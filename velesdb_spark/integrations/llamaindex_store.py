@@ -255,10 +255,15 @@ class VelesDBVectorStore:
         df = collection.batch_search(searches=[
             {"vector": q.query_embedding,
              "top_k": q.similarity_top_k or 10} for q in live])
+        from velesdb_spark.functions.distance import higher_is_better
+
         rows_by_qid: dict[int, list] = {i: [] for i in range(len(live))}
         for r in df.collect():
             row = r.asDict(recursive=True)
             rows_by_qid[int(row.pop("qid"))].append(row)
+        # metric direction, matching topk._best_order: distance metrics
+        # (euclidean, hamming) rank ascending, similarities descending
+        hib = higher_is_better(collection.metric)
         out, li = [], 0
         for q in queries:
             if q.query_embedding is None:
@@ -266,7 +271,8 @@ class VelesDBVectorStore:
                     nodes=[], similarities=[], ids=[]))
                 continue
             rows = sorted(rows_by_qid[li],
-                          key=lambda r: -(r.get("score") or 0.0))
+                          key=lambda r: (r.get("score") or 0.0),
+                          reverse=hib)
             li += 1
             nodes, sims, ids = [], [], []
             for row in rows:
