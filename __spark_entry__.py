@@ -52,6 +52,11 @@ def _sql_vec(v: list[float]) -> str:
 
 QV1, QV2, QV3, QV4 = _qvec(7), _qvec(11), _qvec(13), _qvec(17)
 
+# RAG retrieval fixture (rag_retrieval query ↔ examples/rag_pipeline.py):
+# fixed question + md5-embedding dimension, identical in both engines
+RAG_QUERY = "spark query join window"
+RAG_DIM = 8
+
 # DuckDB token/shingle/normalize fragments (must mirror
 # velesdb_spark.functions.{bm25,text_analysis,dedup} exactly)
 _DK_NORM = (r"trim(regexp_replace(regexp_replace(lower({c}), "
@@ -1230,6 +1235,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("_id").alias("doc_id"), "chunk_idx",
             F.md5("chunk_text").alias("chunk_md5"), "chunk_tokens")
 
+    # --- RAG retrieval (demos/rag-pdf-demo parity; composed end-to-end in
+    # examples/rag_pipeline.py): chunk the corpus → deterministic
+    # md5-derived chunk embeddings (model stand-in, engine-side) → hybrid
+    # RRF of the cosine leg and a query-term-frequency text leg → top 10.
+    # Each leg is TakeOrdered top-20 FIRST, then row_number over those 20
+    # rows — the global window only ever sees 20 rows, never the corpus.
+    def _rag_retrieval(s, d):
+        import hashlib
+
+        from pyspark.sql import Window
+
+        from velesdb_spark.functions.distance import cosine_similarity
+
+        qv = [int(hashlib.md5(f"{RAG_QUERY}:{j}".encode())
+                  .hexdigest()[:8], 16) / 4294967295.0 * 2.0 - 1.0
+              for j in range(RAG_DIM)]
+        emb_parts = []
+        for j in range(RAG_DIM):
+            h = F.conv(F.substring(
+                F.md5(F.concat(F.col("chunk_text"), F.lit(f":{j}"))),
+                1, 8), 16, 10).cast("double")
+            emb_parts.append(h / F.lit(4294967295.0) * 2.0 - 1.0)
+        terms = RAG_QUERY.split()
+        scored = (ta.chunk_documents_df(
+            _t(s, d, "documents"), 50, 10, "text", "doc_id")
+            .select(F.col("_id").alias("doc_id"), "chunk_idx", "chunk_text")
+            .withColumn("_cos", cosine_similarity(
+                F.array(*emb_parts),
+                F.array(*[F.lit(float(x)) for x in qv])))
+            .withColumn("_tf", F.size(F.filter(
+                F.split("chunk_text", " "), lambda t: t.isin(terms)))))
+        vtop = scored.orderBy(F.desc("_cos"), "doc_id", "chunk_idx") \
+            .limit(20)
+        vw = Window.orderBy(F.desc("_cos"), "doc_id", "chunk_idx")
+        vr = vtop.select("doc_id", "chunk_idx",
+                         (F.row_number().over(vw) - 1).alias("rk"))
+        ttop = scored.orderBy(F.desc("_tf"), "doc_id", "chunk_idx") \
+            .limit(20)
+        tw = Window.orderBy(F.desc("_tf"), "doc_id", "chunk_idx")
+        tr = ttop.select("doc_id", "chunk_idx",
+                         (F.row_number().over(tw) - 1).alias("rk"))
+        contrib = vr.unionByName(tr).withColumn(
+            "_s", F.lit(1.0) / (F.col("rk") + F.lit(60.0)))
+        return (contrib.groupBy("doc_id", "chunk_idx")
+                .agg(F.round(F.sum("_s"), 6).alias("score"))
+                .orderBy(F.desc("score"), "doc_id", "chunk_idx").limit(10))
+
+    q["rag_retrieval"] = _rag_retrieval
+
     # PII redaction over text + synthesized contact lines (the static
     # corpus has no PII, so deterministic per-doc email/phone suffixes
     # exercise the redaction for real)
@@ -1527,46 +1581,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("k") > 90).orderBy("event_id"))
 
     # --- correlated subqueries (EXISTS / scalar decorrelation) ---------
-    # all four decorrelation shapes in one gated query (tagged union):
-    # EXISTS → flag semi-join, NOT EXISTS → negated flag (anti), correlated
-    # scalar → groupBy-on-correlation-key + left join, LHS COUNT(*) = 0 →
-    # same with the count-bug coalesce (subquery_optimizer.rs:10-42)
+    # all five decorrelation shapes in one gated query (tagged union) —
+    # SHARED-SCAN form (r5 verdict #4): the shapes previously ran as five
+    # independent VelesQL statements, each scanning orders/customer on its
+    # own (~0.27 s per shape at sf0.1). Decorrelated semantics unchanged —
+    # EXISTS → semi, NOT EXISTS → anti, correlated scalar → groupBy-on-
+    # correlation-key + join, COUNT(*)=0 → anti on the qualifying set,
+    # correlated IN → semi on (custkey, orderkey) — but every orders-rooted
+    # shape now feeds off ONE per-customer aggregate (one scan, one
+    # map-combinable shuffle; Catalyst's ReuseExchange shares the shuffle
+    # across the three consumers), and the per-customer table is tiny
+    # (≤ |customer| rows) so the derived joins broadcast. The translator's
+    # own decorrelation (subquery_optimizer.rs:10-42) stays driver-gated
+    # via scalar_subquery / in_subquery / semi_anti_join and the pytest
+    # translator suite's EXISTS/NOT EXISTS/COUNT-guard cases.
     def _correlated(s, d):
-        ex = _vql(s, d,
-                  "SELECT c_custkey FROM customer AS c WHERE EXISTS "
-                  "(SELECT o_orderkey FROM orders AS o WHERE o.o_custkey = "
-                  "c.c_custkey AND o_totalprice > 250000.0) "
-                  "ORDER BY c_custkey LIMIT 100000") \
+        orders = _t(s, d, "orders").select("o_orderkey", "o_custkey",
+                                           "o_totalprice")
+        per_cust = orders.groupBy("o_custkey").agg(
+            F.max(F.when(F.col("o_totalprice") > 250000.0, 1)
+                  .otherwise(0)).alias("has250"),
+            F.max(F.when(F.col("o_totalprice") > 300000.0, 1)
+                  .otherwise(0)).alias("has300"),
+            F.avg("o_totalprice").alias("avg_price"))
+        customer = _t(s, d, "customer").select("c_custkey")
+
+        qual250 = per_cust.filter(F.col("has250") == 1).select("o_custkey")
+        ex = customer.join(
+            F.broadcast(qual250),
+            customer["c_custkey"] == qual250["o_custkey"], "left_semi") \
             .select(F.lit("exists").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
-        nex = _vql(s, d,
-                   "SELECT s_suppkey FROM supplier AS s WHERE NOT EXISTS "
-                   "(SELECT n_nationkey FROM nation AS n WHERE n.n_nationkey "
-                   "= s.s_nationkey AND n_regionkey = 0) "
-                   "ORDER BY s_suppkey LIMIT 100000") \
+
+        nation = _t(s, d, "nation")
+        r0 = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+        supplier = _t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        nex = supplier.join(
+            F.broadcast(r0),
+            supplier["s_nationkey"] == r0["n_nationkey"], "left_anti") \
             .select(F.lit("not_exists").alias("kind"),
                     F.col("s_suppkey").alias("ckey"))
-        sc = _vql(s, d,
-                  "SELECT o_orderkey FROM orders AS o WHERE o_totalprice > "
-                  "(SELECT AVG(o_totalprice) FROM orders AS o2 "
-                  "WHERE o2.o_custkey = o.o_custkey) "
-                  "ORDER BY o_orderkey LIMIT 100000") \
-            .select(F.lit("scalar").alias("kind"),
-                    F.col("o_orderkey").alias("ckey"))
-        cnt = _vql(s, d,
-                   "SELECT c_custkey FROM customer AS c WHERE "
-                   "(SELECT COUNT(*) FROM orders AS o WHERE o.o_custkey = "
-                   "c.c_custkey AND o_totalprice > 300000.0) = 0 "
-                   "ORDER BY c_custkey LIMIT 100000") \
+
+        avg_t = per_cust.select("o_custkey", "avg_price")
+        sc = (orders.join(F.broadcast(avg_t), "o_custkey")
+              .filter(F.col("o_totalprice") > F.col("avg_price"))
+              .select(F.lit("scalar").alias("kind"),
+                      F.col("o_orderkey").alias("ckey")))
+
+        qual300 = per_cust.filter(F.col("has300") == 1).select("o_custkey")
+        cnt = customer.join(
+            F.broadcast(qual300),
+            customer["c_custkey"] == qual300["o_custkey"], "left_anti") \
             .select(F.lit("count_zero").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
-        cin = _vql(s, d,
-                   "SELECT o_orderkey FROM orders AS o WHERE o_orderkey IN "
-                   "(SELECT o_orderkey FROM orders AS o2 WHERE o2.o_custkey "
-                   "= o.o_custkey AND o_totalprice > 200000.0) "
-                   "ORDER BY o_orderkey LIMIT 100000") \
+
+        q200 = orders.filter(F.col("o_totalprice") > 200000.0) \
+            .select(F.col("o_custkey").alias("_ck"),
+                    F.col("o_orderkey").alias("_ok"))
+        cin = orders.join(
+            F.broadcast(q200),
+            (orders["o_custkey"] == F.col("_ck"))
+            & (orders["o_orderkey"] == F.col("_ok")), "left_semi") \
             .select(F.lit("corr_in").alias("kind"),
                     F.col("o_orderkey").alias("ckey"))
+
         return (ex.unionByName(nex).unionByName(sc).unionByName(cnt)
                 .unionByName(cin))
 
@@ -1750,7 +1828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-5 additions, unproven by any gate yet — first
+    # ---- round-6 additions + the single never-driver-proven query — first
+    "rag_retrieval", "embedding_near_dups_brute",
+    # ---- round-5 additions
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
     "knn_dual_precision", "near_quantized_int8", "knn_mrl",
     "stratified_sample", "match_mixed_direction", "similarity_groupby",
@@ -2277,6 +2357,52 @@ WITH toks AS (
 SELECT doc_id, chunk_idx, md5(c) AS chunk_md5,
        len(string_split(c, ' ')) AS chunk_tokens
 FROM ex"""
+
+    import hashlib as _hl
+    _rag_qv = "[" + ", ".join(
+        repr(int(_hl.md5(f"{RAG_QUERY}:{j}".encode()).hexdigest()[:8], 16)
+             / 4294967295.0 * 2.0 - 1.0)
+        for j in range(RAG_DIM)) + "]::DOUBLE[]"
+    _rag_emb = "[" + ", ".join(
+        f"(CAST(('0x' || substr(md5(c || ':{j}'), 1, 8)) AS BIGINT) "
+        f"/ 4294967295.0 * 2.0 - 1.0)"
+        for j in range(RAG_DIM)) + "]::DOUBLE[]"
+    _rag_terms = "[" + ", ".join(f"'{t}'" for t in RAG_QUERY.split()) + "]"
+    o["rag_retrieval"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_raw} AS t FROM documents
+), ch AS (
+  SELECT doc_id,
+    CASE WHEN len(t) > 0 THEN
+      [array_to_string(t[s:s+49], ' ')
+       for s in range(1, greatest(len(t) - 10, 1) + 1, 40)]
+    ELSE [] END AS chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(range(0, len(chunks))) AS chunk_idx,
+         unnest(chunks) AS c
+  FROM ch
+), emb AS (
+  SELECT doc_id, chunk_idx,
+         list_cosine_similarity({_rag_emb}, {_rag_qv}) AS cos,
+         len(list_filter(string_split(c, ' '),
+             x -> list_contains({_rag_terms}, x))) AS tf
+  FROM ex
+), vr AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (ORDER BY cos DESC, doc_id, chunk_idx) - 1 AS rk
+  FROM emb ORDER BY cos DESC, doc_id, chunk_idx LIMIT 20
+), tr AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (ORDER BY tf DESC, doc_id, chunk_idx) - 1 AS rk
+  FROM emb ORDER BY tf DESC, doc_id, chunk_idx LIMIT 20
+), contrib AS (
+  SELECT doc_id, chunk_idx, 1.0 / (rk + 60.0) AS s FROM vr
+  UNION ALL SELECT doc_id, chunk_idx, 1.0 / (rk + 60.0) AS s FROM tr
+)
+SELECT doc_id, chunk_idx, round(sum(s), 6) AS score
+FROM contrib GROUP BY doc_id, chunk_idx
+ORDER BY sum(s) DESC, doc_id, chunk_idx LIMIT 10"""
 
     o["pii_scrub"] = r"""
 SELECT doc_id, md5(

@@ -296,3 +296,34 @@ def test_repl_never_raises_fuzz(repl):
         "table", 20, False
     repl.config.params.clear()
     repl.handle(".use docs")
+
+
+def test_rag_pipeline_example_runs_end_to_end(spark):
+    """examples/rag_pipeline.py — the reference's second flagship demo
+    (demos/rag-pdf-demo): chunk → embed → collection → hybrid retrieval →
+    QA context, plus the management surface (list/filter/delete)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import rag_pipeline
+        out = rag_pipeline.main(spark, verbose=False)
+    finally:
+        sys.path.remove("/root/repo/examples")
+    assert out["stats"]["chunks_created"] == 6
+    # the RAG question retrieves the RAG doc's chunk first
+    assert out["hits"][0]["document_name"] == "rag-systems.txt"
+    scores = [r["score"] for r in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    # context block carries citations in retrieval order
+    assert out["context"]["context"].startswith("[rag-systems.txt p.1]")
+    assert len(out["context"]["citations"]) == 3
+    # document filter restricts both retrieval legs
+    assert {r["document_name"] for r in out["filtered"]} == {"spark-guide.txt"}
+    # chunk ids are deterministic md5-derived (re-ingest would LWW-replace)
+    assert all(r["id"] > 0 for r in out["hits"])
+    assert [d["document_name"] for d in out["listing"]] == [
+        "rag-systems.txt", "spark-guide.txt", "vector-search.txt"]
+    assert out["deleted"]["deleted"] == 2
+    assert [d["document_name"] for d in out["remaining"]] == [
+        "rag-systems.txt", "spark-guide.txt"]
