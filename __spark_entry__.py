@@ -1613,12 +1613,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("exists").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
 
-        nation = _t(s, d, "nation")
-        r0 = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
-        supplier = _t(s, d, "supplier").select("s_suppkey", "s_nationkey")
-        nex = supplier.join(
-            F.broadcast(r0),
-            supplier["s_nationkey"] == r0["n_nationkey"], "left_anti") \
+        # this one shape runs through the TRANSLATOR's decorrelation
+        # (advisor r6: the gate must exercise subquery_optimizer parity,
+        # not only hand-written joins) — supplier/nation are tiny, so
+        # keeping it off the shared orders scan costs nothing
+        nex = _vql(
+            s, d,
+            "SELECT s_suppkey FROM supplier AS s WHERE NOT EXISTS "
+            "(SELECT n_nationkey FROM nation AS n WHERE n.n_nationkey = "
+            "s.s_nationkey AND n_regionkey = 0) LIMIT 100000") \
             .select(F.lit("not_exists").alias("kind"),
                     F.col("s_suppkey").alias("ckey"))
 

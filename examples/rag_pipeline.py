@@ -130,8 +130,15 @@ class RagPipeline:
             .alias("vector"),
             "text", "document_name", "page_number", "chunk_index",
             hexid.alias("chunk_id_hex"))
-        self.collection.upsert(points)
-        n = points.count()
+        # persist so upsert and the chunks_created count share one
+        # evaluation of the chunk+embed plan (advisor r6: counting the
+        # lazy frame after upsert recomputed the whole pipeline)
+        points = points.persist()
+        try:
+            n = points.count()
+            self.collection.upsert(points)
+        finally:
+            points.unpersist()
         return {"success": True, "chunks_created": n}
 
     def ingest_text(self, text: str, document_name: str) -> dict:

@@ -175,16 +175,16 @@ class Collection:
         ceil(dim/64)-long, so classification is per-row by length inside
         ``_quantize_on_write`` — this returns False for them and the
         write path passes genuinely-packed rows through unchanged."""
-        from pyspark.sql.types import ArrayType, StructType
+        from pyspark.sql.types import StructType
 
         if self.storage_mode == "full" or self.vector_col not in df.columns:
             return False
         dt = df.schema[self.vector_col].dataType
         if self.storage_mode == "sq8":
             return isinstance(dt, StructType)
-        return (isinstance(dt, ArrayType) and self._binary_packed_len() is not
-                None and self._binary_packed_len() == int(self.dimension)
-                and self._is_integral_array(dt))
+        # binary: schema can never prove packed-ness (see docstring) —
+        # always defer to _quantize_on_write's per-row length check
+        return False
 
     @staticmethod
     def _is_integral_array(dt) -> bool:
@@ -613,8 +613,11 @@ class Collection:
         GraphLoader drives this — graph_loader.py:57-91): a point row
         with ``labels=[label]`` plus metadata columns, optional vector."""
         # metadata first, reserved fields last: a metadata key named like
-        # the id/labels/vector columns must not shadow the real values
+        # the id/labels/vector columns must not shadow the real values —
+        # including when vector=None (a metadata key named like the vector
+        # column must not inject a vector; advisor r6)
         row: dict = dict(metadata or {})
+        row.pop(self.vector_col, None)
         row[self.id_col] = int(id)
         row["labels"] = [label]
         if vector is not None:

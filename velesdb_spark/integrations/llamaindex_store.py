@@ -270,8 +270,12 @@ class VelesDBVectorStore:
                 out.append(VectorStoreQueryResult(
                     nodes=[], similarities=[], ids=[]))
                 continue
+            # missing score ranks LAST under either direction (advisor
+            # r6: coercing to 0.0 ranked nulls first on distance metrics)
+            missing = float("-inf") if hib else float("inf")
             rows = sorted(rows_by_qid[li],
-                          key=lambda r: (r.get("score") or 0.0),
+                          key=lambda r: (missing if r.get("score") is None
+                                         else float(r["score"])),
                           reverse=hib)
             li += 1
             nodes, sims, ids = [], [], []
