@@ -1242,28 +1242,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Each leg is TakeOrdered top-20 FIRST, then row_number over those 20
     # rows — the global window only ever sees 20 rows, never the corpus.
     def _rag_retrieval(s, d):
-        import hashlib
-
         from pyspark.sql import Window
 
         from velesdb_spark.functions.distance import cosine_similarity
+        from velesdb_spark.functions.embedding import (md5_embed_expr,
+                                                       md5_embed_text)
 
-        qv = [int(hashlib.md5(f"{RAG_QUERY}:{j}".encode())
-                  .hexdigest()[:8], 16) / 4294967295.0 * 2.0 - 1.0
-              for j in range(RAG_DIM)]
-        emb_parts = []
-        for j in range(RAG_DIM):
-            h = F.conv(F.substring(
-                F.md5(F.concat(F.col("chunk_text"), F.lit(f":{j}"))),
-                1, 8), 16, 10).cast("double")
-            emb_parts.append(h / F.lit(4294967295.0) * 2.0 - 1.0)
+        # shared engine embedder (functions/embedding.py) — the same
+        # implementation examples/rag_pipeline.py uses, so the gate, the
+        # demo, and the DuckDB oracle cannot drift (advisor r6)
+        qv = md5_embed_text(RAG_QUERY, RAG_DIM)
+        emb = md5_embed_expr(F.col("chunk_text"), RAG_DIM)
         terms = RAG_QUERY.split()
         scored = (ta.chunk_documents_df(
             _t(s, d, "documents"), 50, 10, "text", "doc_id")
             .select(F.col("_id").alias("doc_id"), "chunk_idx", "chunk_text")
             .withColumn("_cos", cosine_similarity(
-                F.array(*emb_parts),
-                F.array(*[F.lit(float(x)) for x in qv])))
+                emb, F.array(*[F.lit(float(x)) for x in qv])))
             .withColumn("_tf", F.size(F.filter(
                 F.split("chunk_text", " "), lambda t: t.isin(terms)))))
         vtop = scored.orderBy(F.desc("_cos"), "doc_id", "chunk_idx") \
@@ -1691,6 +1686,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_sq8"] = _knn_sq8
 
+    # f16 storage round-trip (half_precision.rs): ARRAY<FLOAT> → packed
+    # little-endian f16 BINARY → back to f32, then exact cosine on the
+    # half-precision values. Arrow-batched pandas_udfs (quantization.py
+    # f16_pack/f16_unpack); the DuckDB oracle re-derives IEEE-754 binary16
+    # round-to-nearest-even in pure SQL (exponent via verified log2,
+    # explicit tie-to-even, subnormal clamp at 2^-14) — bit-exact vs
+    # numpy.float16 on the corpus and on adversarial edge floats
+    def _knn_f16(s, d):
+        from velesdb_spark.functions.distance import cosine_similarity
+        from velesdb_spark.functions.quantization import (f16_pack_udf,
+                                                          f16_unpack_udf)
+
+        df = _t(s, d, "embeddings")
+        deq = f16_unpack_udf()(f16_pack_udf()(F.col("embedding")))
+        scored = df.withColumn(
+            "score",
+            cosine_similarity(deq, F.array(*[F.lit(float(x)) for x in QV1])))
+        return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+                .select("vec_id", F.round("score", 6).alias("score")))
+
+    q["knn_f16"] = _knn_f16
+
     # dual-precision search via VelesQL WITH hints (EPIC-055 US-005,
     # dual_precision.rs:260-330 + with_clause.rs:116-131): coarse phase
     # keeps k*oversampling candidates by the SQ8 score, exact f32 re-rank
@@ -1831,7 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-6 additions + the single never-driver-proven query — first
+    # ---- round-7 addition — first
+    "knn_f16",
+    # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
     "pq_topk", "ivfpq_topk", "stream_neardup_ingest",
@@ -2947,6 +2966,47 @@ ORDER BY list_cosine_similarity(deq, {_sql_vec(QV1)}) DESC, vec_id LIMIT 10"""
 
     # packed XOR+popcount hamming == per-dimension sign-mismatch count
     o["knn_binary_packed"] = o["knn_hamming"]
+
+    # IEEE-754 binary16 round-trip in pure SQL: exponent e verified
+    # against power-of-two boundaries (log2 alone can be off-by-one at
+    # exact powers), mantissa scaled to 2^(e-10), round-half-to-EVEN
+    # (numpy/IEEE default; DuckDB round() is half-away), subnormals use
+    # the fixed 2^-24 quantum below 2^-14. Bit-exact vs numpy.float16.
+    o["knn_f16"] = f"""
+WITH el AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), e1 AS (
+  SELECT vec_id, i, x,
+         CASE WHEN x = 0 THEN 0
+              ELSE CAST(floor(log2(abs(x))) AS BIGINT) END AS e0
+  FROM el
+), e2 AS (
+  SELECT vec_id, i, x,
+         CASE WHEN x = 0 THEN 0
+              WHEN power(2.0, e0 + 1) <= abs(x) THEN e0 + 1
+              WHEN power(2.0, e0) > abs(x) THEN e0 - 1
+              ELSE e0 END AS e
+  FROM e1
+), e3 AS (
+  SELECT vec_id, i, x, power(2.0, greatest(e, -14) - 10) AS s FROM e2
+), e4 AS (
+  SELECT vec_id, i, x, s, x / s AS r FROM e3
+), e5 AS (
+  SELECT vec_id, i, s,
+         CASE WHEN r - floor(r) = 0.5 THEN
+                CASE WHEN CAST(floor(r) AS BIGINT) % 2 = 0
+                     THEN floor(r) ELSE floor(r) + 1 END
+              ELSE round(r) END AS rhe
+  FROM e4
+), dq AS (
+  SELECT vec_id, list(rhe * s ORDER BY i) AS deq
+  FROM e5 GROUP BY vec_id
+)
+SELECT vec_id, round(list_cosine_similarity(deq, {_sql_vec(QV1)}), 6) AS score
+FROM dq
+ORDER BY list_cosine_similarity(deq, {_sql_vec(QV1)}) DESC, vec_id LIMIT 10"""
 
     # dual-precision: DuckDB re-derives both phases — SQ8 round-trip for
     # the coarse pool of k*oversampling = 40 (ties break on vec_id, same

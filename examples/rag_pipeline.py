@@ -44,26 +44,20 @@ CHUNK_OVERLAP = 8
 
 
 def embed_expr(col, dim: int = DIM):
-    """Deterministic md5-derived embedding as a JVM-side expression:
-    e_j = uint32(md5(text || ':' || j)[:8]) / 2^32 * 2 - 1. Stands in for
-    a model while keeping everything distributed and reproducible."""
-    from pyspark.sql import functions as F
+    """Deterministic md5-derived embedding as a JVM-side expression —
+    the engine's shared implementation (functions/embedding.py), so the
+    demo, the gated rag_retrieval query, and the DuckDB oracle can
+    never drift from each other."""
+    from velesdb_spark.functions.embedding import md5_embed_expr
 
-    parts = []
-    for j in range(dim):
-        h = F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{j}"))), 1, 8),
-                   16, 10).cast("double")
-        parts.append(h / F.lit(4294967295.0) * 2.0 - 1.0)
-    return F.array(*parts)
+    return md5_embed_expr(col, dim)
 
 
 def embed_text(text: str, dim: int = DIM) -> list[float]:
     """Driver-side twin of embed_expr for query strings."""
-    out = []
-    for j in range(dim):
-        h = int(hashlib.md5(f"{text}:{j}".encode()).hexdigest()[:8], 16)
-        out.append(h / 4294967295.0 * 2.0 - 1.0)
-    return out
+    from velesdb_spark.functions.embedding import md5_embed_text
+
+    return md5_embed_text(text, dim)
 
 
 def _chunk_id(document_name: str, page: int, idx: int) -> int:

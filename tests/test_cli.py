@@ -327,3 +327,38 @@ def test_rag_pipeline_example_runs_end_to_end(spark):
     assert out["deleted"]["deleted"] == 2
     assert [d["document_name"] for d in out["remaining"]] == [
         "rag-systems.txt", "spark-guide.txt"]
+
+
+def test_rag_gate_and_example_share_one_embedder(spark):
+    """The gated rag_retrieval query and examples/rag_pipeline.py both
+    import functions/embedding.py — this pins the Spark expression to
+    its driver-side twin so the two can never drift (verdict r6 #7),
+    and pins the example's public helpers to the shared module."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.functions.embedding import (md5_embed_expr,
+                                                   md5_embed_text)
+
+    texts = ["spark query join window", "héllo wörld ✓",
+             "", "a b c d e f g h i j"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string") \
+        .select("t", md5_embed_expr(F.col("t"), 8).alias("e"))
+    got = {r["t"]: list(r["e"]) for r in df.collect()}
+    for t in texts:
+        twin = md5_embed_text(t, 8)
+        assert got[t] == pytest.approx(twin, abs=1e-12), t
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import rag_pipeline
+        # the example's helpers ARE the shared implementation
+        assert rag_pipeline.embed_text("x y z", 8) == \
+            md5_embed_text("x y z", 8)
+        ex = spark.createDataFrame([("x y z",)], "t string").select(
+            rag_pipeline.embed_expr(F.col("t"), 8).alias("e")).first()
+        assert list(ex["e"]) == pytest.approx(md5_embed_text("x y z", 8),
+                                              abs=1e-12)
+    finally:
+        sys.path.remove("/root/repo/examples")

@@ -164,11 +164,18 @@ class CostEstimator:
 
 @dataclass
 class CandidatePlan:
-    """plan_generator.rs CandidatePlan — a strategy with its cost."""
+    """plan_generator.rs CandidatePlan — a strategy with its cost.
+
+    ``est_seconds`` is the bench-calibrated wall-clock estimate
+    (plans/calibration.py) attached by generate_plans; the reference
+    units in ``cost`` still decide plan choice (relative ranking within
+    one query), the seconds make the choice auditable against reality.
+    """
 
     plan_type: str          # "scan" | "filter_first" | "vector_first"
     cost: OperationCost
     description: str = ""
+    est_seconds: Optional[float] = None
 
 
 class PlanGenerator:
@@ -196,10 +203,14 @@ class PlanGenerator:
     def generate_plans(self, stats: CollectionStats,
                        filter_col: Optional[str] = None, k: int = 10,
                        ef_search: int = 64) -> list[CandidatePlan]:
+        from velesdb_spark.plans.calibration import get_model
+
         est = self.estimator
+        model = get_model()
         n = stats.live_row_count()
-        out = [CandidatePlan("scan", est.estimate_scan(stats),
-                             "full scan + score all rows")]
+        out = [CandidatePlan(
+            "scan", est.estimate_scan(stats), "full scan + score all rows",
+            est_seconds=model.plan_seconds("scan", stats))]
         if filter_col is not None:
             sel = stats.selectivity(filter_col)
             filt = est.estimate_filter(stats.row_count, sel)
@@ -209,10 +220,12 @@ class PlanGenerator:
                 OperationCost(filt.startup,
                               filt.total + vec.total, k),
                 f"filter on {filter_col} (sel {sel:.4f}) then score "
-                f"{filt.rows} rows"))
+                f"{filt.rows} rows",
+                est_seconds=model.plan_seconds("filter_first", stats, sel)))
         out.append(CandidatePlan(
             "vector_first", self._vector_cost(k, ef_search, n),
-            f"score {n} rows, top-{k}"))
+            f"score {n} rows, top-{k}",
+            est_seconds=model.plan_seconds("vector_first", stats)))
         return out
 
     def select_best(self, plans: list[CandidatePlan]) \
