@@ -1209,6 +1209,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = _media_features
 
+    # REAL PNG decode, oracle-checked end-to-end (r5/r6 verdict: PNG is
+    # zlib-feasible): deterministic integer-arithmetic pixels → encoded
+    # to PNG (filters cycling None/Sub/Up/Average/Paeth) → decoded back
+    # through zlib inflate + NumPy unfiltering in Arrow mapInPandas.
+    # DuckDB re-derives the features straight from the pixel FORMULA —
+    # so a hash match proves the compress/filter/decode round-trip is
+    # pixel-exact, without DuckDB needing a PNG stack. Bounded slice:
+    # decode cost is per-row Python, the gate proves correctness; scale
+    # comes from the mapInPandas parallelism, not this query.
+    def _media_png(s, d):
+        from velesdb_spark.multimodal.media import (decode_and_featurize,
+                                                    synth_png_col)
+
+        img = (_t(s, d, "documents").filter(F.col("doc_id") < 200)
+               .select(F.col("doc_id").alias("id"),
+                       F.lit("image").alias("modality"),
+                       synth_png_col(F.col("doc_id")).alias("content")))
+        f = decode_and_featurize(img)
+        # features scale back to raw pixel units (×255 / ×area) so the
+        # cross-engine round(…, 6) compares small integers and averages
+        return f.select(
+            F.col("id").alias("doc_id"),
+            F.round((F.col("feature")[3] * 255.0).cast("double"), 6)
+            .alias("r_mean"),
+            F.round((F.col("feature")[4] * 255.0).cast("double"), 6)
+            .alias("g_mean"),
+            F.round((F.col("feature")[5] * 255.0).cast("double"), 6)
+            .alias("b_mean"),
+            F.round((F.col("feature")[6] * 255.0).cast("double"), 6)
+            .alias("lum_std"),
+            F.round((F.col("feature")[7] * 255.0).cast("double"), 6)
+            .alias("lum_min"),
+            F.round(F.col("feature")[8].cast("double"), 6).alias("hist0"),
+            F.round(F.col("feature")[15].cast("double"), 6).alias("hist7"),
+        ).orderBy("doc_id")
+
+    q["media_png_decode"] = _media_png
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -1848,8 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-7 addition — first
-    "knn_f16",
+    # ---- round-7 additions — first
+    "knn_f16", "media_png_decode",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -2359,6 +2397,42 @@ SELECT 'audio', doc_id, 64.0,
        CAST((doc_id * 31 + 392) % 2003 - 1001 AS DOUBLE),
        172
 FROM documents"""
+
+    # PNG round-trip: features re-derived from the synth pixel FORMULA
+    # p_i = (i*31 + seed*7) % 251 over a 12×10 RGB raster (i row-major,
+    # channel = i%3) — matching the bytes decode_png recovers from the
+    # zlib/filtered stream. np.histogram(bins=8, range=(0,256)) edge
+    # convention == floor(lum/32) here since lum < 251. The double→REAL→
+    # double casts emulate FEATURES_SCHEMA's array<float> storage, which
+    # rounds each stat to f32 before the engines compare at 6 decimals.
+    o["media_png_decode"] = """
+WITH seeds AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT s.doc_id, i.range AS i,
+         CAST((i.range * 31 + s.doc_id * 7) % 251 AS DOUBLE) AS p
+  FROM seeds s, range(0, 360) i
+), pix AS (
+  SELECT doc_id, i // 3 AS j,
+         SUM(CASE WHEN i % 3 = 0 THEN p END) AS r,
+         SUM(CASE WHEN i % 3 = 1 THEN p END) AS g,
+         SUM(CASE WHEN i % 3 = 2 THEN p END) AS b
+  FROM px GROUP BY doc_id, i // 3
+), lum AS (
+  SELECT doc_id, r, g, b, 0.299*r + 0.587*g + 0.114*b AS l FROM pix
+)
+SELECT doc_id,
+  round(CAST(CAST(avg(r)/255.0 AS REAL) AS DOUBLE) * 255.0, 6) AS r_mean,
+  round(CAST(CAST(avg(g)/255.0 AS REAL) AS DOUBLE) * 255.0, 6) AS g_mean,
+  round(CAST(CAST(avg(b)/255.0 AS REAL) AS DOUBLE) * 255.0, 6) AS b_mean,
+  round(CAST(CAST(stddev_pop(l)/255.0 AS REAL) AS DOUBLE) * 255.0, 6)
+    AS lum_std,
+  round(CAST(CAST(min(l)/255.0 AS REAL) AS DOUBLE) * 255.0, 6) AS lum_min,
+  round(CAST(CAST(SUM(CASE WHEN floor(l/32) = 0 THEN 1 ELSE 0 END)/120.0
+    AS REAL) AS DOUBLE), 6) AS hist0,
+  round(CAST(CAST(SUM(CASE WHEN floor(l/32) = 7 THEN 1 ELSE 0 END)/120.0
+    AS REAL) AS DOUBLE), 6) AS hist7
+FROM lum GROUP BY doc_id ORDER BY doc_id"""
 
     words_raw = _DK_WORDS.format(c="lower(text)")
     o["chunk_docs"] = f"""

@@ -15,12 +15,15 @@ from velesdb_spark.multimodal.media import (  # noqa: F401
     audio_decoder,
     decode_and_featurize,
     decode_bmp,
+    decode_png,
     decode_wav,
     fake_image_decoder,
     frame_sample,
     image_decoder,
     media_table,
     register_decoder,
+    synth_png,
+    synth_png_col,
     synth_wav,
     synth_wav_col,
 )

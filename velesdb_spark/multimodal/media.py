@@ -141,11 +141,162 @@ def decode_wav(content: bytes, meta: dict) -> list[float]:
             zcr, sr / 1e5, *sketch]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse PNG per-row filtering (RFC 2083 §6). Rows loop in Python;
+    within a row, filters 0/2 are fully vectorized and 1/3/4 vectorize
+    across channels per pixel — fine for feature extraction sizes."""
+    import numpy as np
+
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, row = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride,
+                                                             np.int32)
+        if ftype == 0:                          # None
+            cur = row
+        elif ftype == 2:                        # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):                # Sub / Average / Paeth
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+    return out
+
+
+def decode_png(content: bytes, meta: dict) -> list[float]:
+    """REAL stdlib PNG decode (zlib inflate + NumPy unfiltering):
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, same 16-dim
+    feature layout as decode_bmp (w, h, bits, RGB means, lum std/min,
+    8-bin luminance histogram).
+
+    Reference treats images as opaque payloads (SURVEY §4 stub note);
+    this closes the round-5/6 'PNG is zlib-feasible' item — palette,
+    16-bit, and interlaced streams still raise for an external decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        ln, ctype = struct.unpack(">I4s", content[pos:pos + 8])
+        body = content[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_n, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_n)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/alpha PNG (depth={depth}, "
+            f"color_type={ctype_n}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels) \
+        .reshape(h, w, channels).astype(np.float64)
+    if channels >= 3:                                    # RGB / RGBA
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    else:                                                # gray / gray+A
+        r = g = b = px[..., 0]
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+    return [float(w), float(h), float(depth * channels),
+            float(r.mean() / 255.0), float(g.mean() / 255.0),
+            float(b.mean() / 255.0),
+            float(lum.std() / 255.0), float(lum.min() / 255.0),
+            *(hist / max(w * h, 1)).tolist()]
+
+
+def synth_png(seed: int, w: int = 12, h: int = 10, channels: int = 3,
+              filters=(0, 1, 2, 3, 4)) -> tuple[bytes, "object"]:
+    """Deterministic PNG encoder for tests/fixtures: pixels from pure
+    integer arithmetic, row filters cycling through ``filters`` so every
+    unfilter path is exercised. Returns (png_bytes, pixel_array)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = ((np.arange(h * w * channels, dtype=np.int64) * 31 + seed * 7)
+          % 251).astype(np.uint8).reshape(h, w, channels)
+    stride = w * channels
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        a = np.concatenate([np.zeros(channels, np.int32),
+                            row[:-channels]])
+        c = np.concatenate([np.zeros(channels, np.int32),
+                            prev[:-channels]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - a) & 0xFF
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 3:
+            enc = (row - ((a + prev) >> 1)) & 0xFF
+        else:
+            pa = np.abs(prev - c)
+            pb = np.abs(a - c)
+            pc = np.abs(a + prev - 2 * c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            enc = (row - pred) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    png = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + \
+        chunk(b"IEND", b"")
+    return png, px
+
+
 def image_decoder(content: bytes, meta: dict) -> list[float]:
-    """Magic-byte dispatch: real BMP decode when the stream is BMP, md5
-    fake otherwise (compressed formats need libs this container lacks)."""
+    """Magic-byte dispatch: real BMP/PNG decode when the stream matches,
+    md5 fake otherwise (JPEG etc. need libs this container lacks)."""
     if content[:2] == b"BM":
         return decode_bmp(content, meta)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content, meta)
     return fake_image_decoder(content, meta)
 
 
@@ -179,6 +330,20 @@ def synth_wav(seed: int, n: int = 64, sr: int = 8000) -> bytes:
                       b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
                       b"data", len(data))
     return hdr + data
+
+
+def synth_png_col(seed_col, w: int = 12, h: int = 10, channels: int = 3):
+    """Column form of synth_png (Arrow-batched): deterministic PNG bytes
+    per seed — integer-arithmetic pixels, so an external oracle (DuckDB)
+    can re-derive the decoded features without a PNG stack, which makes
+    the zlib+unfilter round-trip itself oracle-checkable."""
+    import pandas as pd
+
+    def _synth(s: "pd.Series") -> "pd.Series":
+        return s.map(lambda x: synth_png(int(x), w, h, channels)[0])
+
+    _synth.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_synth, BinaryType())(seed_col)
 
 
 def synth_wav_col(seed_col):
