@@ -1120,6 +1120,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"),
             F.round("jaccard", 6).alias("jaccard"))
 
+    # EXACT prefix-filtering set-similarity join (Vernica SIGMOD'10) at a
+    # high threshold — the web-scale dedup regime where the rarest-first
+    # prefix collapses the df² candidate blowup. Planted near-dups (each
+    # doc + a 3-token-suffix copy, J ≈ sz/(sz+3) ≥ 0.77) guarantee the
+    # gate exercises real matches; the DuckDB oracle runs the PLAIN
+    # all-pairs formula on the same augmented corpus, so a hash match
+    # proves the pruned join loses nothing.
+    def _ngram_prefix(s, d):
+        docs = _t(s, d, "documents").filter(F.col("doc_id") < 300) \
+            .select("doc_id", "text")
+        dup = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" prefix dup probe"))
+            .alias("text"))
+        aug = docs.unionByName(dup)
+        return dd.ngram_jaccard_pairs(aug, 0.6, "text", "doc_id",
+                                      prefix_filter=True) \
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
+            .orderBy("id_a", "id_b")
+
+    q["ngram_jaccard_prefix"] = _ngram_prefix
+
     # near-dup CLUSTERING: pair list → connected components (min-label
     # propagation, iterative joins) → (doc, cluster representative); the
     # keep/drop layer a 100 TB dedup actually needs
@@ -1893,7 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-7 additions — first
-    "knn_f16", "media_png_decode",
+    "knn_f16", "media_png_decode", "ngram_jaccard_prefix",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -2380,6 +2402,38 @@ SELECT p.id_a, p.id_b,
 FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2"""
+
+    # plain all-pairs formula on the augmented corpus — the Spark side
+    # runs the PREFIX-FILTERED join, so the hash match proves pruning
+    # exactness, not just formula parity
+    o["ngram_jaccard_prefix"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000, text || ' prefix dup probe'
+  FROM documents WHERE doc_id < 300
+), toks AS (
+  SELECT doc_id, {words_norm} AS t FROM aug
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS sz FROM sh)
+SELECT p.id_a, p.id_b,
+       round(p.inter * 1.0 / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.6
+ORDER BY p.id_a, p.id_b"""
 
     def _hexb(i):
         # i-th digest byte as the engine's FLOAT feature value: the f32
