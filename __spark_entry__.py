@@ -1634,6 +1634,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_session"] = _events_session
 
+    # as-of join (operators/asof.py — headroom; Spark has no native
+    # ASOF): each click aligned to the user's most recent prior-or-same
+    # purchase via the union+window plan (ONE shuffle on user_id, no
+    # range join). DuckDB's NATIVE `ASOF LEFT JOIN` is the oracle, so
+    # the hash match checks the operator against an independent engine's
+    # reference implementation of the same semantics. Right side
+    # pre-aggregated to unique (user, ts) so tie order can't differ;
+    # output times second-truncated (ns fixture rounds differently
+    # across engines, whole seconds are identical — as events_session).
+    def _events_asof(s, d):
+        from velesdb_spark.operators.asof import asof_join
+
+        ev = _t(s, d, "events")
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        buys = ev.filter(F.col("event_type") == "purchase") \
+            .groupBy("user_id", "ts") \
+            .agg(F.round(F.max("value"), 2).alias("pval"))
+        out = asof_join(clicks, buys, on="ts", by="user_id")
+        return out.select(
+            "event_id", "user_id",
+            F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+            F.date_trunc("second", F.col("ts_right")).alias("match_sec"),
+            F.col("pval_right").alias("pval")).orderBy("event_id")
+
+    q["events_asof"] = _events_asof
+
     q["json_path_props"] = lambda s, d: (
         # JSON path access into the props column (velesql/json_path.rs)
         _t(s, d, "events")
@@ -1915,7 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-7 additions — first
-    "knn_f16", "media_png_decode", "ngram_jaccard_prefix",
+    "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3043,6 +3070,23 @@ FROM s GROUP BY user_id, sid"""
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
 ORDER BY event_id"""
+
+    # DuckDB's NATIVE ASOF LEFT JOIN — an independent reference
+    # implementation of the as-of semantics the union+window plan computes
+    o["events_asof"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, round(max(value), 2) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       date_trunc('second', c.ts) AS ts_sec,
+       date_trunc('second', b.ts) AS match_sec,
+       b.pval
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+ORDER BY c.event_id"""
 
     # --- correlated subqueries -----------------------------------------
     o["correlated_subquery"] = """
