@@ -1661,6 +1661,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof"] = _events_asof
 
+    # bucketized interval join (operators/rangejoin.py — headroom): for
+    # each error event, clicks by the same user within ±5 minutes. The
+    # equi-join on (user, time-bucket) + exact filter is the plan that
+    # scales; a raw inequality join is BroadcastNestedLoop in Catalyst.
+    # DuckDB re-derives with a plain BETWEEN join.
+    def _events_range(s, d):
+        from velesdb_spark.operators.rangejoin import interval_join
+
+        ev = _t(s, d, "events")
+        errors = ev.filter(F.col("event_type") == "error") \
+            .select("event_id", "user_id", "ts")
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("user_id", "ts", "value")
+        m = interval_join(errors, clicks, on="ts", by="user_id",
+                          lower_us=-300_000_000, upper_us=300_000_000)
+        return (m.groupBy("event_id", "user_id")
+                .agg(F.count("*").alias("n_clicks"),
+                     F.round(F.sum("value_right"), 4).alias("click_value"))
+                .orderBy("event_id"))
+
+    q["events_range_join"] = _events_range
+
     q["json_path_props"] = lambda s, d: (
         # JSON path access into the props column (velesql/json_path.rs)
         _t(s, d, "events")
@@ -1943,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
+    "events_range_join",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3087,6 +3110,21 @@ SELECT c.event_id, c.user_id,
 FROM clicks c ASOF LEFT JOIN buys b
   ON c.user_id = b.user_id AND c.ts >= b.ts
 ORDER BY c.event_id"""
+
+    # plain inequality join — the semantics the bucketized plan must equal
+    o["events_range_join"] = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, count(*) AS n_clicks,
+       round(sum(c.value), 4) AS click_value
+FROM errors e JOIN clicks c ON e.user_id = c.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL '300 seconds'
+              AND e.ts + INTERVAL '300 seconds'
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id"""
 
     # --- correlated subqueries -----------------------------------------
     o["correlated_subquery"] = """

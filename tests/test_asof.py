@@ -87,3 +87,60 @@ def test_asof_matches_duckdb_native(spark):
         "SELECT l.id, r.v, r.t FROM l ASOF LEFT JOIN r "
         "ON l.u = r.u AND l.t >= r.t").fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------- interval join
+
+def test_interval_join_basic(spark):
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 1000), (2, "u1", 5000), (3, "u2", 1000)],
+        "id bigint, u string, t bigint")
+    right = spark.createDataFrame(
+        [(10, "u1", 900), (11, "u1", 1100), (12, "u1", 4000),
+         (13, "u2", 2000), (14, "u1", 1000)],
+        "rid bigint, u string, t bigint")
+    out = interval_join(left, right, on="t", by="u",
+                        lower_us=-200, upper_us=200)
+    got = {(r.id, r.rid_right) for r in out.collect()}
+    # id 1 (t=1000, ±200): right 900, 1100, 1000 — same user only
+    assert got == {(1, 10), (1, 11), (1, 14)}
+    # asymmetric window: only backward
+    back = interval_join(left, right, on="t", by="u",
+                         lower_us=-1200, upper_us=0)
+    gb = {(r.id, r.rid_right) for r in back.collect()}
+    assert gb == {(1, 10), (1, 14), (2, 12)}
+    with pytest.raises(ValueError):
+        interval_join(left, right, on="t", lower_us=5, upper_us=-5)
+
+
+def test_interval_join_matches_duckdb_inequality(spark):
+    """Randomized differential vs DuckDB's inequality join; also proves
+    no duplicate pairs from the bucket probing."""
+    import random
+
+    import duckdb
+
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(23)
+    left = [(i, f"u{rng.randrange(4)}", rng.randrange(0, 5000))
+            for i in range(300)]
+    right = [(1000 + i, f"u{rng.randrange(4)}", rng.randrange(0, 5000))
+             for i in range(300)]
+    ldf = spark.createDataFrame(left, "id bigint, u string, t bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, u string, t bigint")
+    rows = interval_join(ldf, rdf, on="t", by="u",
+                         lower_us=-250, upper_us=100).collect()
+    got = sorted((r.id, r.rid_right) for r in rows)
+    assert len(got) == len(set(got))          # exactly-once per pair
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(id BIGINT, u VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.execute("CREATE TABLE r(rid BIGINT, u VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right)
+    want = sorted((a, b) for a, b in con.execute(
+        "SELECT l.id, r.rid FROM l JOIN r ON l.u = r.u "
+        "AND r.t BETWEEN l.t - 250 AND l.t + 100").fetchall())
+    assert got == want

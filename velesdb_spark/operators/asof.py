@@ -93,8 +93,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     if tolerance_us is not None:
         lt, rt = F.col(on), F.col(f"{on}{suffix}")
-        if dict(out.dtypes)[on] == "timestamp":
-            lt, rt = F.unix_micros(lt), F.unix_micros(rt)
+        if dict(out.dtypes)[on].startswith("timestamp"):
+            lt = F.unix_micros(lt.cast("timestamp"))
+            rt = F.unix_micros(rt.cast("timestamp"))
         gap = (lt - rt) if direction == "backward" else (rt - lt)
         keep = rt.isNotNull() & (gap <= F.lit(int(tolerance_us)))
         out = out.select(
