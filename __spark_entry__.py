@@ -1683,6 +1683,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_range_join"] = _events_range
 
+    # funnel detection (operators/funnel.py — headroom): users who did
+    # view → click → purchase in strict time order, with the canonical
+    # greedy (earliest-valid) step times. n map-combinable aggregates on
+    # one reused exchange; DuckDB re-derives with chained min-subqueries.
+    def _events_funnel(s, d):
+        from velesdb_spark.operators.funnel import funnel
+
+        out = funnel(_t(s, d, "events"), ["view", "click", "purchase"],
+                     on="ts", by="user_id")
+        return out.select(
+            "user_id",
+            F.date_trunc("second", F.col("t0")).alias("view_sec"),
+            F.date_trunc("second", F.col("t1")).alias("click_sec"),
+            F.date_trunc("second", F.col("t2")).alias("purchase_sec")) \
+            .orderBy("user_id")
+
+    q["events_funnel"] = _events_funnel
+
     q["json_path_props"] = lambda s, d: (
         # JSON path access into the props column (velesql/json_path.rs)
         _t(s, d, "events")
@@ -1965,7 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
-    "events_range_join",
+    "events_range_join", "events_funnel",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3125,6 +3143,30 @@ FROM errors e JOIN clicks c ON e.user_id = c.user_id
               AND e.ts + INTERVAL '300 seconds'
 GROUP BY e.event_id, e.user_id
 ORDER BY e.event_id"""
+
+    # greedy funnel: earliest view, earliest later click, earliest
+    # still-later purchase — exact for existence (greedy maximizes the
+    # remaining time budget at every step)
+    o["events_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       date_trunc('second', v.t0) AS view_sec,
+       date_trunc('second', c.t1) AS click_sec,
+       date_trunc('second', p.t2) AS purchase_sec
+FROM v JOIN c ON v.user_id = c.user_id
+JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id"""
 
     # --- correlated subqueries -----------------------------------------
     o["correlated_subquery"] = """

@@ -144,3 +144,75 @@ def test_interval_join_matches_duckdb_inequality(spark):
         "SELECT l.id, r.rid FROM l JOIN r ON l.u = r.u "
         "AND r.t BETWEEN l.t - 250 AND l.t + 100").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------- funnel
+
+def test_funnel_greedy_ordering(spark):
+    from velesdb_spark.operators.funnel import funnel
+
+    rows = [
+        # u1 completes view(10) -> click(20) -> buy(30)
+        ("u1", "view", 10), ("u1", "click", 20), ("u1", "buy", 30),
+        # u2: click BEFORE view, no click after -> incomplete
+        ("u2", "click", 5), ("u2", "view", 10), ("u2", "buy", 30),
+        # u3: greedy must NOT die on the early view: view(1) click(2)
+        # buy(100); also a later view(50) that would miss the buy if
+        # greedy picked it — earliest-first keeps the chain alive
+        ("u3", "view", 1), ("u3", "click", 2), ("u3", "view", 50),
+        ("u3", "buy", 100),
+        # u4: same-timestamp chain only
+        ("u4", "view", 7), ("u4", "click", 7), ("u4", "buy", 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts bigint")
+    got = {r.user_id: (r.t0, r.t1, r.t2) for r in
+           funnel(df, ["view", "click", "buy"], on="ts").collect()}
+    assert got == {"u1": (10, 20, 30), "u3": (1, 2, 100)}
+    loose = {r.user_id for r in
+             funnel(df, ["view", "click", "buy"], on="ts",
+                    strict_increase=False).collect()}
+    assert loose == {"u1", "u3", "u4"}
+    within = {r.user_id for r in
+              funnel(df, ["view", "click", "buy"], on="ts",
+                     within_us=50).collect()}
+    assert within == {"u1"}          # u3 spans 99 > 50
+
+
+def test_funnel_matches_bruteforce(spark):
+    """Randomized differential vs a driver-side brute force that tries
+    EVERY ordered triple — proves the greedy DP is exact for
+    existence and finds the canonical earliest chain."""
+    import itertools
+    import random
+
+    from velesdb_spark.operators.funnel import funnel
+
+    rng = random.Random(31)
+    types = ["a", "b", "c", "x"]
+    rows = [(f"u{rng.randrange(12)}", rng.choice(types),
+             rng.randrange(0, 50)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts bigint")
+    got = {r.user_id: (r.t0, r.t1, r.t2) for r in
+           funnel(df, ["a", "b", "c"], on="ts").collect()}
+    by_user: dict = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((t, ts))
+    want = {}
+    for u, evs in by_user.items():
+        best = None
+        aa = sorted(ts for t, ts in evs if t == "a")
+        bb = sorted(ts for t, ts in evs if t == "b")
+        cc = sorted(ts for t, ts in evs if t == "c")
+        for ta, tb, tc in itertools.product(aa, bb, cc):
+            if ta < tb < tc:
+                cand = (ta, tb, tc)
+                best = cand if best is None or cand < best else best
+        if best is not None:
+            # greedy canonical chain: earliest a, earliest b after it,
+            # earliest c after that
+            ta = aa[0]
+            tb = next(t for t in bb if t > ta)
+            tc = next(t for t in cc if t > tb)
+            want[u] = (ta, tb, tc)
+    assert set(got) == set(want)
+    assert got == want
