@@ -1156,6 +1156,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id"),
         "doc_id").orderBy("doc_id")
 
+    # keep-BEST representatives (round 7): the curation policy real
+    # pipelines want — keep the LONGEST version of each near-dup set,
+    # not the min-id one. Planted longer copies make the winner
+    # deterministic and prove the preference actually flips the choice
+    # (the copy has the higher id, so min-id would keep the original).
+    def _dedup_keep_best(s, d):
+        docs = _t(s, d, "documents").filter(F.col("doc_id") < 300) \
+            .select("doc_id", "text")
+        dup = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" prefix dup probe"))
+            .alias("text"))
+        aug = docs.unionByName(dup).withColumn("qlen", F.length("text"))
+        pairs = dd.ngram_jaccard_pairs(aug, 0.6, "text", "doc_id")
+        return dd.dedup_keep_representatives(
+            aug, pairs, "doc_id", prefer_col="qlen").select("doc_id") \
+            .orderBy("doc_id")
+
+    q["dedup_keep_best"] = _dedup_keep_best
+
     q["minhash_first_hash"] = lambda s, d: dd.minhash_signatures_df(
         _t(s, d, "documents"), "text", "doc_id", 1).select(
             F.col("_id").alias("doc_id"), F.col("_sig")[0].alias("mh0"))
@@ -1983,7 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
-    "events_range_join", "events_funnel",
+    "events_range_join", "events_funnel", "dedup_keep_best",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -2679,6 +2699,59 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (
   SELECT doc_id FROM ({o['dedup_clusters']}) WHERE cluster_id <> doc_id)
+ORDER BY doc_id"""
+
+    # keep-best: same components over the augmented corpus, but the
+    # survivor is the argmax(length) member (ties min id), so the planted
+    # longer copies win over their originals
+    o["dedup_keep_best"] = f"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000, text || ' prefix dup probe'
+  FROM documents WHERE doc_id < 300
+), toks AS (
+  SELECT doc_id, {words_norm} AS t FROM aug
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0 THEN list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            for i in range(1, greatest(len(t) - 2, 1) + 1)])
+         ELSE [] END AS s
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+pr AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION SELECT id_b, id_a FROM pr
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, rc.r FROM reach rc JOIN edges e ON e.b = rc.id
+), cc AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), scored AS (
+  SELECT c.doc_id, c.cluster_id, length(a.text) AS sc
+  FROM cc c JOIN aug a ON a.doc_id = c.doc_id
+), drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY sc DESC, doc_id) AS rn
+    FROM scored) WHERE rn > 1
+)
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 ORDER BY doc_id"""
 
     # streaming near-dup ingest: replay the two-batch sequential

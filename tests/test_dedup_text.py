@@ -551,3 +551,25 @@ def test_ngram_prefix_filter_collapses_candidates_on_zipf_corpus(spark):
     # rarest-first prefixes must cut candidates by well over an order
     # of magnitude at t=0.8 on this vocabulary shape
     assert prefix_cand * 10 < plain_cand, (prefix_cand, plain_cand)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """prefer_col flips the representative: min-id keeps doc 1, but
+    keep-longest keeps doc 2 (higher id, longer text); ties fall back
+    to min id; unpaired docs always survive."""
+    rows = [(1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j k l"),     # longer near-dup of 1
+            (3, "z y x w v u t s r q")]
+    df = spark.createDataFrame(rows, "id bigint, text string") \
+        .withColumn("qlen", F.length("text"))
+    pairs = dedup.ngram_jaccard_pairs(df, 0.5, "text", "id")
+    min_id = {r.id for r in
+              dedup.dedup_keep_representatives(df, pairs, "id").collect()}
+    best = {r.id for r in dedup.dedup_keep_representatives(
+        df, pairs, "id", prefer_col="qlen").collect()}
+    dedup.release_staged()
+    assert min_id == {1, 3}
+    assert best == {2, 3}
+    with pytest.raises(ValueError):
+        dedup.dedup_keep_representatives(df, pairs, "id",
+                                         prefer_col="qlen", prefer="avg")

@@ -21,6 +21,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -641,11 +643,35 @@ def _cc_alternating_star(pairs: DataFrame, id_a: str, id_b: str,
 
 
 def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
-                               id_col: str = "id") -> DataFrame:
-    """Drop every near-duplicate except its component's minimum-id doc:
-    the keep/drop decision layer over any pair generator (minhash, ngram,
-    simhash, embedding). Docs in no pair are kept."""
+                               id_col: str = "id",
+                               prefer_col: Optional[str] = None,
+                               prefer: str = "max") -> DataFrame:
+    """Drop every near-duplicate except one representative per
+    component: the keep/drop decision layer over any pair generator
+    (minhash, ngram, simhash, embedding). Docs in no pair are kept.
+
+    Default representative = minimum id (deterministic, join-free).
+    ``prefer_col`` picks by QUALITY instead — e.g. keep the longest /
+    highest-quality-score version of each near-dup set, the policy real
+    corpus curation wants — with ``prefer`` 'max' or 'min' and min-id
+    tie-break. The per-component argmax is a window over the component
+    table (components only — tiny next to the corpus), not the corpus."""
+    if prefer not in ("max", "min"):
+        raise ValueError("prefer must be 'max' or 'min'")
     cc = connected_components(pairs)
-    drop = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    if prefer_col is None:
+        drop = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    else:
+        from pyspark.sql import Window
+
+        scored = cc.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(prefer_col).alias("_score")), "id")
+        order = [F.desc("_score") if prefer == "max" else F.asc("_score"),
+                 F.asc("id")]
+        drop = (scored.withColumn(
+            "_rn", F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(*order)))
+            .filter(F.col("_rn") > 1).select("id"))
     return df.join(drop.withColumnRenamed("id", id_col),
                    on=id_col, how="left_anti")
