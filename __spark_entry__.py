@@ -1721,6 +1721,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel"] = _events_funnel
 
+    # snapshot diff (operators/diff.py — headroom): the recrawl delta a
+    # pipeline re-embeds/re-indexes. Deterministic mutation of the
+    # documents snapshot (drop %17, edit %13, add %11 copies), ONE
+    # full-outer join + null-safe compares; DuckDB re-derives with
+    # FULL JOIN + IS DISTINCT FROM.
+    def _corpus_diff(s, d):
+        from velesdb_spark.operators.diff import snapshot_diff
+
+        docs = _t(s, d, "documents").select("doc_id", "text", "lang")
+        kept = docs.filter(F.col("doc_id") % 17 != 0)
+        mutated = kept.withColumn(
+            "text", F.when(F.col("doc_id") % 13 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")))
+        added = docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+        new = mutated.unionByName(added)
+        return snapshot_diff(docs, new, "doc_id").orderBy("doc_id")
+
+    q["corpus_diff"] = _corpus_diff
+
     q["json_path_props"] = lambda s, d: (
         # JSON path access into the props column (velesql/json_path.rs)
         _t(s, d, "events")
@@ -2003,7 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
-    "events_range_join", "events_funnel", "dedup_keep_best",
+    "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3240,6 +3261,29 @@ SELECT v.user_id,
 FROM v JOIN c ON v.user_id = c.user_id
 JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""
+
+    o["corpus_diff"] = """
+WITH old AS (
+  SELECT doc_id, text, lang FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 11 = 0
+), j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text
+                OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change_type FROM j
+WHERE change_type <> 'unchanged'
+ORDER BY doc_id"""
 
     # --- correlated subqueries -----------------------------------------
     o["correlated_subquery"] = """

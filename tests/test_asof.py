@@ -216,3 +216,31 @@ def test_funnel_matches_bruteforce(spark):
             want[u] = (ta, tb, tc)
     assert set(got) == set(want)
     assert got == want
+
+
+# ---------------------------------------------------- snapshot diff
+
+def test_snapshot_diff(spark):
+    from velesdb_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id bigint, txt string, v bigint")
+    new = spark.createDataFrame(
+        [(2, "b", 20),          # unchanged
+         (3, "c2", 30),         # changed (txt)
+         (4, None, 40),         # unchanged (null-safe!)
+         (5, "e", 50)],         # added
+        "id bigint, txt string, v bigint")
+    got = {r.id: r.change_type for r in
+           snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    full = {r.id: r.change_type for r in
+            snapshot_diff(old, new, "id",
+                          include_unchanged=True).collect()}
+    assert full[2] == "unchanged" and full[4] == "unchanged"
+    # restrict comparison: txt-only change invisible when comparing v
+    vonly = {r.id: r.change_type for r in
+             snapshot_diff(old, new, "id",
+                           compare_cols=["v"]).collect()}
+    assert 3 not in vonly
