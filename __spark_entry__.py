@@ -1439,6 +1439,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = _stratified_sample
 
+    # deterministic WEIGHTED sampling (functions/sampling.py — headroom):
+    # P(pick) ∝ capped token count via the pow-free max-of-w-hashes key
+    # (discrete Efraimidis–Spirakis; hex-string compares, so any
+    # md5-capable engine reproduces the ranking exactly — no pow/ln ulp
+    # hazards). Top-20 is TakeOrderedAndProject, no full sort.
+    def _weighted_sample(s, d):
+        from velesdb_spark.functions.sampling import weighted_sample_topk
+
+        docs = _t(s, d, "documents").withColumn(
+            "n_words", F.size(F.split(F.col("text"), " ")))
+        return weighted_sample_topk(
+            docs, 20, "n_words", "doc_id").select(
+                "doc_id", "n_words", F.col("_wkey").alias("wkey"))
+
+    q["weighted_sample"] = _weighted_sample
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -2025,6 +2041,7 @@ _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
+    "weighted_sample",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3261,6 +3278,19 @@ SELECT v.user_id,
 FROM v JOIN c ON v.user_id = c.user_id
 JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""
+
+    # discrete weighted sampling: identical md5 hex keys, lexicographic max
+    o["weighted_sample"] = """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+), keyed AS (
+  SELECT doc_id, n_words,
+    list_max([md5('ws:' || doc_id || ':' || j)
+              for j in range(1, greatest(least(n_words, 64), 1) + 1)]) AS wkey
+  FROM w
+)
+SELECT doc_id, n_words, wkey FROM keyed
+ORDER BY wkey DESC, doc_id LIMIT 20"""
 
     o["corpus_diff"] = """
 WITH old AS (

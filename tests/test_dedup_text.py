@@ -573,3 +573,35 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     with pytest.raises(ValueError):
         dedup.dedup_keep_representatives(df, pairs, "id",
                                          prefer_col="qlen", prefer="avg")
+
+
+def test_weighted_sample_proportions_and_determinism(spark):
+    """Max-of-w-hashes weighted sampling: P(top pick) proportional to
+    weight — verified empirically over many seeds — plus exact
+    determinism for a fixed seed and the plan staying a top-k."""
+    from velesdb_spark.functions.sampling import (weighted_key,
+                                                  weighted_sample_topk)
+
+    rows = [(1, 9), (2, 3), (3, 3), (4, 1)]   # weights sum 16
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    # empirical pick frequency across 300 seeds (driver-side md5 twin)
+    import hashlib
+    wins = {i: 0 for i, _ in rows}
+    for s in range(300):
+        best = max(
+            ((max(hashlib.md5(f"s{s}:{i}:{j}".encode()).hexdigest()
+                  for j in range(1, w + 1)), i) for i, w in rows))
+        wins[best[1]] += 1
+    assert wins[1] > wins[2] > wins[4]
+    assert 0.40 < wins[1] / 300 < 0.72          # expect 9/16 = 0.56
+    # engine key == driver twin for one seed
+    got = {r.id: r.k for r in df.select(
+        "id", weighted_key(F.col("id"), F.col("w"), "s7", 64)
+        .alias("k")).collect()}
+    for i, w in rows:
+        twin = max(hashlib.md5(f"s7:{i}:{j}".encode()).hexdigest()
+                   for j in range(1, w + 1))
+        assert got[i] == twin
+    out1 = [r.id for r in weighted_sample_topk(df, 2, "w", "id").collect()]
+    out2 = [r.id for r in weighted_sample_topk(df, 2, "w", "id").collect()]
+    assert out1 == out2 and len(out1) == 2
