@@ -1455,6 +1455,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample"] = _weighted_sample
 
+    # training-mixture construction (functions/mixture.py — headroom):
+    # hit 50/20/30 en/zh/es target shares at the largest total the
+    # corpus can serve (T = min n_s/share_s), per-stratum md5-bucket
+    # keep rates quantized to integer basis points so the cross-engine
+    # keep decision never compares floats. One count + broadcast rates +
+    # map-only filter.
+    def _training_mix(s, d):
+        from velesdb_spark.functions.mixture import make_mixture
+
+        mixed = make_mixture(_t(s, d, "documents"), "lang",
+                             {"en": 0.5, "zh": 0.2, "es": 0.3},
+                             id_col="doc_id")
+        return (mixed.groupBy("lang").agg(F.count("*").alias("n_kept"))
+                .orderBy("lang"))
+
+    q["training_mix"] = _training_mix
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -2041,7 +2058,7 @@ _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
-    "weighted_sample",
+    "weighted_sample", "training_mix",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3278,6 +3295,29 @@ SELECT v.user_id,
 FROM v JOIN c ON v.user_id = c.user_id
 JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""
+
+    # mixture: same count → T → basis-point rate → bucket pipeline; float
+    # ops in the same order (share*T)/n then floor(…*10000), so the
+    # IEEE-double results agree; keep decision is integer-vs-integer
+    o["training_mix"] = """
+WITH n AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+), tot AS (
+  SELECT min(CASE lang WHEN 'en' THEN c/0.5 WHEN 'zh' THEN c/0.2
+             WHEN 'es' THEN c/0.3 END) AS t
+  FROM n WHERE lang IN ('en','zh','es')
+), rates AS (
+  SELECT n.lang,
+         CAST(floor(((CASE n.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                      ELSE 0.3 END * tot.t) / n.c) * 10000) AS BIGINT) AS bp
+  FROM n, tot WHERE n.lang IN ('en','zh','es')
+), kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || substr(md5('mix:' || d.doc_id), 1, 6)) AS BIGINT)
+        % 10000 < r.bp
+)
+SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang ORDER BY lang"""
 
     # discrete weighted sampling: identical md5 hex keys, lexicographic max
     o["weighted_sample"] = """

@@ -605,3 +605,30 @@ def test_weighted_sample_proportions_and_determinism(spark):
     out1 = [r.id for r in weighted_sample_topk(df, 2, "w", "id").collect()]
     out2 = [r.id for r in weighted_sample_topk(df, 2, "w", "id").collect()]
     assert out1 == out2 and len(out1) == 2
+
+
+def test_training_mix_hits_target_shares(spark):
+    """make_mixture downsamples strata to the target proportions at the
+    largest achievable total; untargeted strata drop entirely; bad
+    targets raise."""
+    from velesdb_spark.functions.mixture import make_mixture, mixture_rates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mixed = make_mixture(docs, "lang", {"en": 0.5, "zh": 0.2, "es": 0.3},
+                         id_col="doc_id")
+    got = {r.lang: r.n for r in
+           mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "zh", "es"}      # de/fr dropped
+    total = sum(got.values())
+    # achieved shares within md5-bucket sampling noise of the targets
+    assert abs(got["en"] / total - 0.5) < 0.08
+    assert abs(got["zh"] / total - 0.2) < 0.08
+    assert abs(got["es"] / total - 0.3) < 0.08
+    # the binding stratum (smallest n/share) keeps ~everything
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    rates = mixture_rates(counts, {"en": 0.5, "zh": 0.2, "es": 0.3})
+    assert max(rates.values()) >= 9900          # ~10000 bp = keep all
+    with pytest.raises(ValueError):
+        mixture_rates(counts, {"en": 0.5})      # shares must sum to 1
+    with pytest.raises(ValueError):
+        mixture_rates(counts, {"klingon": 1.0})
