@@ -244,3 +244,38 @@ def test_snapshot_diff(spark):
              snapshot_diff(old, new, "id",
                            compare_cols=["v"]).collect()}
     assert 3 not in vonly
+
+
+# ------------------------------------------------- physical-plan shape
+
+def test_new_operators_plan_shapes(spark):
+    """The 100-TB contracts, asserted on the physical plan:
+    - asof_join contains NO join operator at all (union + one window);
+    - interval_join never degenerates to BroadcastNestedLoop/cartesian;
+    - weighted_sample_topk is TakeOrderedAndProject, not a full sort."""
+    from velesdb_spark.functions.sampling import weighted_sample_topk
+    from velesdb_spark.operators.asof import asof_join
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(i, f"u{i % 7}", i * 37 % 1000) for i in range(300)],
+        "id bigint, u string, t bigint")
+    right = spark.createDataFrame(
+        [(1000 + i, f"u{i % 7}", i * 53 % 1000, float(i)) for i in range(300)],
+        "rid bigint, u string, t bigint, v double")
+
+    asof_plan = asof_join(left, right.select("u", "t", "v"), on="t",
+                          by="u")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in asof_plan          # no join operator anywhere
+    assert "Window" in asof_plan
+
+    rj_plan = interval_join(left, right, on="t", by="u",
+                            lower_us=-50, upper_us=50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in rj_plan
+    assert "CartesianProduct" not in rj_plan
+
+    ws_plan = weighted_sample_topk(
+        left.withColumn("w", F.lit(5)), 10, "w", "id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in ws_plan
