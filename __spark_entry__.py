@@ -1472,6 +1472,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_mix"] = _training_mix
 
+    # fixed-iteration PageRank (operators/graph.py pagerank — headroom):
+    # authority scoring over the customer↔supplier interaction graph
+    # (distinct trade pairs from orders⋈lineitem, both directions, ids
+    # namespaced even/odd). k=5 fixed iterations make the result a
+    # deterministic join+agg composition the oracle unrolls in SQL.
+    def _graph_pagerank(s, d):
+        from velesdb_spark.operators.graph import pagerank
+
+        o = _t(s, d, "orders").select("o_orderkey", "o_custkey")
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+                 .select((F.col("o_custkey") * 2).alias("src"),
+                         (F.col("l_suppkey") * 2 + 1).alias("dst"))
+                 .distinct())
+        e = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        pr = pagerank(e, iterations=5)
+        return (pr.select("id", F.round(F.col("pr") * 1000, 6)
+                          .alias("pr_k"))
+                .orderBy(F.desc("pr_k"), "id").limit(20))
+
+    q["graph_pagerank"] = _graph_pagerank
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -2058,7 +2082,7 @@ _GATE_ORDER = [
     # ---- round-7 additions — first
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
-    "weighted_sample", "training_mix",
+    "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
     # ---- round-5 additions
@@ -3295,6 +3319,36 @@ SELECT v.user_id,
 FROM v JOIN c ON v.user_id = c.user_id
 JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""
+
+    # PageRank: the same k=5 recurrence unrolled as chained CTEs —
+    # base written (1.0 - 0.85)/n to match Python's exact double, both
+    # engines order by the ROUNDED rank so boundary ranks can't flip
+    _pr_iters = "".join(f""", pr{k} AS (
+  SELECT n.id,
+         ((1.0 - 0.85) / (SELECT n FROM meta))
+         + 0.85 * COALESCE(s.c, 0.0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.pr / d.deg) AS c
+    FROM e JOIN pr{k - 1} p ON p.id = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = n.id
+)""" for k in range(1, 6))
+    o["graph_pagerank"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM e
+), meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+pr0 AS (
+  SELECT id, 1.0 / (SELECT n FROM meta) AS pr FROM nodes
+){_pr_iters}
+SELECT id, round(pr * 1000, 6) AS pr_k FROM pr5
+ORDER BY round(pr * 1000, 6) DESC, id LIMIT 20"""
 
     # mixture: same count → T → basis-point rate → bucket pipeline; float
     # ops in the same order (share*T)/n then floor(…*10000), so the

@@ -421,3 +421,33 @@ def test_bfs_salt_bounds_per_task_input_measured(spark):
     salted = {(r.start_id, r._next) for r in
               _step(frontier, edf, "out", (), salt=8).collect()}
     assert salted == plain and len(plain) == N
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Fixed-iteration PageRank == the same recurrence run in NumPy
+    (base (1-d)/N, dangling mass dropped), on a graph with a clear
+    authority node and a cycle."""
+    import numpy as np
+
+    from velesdb_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (3, 2), (4, 2), (2, 5), (5, 1), (6, 1)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.pr for r in pagerank(edf, iterations=5).collect()}
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, d = len(ids), 0.85
+    deg = np.zeros(n)
+    for s, t in edges:
+        deg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t in edges:
+            nxt[idx[t]] += d * pr[idx[s]] / deg[idx[s]]
+        pr = nxt
+    for v in ids:
+        assert got[v] == pytest.approx(pr[idx[v]], abs=1e-12), v
+    # authority (three in-links) and its sole heir outrank the leaves
+    assert got[2] > got[3] and got[5] > got[3]

@@ -192,6 +192,50 @@ def bfs_edge_trace(edges: DataFrame, start_id: int, max_depth: int = 3,
         F.col("_e.label").alias("label"))
 
 
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping: float = 0.85, src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank → (id, pr). Headroom beyond the
+    reference's traversal surface: node-importance scoring for corpus
+    graphs (citation/link authority as a quality prior).
+
+    Deliberately FIXED iterations rather than convergence-tested: the
+    result is then a deterministic composition of joins+aggregates an
+    external engine re-derives exactly (the oracle unrolls the same k
+    steps in SQL), and k≈5 is the standard web-ranking truncation.
+    Per iteration: one join of the edge list with the rank table on src
+    (both hash-partitioned on the same key → exchange reuse), one
+    map-combinable sum per dst, one broadcast of nothing — ranks stay
+    distributed. Dangling mass is dropped (uniformly rescaling it adds
+    a driver round-trip per iteration and changes no RANKING).
+    localCheckpoint every other round truncates the growing plan."""
+    e = edges.select(F.col(src).alias("_src"),
+                     F.col(dst).alias("_dst")).distinct().persist()
+    nodes = (e.select(F.col("_src").alias("_id"))
+             .union(e.select(F.col("_dst").alias("_id")))
+             .distinct().persist())
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    outdeg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    pr = nodes.withColumn("_pr", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contrib = (e.join(pr.withColumnRenamed("_id", "_src"), "_src")
+                   .join(outdeg, "_src")
+                   .groupBy("_dst")
+                   .agg(F.sum(F.col("_pr") / F.col("_deg")).alias("_in")))
+        pr = (nodes.join(contrib.withColumnRenamed("_dst", "_id"),
+                         "_id", "left")
+              .select("_id",
+                      (F.lit(base) + F.lit(damping)
+                       * F.coalesce(F.col("_in"), F.lit(0.0)))
+                      .alias("_pr")))
+        if i % 2 == 1:
+            pr = pr.localCheckpoint(eager=False)
+    # e/nodes stay cached for the (single) materializing action — all
+    # iterations resolve in one job chain; Spark's LRU reclaims after
+    return pr.select(F.col("_id").alias("id"), F.col("_pr").alias("pr"))
+
+
 def node_degree(edges: DataFrame, direction: str = "both") -> DataFrame:
     """(node_id, degree) — graph_api.rs node degree."""
     parts = []
