@@ -279,3 +279,54 @@ def test_new_operators_plan_shapes(spark):
         left.withColumn("w", F.lit(5)), 10, "w", "id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in ws_plan
+
+
+def test_temporal_operators_multiconfig_fuzz(spark):
+    """Differential fuzz across randomized configs: asof backward AND
+    forward vs DuckDB native ASOF; interval_join across window shapes
+    (backward-only, forward-only, straddling, degenerate point) vs
+    BETWEEN joins. One Spark session, many configs — catches boundary
+    conventions a single fixed case would miss."""
+    import random
+
+    import duckdb
+
+    from velesdb_spark.operators.asof import asof_join
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(97)
+    left = [(i, f"u{rng.randrange(6)}", rng.randrange(0, 800))
+            for i in range(250)]
+    right_raw = [(f"u{rng.randrange(6)}", rng.randrange(0, 800),
+                  round(rng.random(), 6)) for _ in range(150)]
+    seen, right = set(), []
+    for u, t, v in right_raw:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            right.append((u, t, v))
+    ldf = spark.createDataFrame(left, "id bigint, u string, t bigint")
+    rdf = spark.createDataFrame(right, "u string, t bigint, v double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(id BIGINT, u VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.execute("CREATE TABLE r(u VARCHAR, t BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right)
+
+    for direction, op in (("backward", ">="), ("forward", "<=")):
+        got = {r.id: (r.v_right, r.t_right) for r in
+               asof_join(ldf, rdf, on="t", by="u",
+                         direction=direction).collect()}
+        want = {row[0]: (row[1], row[2]) for row in con.execute(
+            f"SELECT l.id, r.v, r.t FROM l ASOF LEFT JOIN r "
+            f"ON l.u = r.u AND l.t {op} r.t").fetchall()}
+        assert got == want, direction
+
+    for lo, hi in ((-100, -10), (10, 100), (-60, 60), (0, 0), (-1, 1)):
+        got = sorted((r.id, r.t_right) for r in
+                     interval_join(ldf, rdf, on="t", by="u",
+                                   lower_us=lo, upper_us=hi).collect())
+        assert len(got) == len(set(got)), (lo, hi)
+        want = sorted(con.execute(
+            f"SELECT l.id, r.t FROM l JOIN r ON l.u = r.u "
+            f"AND r.t BETWEEN l.t + ({lo}) AND l.t + ({hi})").fetchall())
+        assert got == want, (lo, hi)
