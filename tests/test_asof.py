@@ -89,6 +89,37 @@ def test_asof_matches_duckdb_native(spark):
     assert got == want
 
 
+def test_asof_null_value_columns(spark):
+    """Advisor r7: when the as-of-matched right row has a NULL value
+    column, the NULL must be returned — not a value stitched from an
+    older row. The struct carry guarantees all columns come from the
+    same right row; differential vs DuckDB native ASOF with nulls."""
+    import duckdb
+
+    left = [(1, "u1", 150), (2, "u1", 250), (3, "u1", 350)]
+    right = [("u1", 100, 1.0, "a"),
+             ("u1", 200, None, "b"),     # NULL val at the matched row
+             ("u1", 300, 3.0, None)]     # NULL tag at the matched row
+    ldf = spark.createDataFrame(left, "id bigint, u string, t bigint")
+    rdf = spark.createDataFrame(
+        right, "u string, t bigint, v double, tag string")
+    got = {r.id: (r.v_right, r.tag_right, r.t_right) for r in
+           asof_join(ldf, rdf, on="t", by="u").collect()}
+    assert got[1] == (1.0, "a", 100)
+    assert got[2] == (None, "b", 200)    # NOT 1.0 from the older row
+    assert got[3] == (3.0, None, 300)    # NOT "b" from the older row
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(id BIGINT, u VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.execute(
+        "CREATE TABLE r(u VARCHAR, t BIGINT, v DOUBLE, tag VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", right)
+    want = {row[0]: (row[1], row[2], row[3]) for row in con.execute(
+        "SELECT l.id, r.v, r.tag, r.t FROM l ASOF LEFT JOIN r "
+        "ON l.u = r.u AND l.t >= r.t").fetchall()}
+    assert got == want
+
+
 # ---------------------------------------------------- interval join
 
 def test_interval_join_basic(spark):
@@ -146,6 +177,27 @@ def test_interval_join_matches_duckdb_inequality(spark):
     assert got == want
 
 
+def test_interval_join_large_magnitude_times(spark):
+    """Advisor r7: bucket ids must be exact for longs at/beyond 2^53,
+    where floor over double division can flip by one and silently drop
+    a true match despite the exact range filter."""
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    base = 1 << 60
+    # pairs that straddle a bucket boundary at huge magnitudes, plus a
+    # negative-time pair (floor vs truncate-toward-zero divergence)
+    left = [(1, base + 1), (2, base + 1_000_003), (3, -base - 7)]
+    right = [(10, base + 50), (11, base + 1_000_050), (12, -base - 40)]
+    ldf = spark.createDataFrame(left, "id bigint, t bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, t bigint")
+    got = {(r.id, r.rid_right) for r in
+           interval_join(ldf, rdf, on="t",
+                         lower_us=-100, upper_us=100).collect()}
+    want = {(i, ri) for i, lt in left for ri, rt in right
+            if lt - 100 <= rt <= lt + 100}
+    assert got == want and len(want) == 3
+
+
 # ---------------------------------------------------- funnel
 
 def test_funnel_greedy_ordering(spark):
@@ -175,7 +227,37 @@ def test_funnel_greedy_ordering(spark):
     within = {r.user_id for r in
               funnel(df, ["view", "click", "buy"], on="ts",
                      within_us=50).collect()}
-    assert within == {"u1"}          # u3 spans 99 > 50
+    assert within == {"u1"}          # u3's only chain spans 99 > 50
+
+
+def test_funnel_within_window_any_start(spark):
+    """Advisor r7: within_us is windowed-funnel existence — a key
+    qualifies when ANY ordered chain fits the window, not just the
+    greedy-earliest chain. view@0 view@100 click@101 within=5 must
+    qualify via the @100 start (greedy-from-0 spans 101)."""
+    from velesdb_spark.operators.funnel import funnel
+
+    rows = [("u1", "view", 0), ("u1", "view", 100), ("u1", "click", 101),
+            # u2: no chain fits — clicks are 90+ after every view
+            ("u2", "view", 0), ("u2", "view", 5), ("u2", "click", 95),
+            # u3: later click would fit from a later view, 3 steps
+            ("u3", "view", 0), ("u3", "click", 50), ("u3", "buy", 60),
+            ("u3", "view", 49)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts bigint")
+    got = {r.user_id: (r.t0, r.t1) for r in
+           funnel(df, ["view", "click"], on="ts",
+                  within_us=5).collect()}
+    # earliest QUALIFYING start per key (u1's @0 start does not fit)
+    assert got == {"u1": (100, 101), "u3": (49, 50)}
+    g3 = {r.user_id: (r.t0, r.t1, r.t2) for r in
+          funnel(df, ["view", "click", "buy"], on="ts",
+                 within_us=15).collect()}
+    assert g3 == {"u3": (49, 50, 60)}
+    # without the cap, greedy still returns the canonical earliest chain
+    g0 = {r.user_id: (r.t0, r.t1, r.t2) for r in
+          funnel(df, ["view", "click", "buy"], on="ts").collect()}
+    assert g0 == {"u3": (0, 50, 60)}
 
 
 def test_funnel_matches_bruteforce(spark):
@@ -216,6 +298,31 @@ def test_funnel_matches_bruteforce(spark):
             want[u] = (ta, tb, tc)
     assert set(got) == set(want)
     assert got == want
+
+    # windowed variants (advisor r7): any-start existence + greedy
+    # chain from the earliest qualifying start, vs the same brute force
+    def greedy_from(ta, bb, cc):
+        tb = next((t for t in bb if t > ta), None)
+        if tb is None:
+            return None
+        tc = next((t for t in cc if t > tb), None)
+        return None if tc is None else (ta, tb, tc)
+
+    for w in (3, 10, 25):
+        got_w = {r.user_id: (r.t0, r.t1, r.t2) for r in
+                 funnel(df, ["a", "b", "c"], on="ts",
+                        within_us=w).collect()}
+        want_w = {}
+        for u, evs in by_user.items():
+            aa = sorted(ts for t, ts in evs if t == "a")
+            bb = sorted(ts for t, ts in evs if t == "b")
+            cc = sorted(ts for t, ts in evs if t == "c")
+            for ta in aa:
+                chain = greedy_from(ta, bb, cc)
+                if chain is not None and chain[2] - chain[0] <= w:
+                    want_w[u] = chain
+                    break
+        assert got_w == want_w, w
 
 
 # ---------------------------------------------------- snapshot diff

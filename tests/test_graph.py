@@ -451,3 +451,26 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[v] == pytest.approx(pr[idx[v]], abs=1e-12), v
     # authority (three in-links) and its sole heir outrank the leaves
     assert got[2] > got[3] and got[5] > got[3]
+
+
+def test_pagerank_releases_caches(spark):
+    """Advisor r7: pagerank persists its edge/node tables internally;
+    repeated calls must not accumulate cached data until LRU eviction.
+    The result itself is an (eager) checkpoint, so correctness survives
+    the unpersist."""
+    from velesdb_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    # CacheManager tracks df.persist() entries (NOT checkpoint RDDs) —
+    # exactly the e/nodes caches the advisor flagged as leaking
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    first = {r.id: r.pr for r in pagerank(edf, iterations=3).collect()}
+    assert cm.isEmpty()          # released immediately, result intact
+    for _ in range(2):
+        again = {r.id: r.pr
+                 for r in pagerank(edf, iterations=3).collect()}
+        assert again == first
+    assert cm.isEmpty()

@@ -24,8 +24,11 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SIDE = "_asof_side"
+_PAYLOAD = "_asof_payload"
+_TS_FIELD = "_asof_ts"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
@@ -42,10 +45,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
       ``'forward'``: smallest right.{on} >= left.{on}.
     - ``tolerance_us``: drop matches farther than this many microseconds
       (timestamp columns; for numeric time columns the raw difference).
-    - Rows tie-break deterministically: among equal right times within a
-      key the LAST in (time, value-cols) order wins — pre-aggregate
-      right to unique (by, on) when that matters for cross-engine
-      comparison.
+    - All carried columns (values AND matched time, nulls included)
+      come from ONE right row. Among equal right times within a key,
+      which row wins is partition-order-dependent — pre-aggregate right
+      to unique (by, on) when that matters for cross-engine comparison.
     - ``by=None`` means a single global ordering: correct, but one
       partition — always pass keys at scale.
     """
@@ -58,16 +61,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     if not value_cols:
         raise ValueError("right side has no value columns to carry")
 
-    l_tag = left.withColumn(_SIDE, F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"{c}{suffix}",
-                                 F.lit(None).cast(right.schema[c].dataType))
-    l_tag = l_tag.withColumn(f"{on}{suffix}",
-                             F.lit(None).cast(right.schema[on].dataType))
+    if _TS_FIELD in value_cols:
+        raise ValueError(f"{_TS_FIELD!r} is reserved")
+    # The whole right payload travels as ONE struct, carried with a
+    # single last(ignorenulls): the struct is non-null for every right
+    # row even when its value columns are NULL, so every carried column
+    # (including the matched time) comes from the SAME right row —
+    # per-column last(ignorenulls) would stitch an older non-null value
+    # onto a newer row's timestamp, diverging from DuckDB ASOF.
+    payload_type = StructType(
+        [StructField(_TS_FIELD, right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols])
+    l_tag = (left.withColumn(_SIDE, F.lit(1))
+             .withColumn(_PAYLOAD, F.lit(None).cast(payload_type)))
     r_tag = right.select(
         *by_cols, F.col(on), F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(on).alias(f"{on}{suffix}"))
+        F.struct(F.col(on).alias(_TS_FIELD),
+                 *[F.col(c) for c in value_cols]).alias(_PAYLOAD))
     for c in left.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None)
@@ -85,11 +95,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = combined.select(
         *left.columns, _SIDE,
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-          .alias(f"{c}{suffix}") for c in value_cols],
-        F.last(f"{on}{suffix}", ignorenulls=True).over(w)
-        .alias(f"{on}{suffix}"))
-    out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+        F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD))
+    out = (carried.filter(F.col(_SIDE) == 1)
+           .select(*left.columns,
+                   *[F.col(f"{_PAYLOAD}.{c}").alias(f"{c}{suffix}")
+                     for c in value_cols],
+                   F.col(f"{_PAYLOAD}.{_TS_FIELD}")
+                   .alias(f"{on}{suffix}")))
 
     if tolerance_us is not None:
         lt, rt = F.col(on), F.col(f"{on}{suffix}")

@@ -231,9 +231,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                       .alias("_pr")))
         if i % 2 == 1:
             pr = pr.localCheckpoint(eager=False)
-    # e/nodes stay cached for the (single) materializing action — all
-    # iterations resolve in one job chain; Spark's LRU reclaims after
-    return pr.select(F.col("_id").alias("id"), F.col("_pr").alias("pr"))
+    # Materialize once (eager checkpoint), then release the caches
+    # deterministically — repeated pagerank() calls must not accumulate
+    # persisted edge/node tables until executor-LRU eviction.
+    out = (pr.select(F.col("_id").alias("id"), F.col("_pr").alias("pr"))
+           .localCheckpoint(eager=True))
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def node_degree(edges: DataFrame, direction: str = "both") -> DataFrame:

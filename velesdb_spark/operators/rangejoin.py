@@ -50,13 +50,23 @@ def interval_join(left: DataFrame, right: DataFrame, on: str = "ts",
             return F.unix_micros(c.cast("timestamp"))
         return c.cast("long")
 
-    r_tag = right.select(
+    # Exact long floor-division: pmod is non-negative, so subtracting it
+    # leaves an exact multiple and `div` (integral divide) equals floor.
+    # F.floor(x / span) would round-trip through double and can flip the
+    # bucket by one at |x| >= 2^53 (raw numeric time columns), silently
+    # dropping a true match despite the exact range filter.
+    def fdiv(col_name: str) -> F.Column:
+        return F.expr(f"({col_name} - pmod({col_name}, {span}L))"
+                      f" div {span}L")
+
+    r_tag = (right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
-        F.floor(micros(right) / span).alias("_bkt"),
         micros(right).alias("_r_us"))
+        .withColumn("_bkt", fdiv("_r_us")))
     l_tag = (left.select("*", micros(left).alias("_l_us"))
-             .withColumn("_bkt0", F.floor(
-                 (F.col("_l_us") + F.lit(int(lower_us))) / span))
+             .withColumn("_l_lo",
+                         F.col("_l_us") + F.lit(int(lower_us)))
+             .withColumn("_bkt0", fdiv("_l_lo"))
              .withColumn("_bkt", F.explode(F.array(
                  F.col("_bkt0"), F.col("_bkt0") + 1))))
     cond = [l_tag["_bkt"] == r_tag["_bkt"]]
@@ -66,4 +76,4 @@ def interval_join(left: DataFrame, right: DataFrame, on: str = "ts",
     hi = F.col("_l_us") + F.lit(int(upper_us))
     return (l_tag.join(r_tag, on=cond)
             .filter((F.col("_r_us") >= lo) & (F.col("_r_us") <= hi))
-            .drop("_bkt", "_bkt0", "_l_us", "_r_us"))
+            .drop("_bkt", "_bkt0", "_l_lo", "_l_us", "_r_us"))
