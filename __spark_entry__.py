@@ -1142,6 +1142,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_prefix"] = _ngram_prefix
 
+    # AUTO strategy (round 8): prefix_filter=None probes the shingle-df
+    # distribution and picks plain vs prefix itself — the default path
+    # is never the Σdf²/2 quadratic one on a power-law corpus (measured
+    # sf1: zipf corpus plain 123s vs auto/prefix 5s; closed corpus auto
+    # correctly stays plain, 18s vs forced-prefix 54s —
+    # BENCH_LOCAL_r08_zipf.json / _closed.json). Same augmented corpus
+    # and plain-formula oracle as the prefix gate, so the hash match
+    # proves whichever strategy the probe picks loses nothing.
+    def _ngram_auto(s, d):
+        docs = _t(s, d, "documents").filter(F.col("doc_id") < 300) \
+            .select("doc_id", "text")
+        dup = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" prefix dup probe"))
+            .alias("text"))
+        aug = docs.unionByName(dup)
+        return dd.ngram_jaccard_pairs(aug, 0.6, "text", "doc_id") \
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
+            .orderBy("id_a", "id_b")
+
+    q["ngram_jaccard_auto"] = _ngram_auto
+
     # near-dup CLUSTERING: pair list → connected components (min-label
     # propagation, iterative joins) → (doc, cluster representative); the
     # keep/drop layer a 100 TB dedup actually needs
@@ -2079,7 +2101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-7 additions — first
+    # ---- round-8 additions — first
+    "ngram_jaccard_auto",
+    # ---- round-7 additions
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
     "weighted_sample", "training_mix", "graph_pagerank",
@@ -2601,6 +2625,11 @@ FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.6
 ORDER BY p.id_a, p.id_b"""
+
+    # the auto gate runs whatever strategy the df probe picks; the
+    # oracle is the strategy-free plain formula, so the hash match
+    # proves the pick never changes results
+    o["ngram_jaccard_auto"] = o["ngram_jaccard_prefix"]
 
     def _hexb(i):
         # i-th digest byte as the engine's FLOAT feature value: the f32

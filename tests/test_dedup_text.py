@@ -553,6 +553,61 @@ def test_ngram_prefix_filter_collapses_candidates_on_zipf_corpus(spark):
     assert prefix_cand * 10 < plain_cand, (prefix_cand, plain_cand)
 
 
+def test_ngram_auto_strategy_picks_by_df_and_matches_both(spark):
+    """prefix_filter=None (the default) probes the shingle-df
+    distribution: open Zipf vocabulary (rare shingles df≈1) → prefix
+    path; closed vocabulary (every shingle common) → plain path. Both
+    paths are exact, so auto must equal BOTH forced strategies on BOTH
+    corpus shapes — the strategy choice can never change results."""
+    import random
+
+    from velesdb_spark.functions.dedup import (_probe_prefix_wins,
+                                               staged_shingles)
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(20_000)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    zipf_rows = [(i, " ".join(rng.choices(vocab, weights=weights, k=30)))
+                 for i in range(300)]
+    # planted near-dup so the zipf corpus has a real qualifying pair
+    zipf_rows.append((9001, zipf_rows[0][1] + " tail token probe"))
+    closed_rows = [(i, " ".join(rng.choices(
+        ["a", "b", "c", "d", "e", "f", "g", "h"], k=25)))
+        for i in range(200)]
+
+    def probe(rows):
+        df = spark.createDataFrame(rows, "id bigint, text string")
+        base = staged_shingles(df, "text", "id")
+        ex = base.select("_id", F.size("_sh").alias("_sz"),
+                         F.explode("_sh").alias("_s")) \
+            .withColumn("_s", F.xxhash64("_s"))
+        return _probe_prefix_wins(ex)
+
+    assert probe(zipf_rows) is True
+    assert probe(closed_rows) is False
+
+    for rows, t in ((zipf_rows, 0.6), (closed_rows, 0.3)):
+        df = spark.createDataFrame(rows, "id bigint, text string")
+        auto = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+                dedup.ngram_jaccard_pairs(df, t).collect()}
+        plain = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+                 dedup.ngram_jaccard_pairs(
+                     df, t, prefix_filter=False).collect()}
+        pref = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+                dedup.ngram_jaccard_pairs(
+                    df, t, prefix_filter=True).collect()}
+        dedup.release_staged()
+        assert auto == plain == pref
+        if rows is zipf_rows:
+            assert (0, 9001) in auto   # the planted near-dup survives
+    # auto + explicit df cap resolves to the capped plain path (no raise)
+    capped = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame(closed_rows, "id bigint, text string"),
+        0.3, max_shingle_df=50)
+    assert capped.columns == ["id_a", "id_b", "jaccard"]
+    dedup.release_staged()
+
+
 def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     """prefer_col flips the representative: min-id keeps doc 1, but
     keep-longest keeps doc 2 (higher id, longer text); ties fall back

@@ -17,6 +17,16 @@ file per table via pyarrow (row groups per chunk). NOT for regenerating
 /root/testdata (read-only, driver-owned) — writes to a caller-given dir.
 
 Usage: python tools/gen_testdata.py <out_dir> <sf> [--seed 42]
+         [--docs-vocab closed|zipf] [--tables t1,t2,...]
+
+``--docs-vocab zipf`` switches the documents table to an OPEN
+vocabulary: word ranks drawn from a Zipf(1.3) power law (unbounded
+tail, word "w{rank}"), the real-web-corpus shape where most shingles
+are rare (df ≈ 1) — the regime the prefix-filtering dedup join is
+built for, which the closed 31-word vocabulary cannot exhibit (its
+rarest bigram still has df ≈ 88 at sf1). ``--tables`` restricts
+generation to the named tables (e.g. only documents for dedup
+benches).
 """
 
 from __future__ import annotations
@@ -254,7 +264,7 @@ def gen_events(out_dir, n, n_users):
     _write(out_dir, "events", batches())
 
 
-def gen_documents(out_dir, n):
+def gen_documents(out_dir, n, vocab="closed"):
     def batches():
         for lo in range(0, n, 100_000):
             hi = min(lo + 100_000, n)
@@ -262,6 +272,15 @@ def gen_documents(out_dir, n):
             texts, langs, sources = [], [], []
             for i in range(lo, hi):
                 nw = int(r.integers(10, 100))
+                if vocab == "zipf":
+                    # open vocabulary: unbounded power-law ranks; the
+                    # head ("w1", "w2", …) gives common shingles, the
+                    # tail gives df≈1 shingles — both regimes present
+                    ranks = r.zipf(1.3, nw)
+                    texts.append(" ".join(f"w{rk}" for rk in ranks))
+                    langs.append(LANGS[int(r.choice(5, p=LANG_W))])
+                    sources.append(f"src{int(r.integers(0, 20))}")
+                    continue
                 words = r.integers(0, len(DOC_VOCAB), nw)
                 texts.append(" ".join(DOC_VOCAB[w] for w in words))
                 langs.append(LANGS[int(r.choice(5, p=LANG_W))])
@@ -309,9 +328,21 @@ def gen_embeddings(out_dir, n):
 def main():
     global SEED
     args = [a for a in sys.argv[1:]]
+    vocab, only = "closed", None
     if "--seed" in args:
         i = args.index("--seed")
         SEED = int(args[i + 1])
+        del args[i:i + 2]
+    if "--docs-vocab" in args:
+        i = args.index("--docs-vocab")
+        vocab = args[i + 1]
+        del args[i:i + 2]
+        if vocab not in ("closed", "zipf"):
+            print("--docs-vocab must be closed or zipf")
+            sys.exit(2)
+    if "--tables" in args:
+        i = args.index("--tables")
+        only = set(args[i + 1].split(","))
         del args[i:i + 2]
     if len(args) != 2:
         print(__doc__)
@@ -319,17 +350,32 @@ def main():
     out_dir, sf = args[0], float(args[1])
     os.makedirs(out_dir, exist_ok=True)
     c = counts(sf)
-    print(f"generating sf={sf} into {out_dir} (seed={SEED})")
-    gen_region(out_dir)
-    gen_nation(out_dir)
-    gen_customer(out_dir, c["customer"])
-    gen_supplier(out_dir, c["supplier"])
-    gen_part(out_dir, c["part"])
-    gen_orders(out_dir, c["orders"], c["customer"])
-    gen_lineitem(out_dir, c["orders"], c["part"], c["supplier"])
-    gen_events(out_dir, c["events"], max(1, c["customer"] // 10))
-    gen_documents(out_dir, c["documents"])
-    gen_embeddings(out_dir, c["embeddings"])
+    print(f"generating sf={sf} into {out_dir} "
+          f"(seed={SEED}, vocab={vocab}, tables={only or 'all'})")
+
+    def want(t):
+        return only is None or t in only
+
+    if want("region"):
+        gen_region(out_dir)
+    if want("nation"):
+        gen_nation(out_dir)
+    if want("customer"):
+        gen_customer(out_dir, c["customer"])
+    if want("supplier"):
+        gen_supplier(out_dir, c["supplier"])
+    if want("part"):
+        gen_part(out_dir, c["part"])
+    if want("orders"):
+        gen_orders(out_dir, c["orders"], c["customer"])
+    if want("lineitem"):
+        gen_lineitem(out_dir, c["orders"], c["part"], c["supplier"])
+    if want("events"):
+        gen_events(out_dir, c["events"], max(1, c["customer"] // 10))
+    if want("documents"):
+        gen_documents(out_dir, c["documents"], vocab)
+    if want("embeddings"):
+        gen_embeddings(out_dir, c["embeddings"])
     print("done")
 
 
