@@ -455,11 +455,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "cnt", "sum_qty")
         .orderBy("rf", "ls"))
 
+    # NOTE exact percentile() builds a per-group value-counts map in
+    # executor memory — fine on bounded-cardinality measures like this
+    # one, a memory hazard at 100 TB on high-cardinality measures. The
+    # scale-safe spelling is percentile_approx (gated below,
+    # percentile_approx_price).
     q["percentile_price"] = lambda s, d: (
         _t(s, d, "orders").groupBy("o_orderpriority")
         .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
              F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"))
         .orderBy("o_orderpriority"))
+
+    # Scale-safe percentile (round 8): percentile_approx with a fixed
+    # accuracy keeps bounded per-group state (a t-digest-style sketch of
+    # ≤ accuracy centroids) instead of exact percentile()'s unbounded
+    # value-counts map. Gate shape: any group whose approx p50/p90
+    # deviates from the exact value by > 3% is EMITTED as a row, plus
+    # one ('ok', n_groups) sentinel — the oracle independently returns
+    # only the sentinel, so a single out-of-tolerance group breaks
+    # rows_match. (The exact reference values are themselves hash-gated
+    # against DuckDB's quantile_cont by percentile_price above.)
+    def _pctl_approx(s, d):
+        g = (_t(s, d, "orders").groupBy("o_orderpriority")
+             .agg(F.expr("percentile_approx(o_totalprice, "
+                         "array(0.5, 0.9), 10000)").alias("ap"),
+                  F.expr("percentile(o_totalprice, "
+                         "array(0.5, 0.9))").alias("ex")))
+        # 3% not 1%: percentile_approx returns a DATA value while
+        # percentile() interpolates, so at small n the inter-sample gap
+        # (~1.1% at n≈300, sf0.001) dominates the sketch error
+        bad = g.filter(
+            (F.abs(F.col("ap")[0] - F.col("ex")[0])
+             > F.col("ex")[0] * 0.03)
+            | (F.abs(F.col("ap")[1] - F.col("ex")[1])
+               > F.col("ex")[1] * 0.03)) \
+            .select(F.col("o_orderpriority").alias("tag"),
+                    F.lit(1).cast("long").alias("n"))
+        okrow = g.agg(F.count("*").alias("n")) \
+            .select(F.lit("ok").alias("tag"), F.col("n"))
+        return bad.unionByName(okrow)
+
+    q["percentile_approx_price"] = _pctl_approx
 
     q["set_union"] = lambda s, d: _vql(
         s, d,
@@ -2102,7 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-8 additions — first
-    "ngram_jaccard_auto",
+    "ngram_jaccard_auto", "percentile_approx_price",
     # ---- round-7 additions
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
@@ -2259,6 +2295,10 @@ GROUP BY n_name ORDER BY revenue DESC, n_name"""
         "round(quantile_cont(o_totalprice, 0.5), 4) AS median, "
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+    o["percentile_approx_price"] = (
+        "SELECT 'ok' AS tag, "
+        "count(DISTINCT o_orderpriority) AS n FROM orders")
 
     o["set_union"] = ("SELECT c_nationkey FROM customer "
                       "UNION SELECT s_nationkey FROM supplier")

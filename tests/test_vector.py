@@ -147,6 +147,65 @@ def test_near_fused_average(catalog, emb_np):
     assert [r.vec_id for r in out.collect()] == [int(ids[i]) for i in order[:5]]
 
 
+def test_near_fused_rrf_pooled_equals_global_and_is_bounded(catalog, spark):
+    """Round 8: the NEAR_FUSED rrf search path must never single-partition
+    the whole scored table. The pooled exact ranking (per-component
+    TakeOrdered C = m·(k+L) lists + threshold-count rank reconstruction)
+    must (a) return EXACTLY the global-window result — ids AND fused
+    scores — across limits, and (b) produce a plan with no SinglePartition
+    exchange where every Window sits above a limit-bounded input."""
+    q1, q2 = qvec(31), qvec(32)
+    for lim in (3, 12, 40):
+        pooled = translate(
+            "SELECT * FROM embeddings WHERE vector NEAR_FUSED "
+            f"[$a, $b] USING FUSION 'rrf'(k=60) LIMIT {lim}",
+            catalog, {"a": q1, "b": q2})
+        # an always-true extra predicate breaks the fused-only shape →
+        # global-window fallback with identical semantics
+        glob = translate(
+            "SELECT * FROM embeddings WHERE vector NEAR_FUSED "
+            "[$a, $b] USING FUSION 'rrf'(k=60) AND vec_id >= 0 "
+            f"LIMIT {lim}",
+            catalog, {"a": q1, "b": q2})
+        prow = [(r.vec_id, round(r.score, 12)) for r in pooled.collect()]
+        grow = [(r.vec_id, round(r.score, 12)) for r in glob.collect()]
+        assert prow == grow and len(prow) == lim
+
+    pplan = pooled._jdf.queryExecution().executedPlan().toString()
+    gplan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in pplan
+    lines = pplan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln:
+            below = "\n".join(lines[i + 1:])
+            assert ("GlobalLimit" in below
+                    or "TakeOrderedAndProject" in below), ln
+    # sanity: the fallback really is the old global-window path
+    assert "Exchange SinglePartition" in gplan
+
+
+def test_near_fused_rrf_pooled_tie_break(spark):
+    """Tie-heavy data (duplicate vectors → equal component scores): the
+    pooled rank reconstruction's (score, id) tie-break must match the
+    global row_number ordering exactly."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    rows = [(i, [float(i % 4), 1.0, float((i * 7) % 3)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, vector array<float>")
+    cat = Catalog().register("embeddings", df, vector_col="vector",
+                             id_col="vec_id", metric="cosine")
+    a, b = [1.0, 0.5, 2.0], [0.0, 2.0, 1.0]
+    pooled = translate(
+        "SELECT * FROM embeddings WHERE vector NEAR_FUSED "
+        "[$a, $b] USING FUSION 'rrf'(k=60) LIMIT 10", cat, {"a": a, "b": b})
+    glob = translate(
+        "SELECT * FROM embeddings WHERE vector NEAR_FUSED "
+        "[$a, $b] USING FUSION 'rrf'(k=60) AND vec_id >= 0 LIMIT 10",
+        cat, {"a": a, "b": b})
+    assert [(r.vec_id, round(r.score, 12)) for r in pooled.collect()] == \
+        [(r.vec_id, round(r.score, 12)) for r in glob.collect()]
+
+
 def test_hamming_jaccard(spark):
     from velesdb_spark.functions.distance import metric_score
 

@@ -194,6 +194,22 @@ class Translator:
             # aggregation.rs:144-149 — HAVING requires GROUP BY
             raise TranslationError("HAVING requires GROUP BY")
 
+        if st.rrf_pending is not None:
+            # pooled exact ranking only on the plain search shape: a lone
+            # NEAR_FUSED predicate (nothing filters rows after ranking),
+            # no joins (id uniqueness), no aggregate/DISTINCT/explicit
+            # ORDER BY (they consume rows beyond the top-L), and a known
+            # limit. Everything else takes the global-window fallback —
+            # applied BEFORE the pred filter so ranks keep covering the
+            # unfiltered relation, same as the inline form did.
+            eff = limit if limit is not None else (
+                DEFAULT_LIMIT if apply_default_limit else None)
+            if (st.fused_only and not has_agg and not s.distinct
+                    and not s.order_by and not s.joins and eff is not None):
+                base = st.apply_rrf_pooled(base, eff + (s.offset or 0))
+            else:
+                base = st.apply_rrf_global(base)
+
         if pred is not None:
             base = base.filter(pred)
 
@@ -527,9 +543,23 @@ class _SearchState:
         # dual-precision NEAR: (approx_col_name, exact_column_thunk) —
         # resolved in Translator.select() after the coarse-phase prune
         self.dual_pending: Optional[tuple] = None
+        # NEAR_FUSED rrf: (score_col_names, rrf_k) — deferred to
+        # Translator.select(), which knows the final LIMIT and can run
+        # the bounded-pool exact ranking instead of a full-table
+        # single-partition window (see apply_rrf_pooled)
+        self.rrf_pending: Optional[tuple] = None
+        # True when the WHERE tree is exactly one NEAR_FUSED node — the
+        # precondition for the pooled path (any other predicate filters
+        # rows AFTER ranking, which the pool bound does not model)
+        self.fused_only: bool = False
 
     def prepare(self, base: DataFrame, cond) -> tuple[DataFrame, Column]:
+        self.fused_only = isinstance(cond, ast.VectorFusedSearch)
         base, pred = self._walk(base, cond)
+        # hybrid MATCH + NEAR_FUSED needs the fused column NOW (it feeds
+        # the rank fusion below) — resolve any deferred rrf globally
+        if self.rrf_pending is not None and self.text_score:
+            base = self.apply_rrf_global(base)
         # Dual-precision only accelerates the pure NEAR top-k path; a
         # hybrid NEAR+MATCH query needs the exact vector score for rank
         # fusion, so resolve the pending exact column here (the
@@ -540,6 +570,13 @@ class _SearchState:
             self.dual_pending = None
         # Hybrid NEAR + MATCH → RRF-fused score (query/mod.rs:294-305,
         # text.rs:113-203): rank each component, weight/(rank+60).
+        # SCALE NOTE: these are no-partition windows — the global-window
+        # fallback, NOT the bounded-pool path apply_rrf_pooled uses for
+        # pure NEAR_FUSED. Do not copy this pattern onto unbounded
+        # inputs casually: here the text leg is bounded by posting-list
+        # membership, but the vector leg ranks the whole relation; at
+        # 100 TB this hybrid shape should go through the match planner
+        # (plans/match_planner.py), which prunes candidates first.
         if self.near_score and self.text_score:
             hib = higher_is_better(self.info.metric)
             idc = self.info.id_col
@@ -921,14 +958,13 @@ class _SearchState:
                       else F.array_max(arr))
             base = base.withColumn("_vql_fusedv", fusedc)
         elif strategy == "rrf":
+            # DEFERRED: rrf needs per-component global ranks; computing
+            # them here would put a no-partition window (single-partition
+            # sort of the whole scored table) in the plan. select() knows
+            # the final LIMIT and applies either the bounded-pool exact
+            # ranking (apply_rrf_pooled) or the global fallback.
             k = float(spec.params.get("k", fusion_mod.RRF_K))
-            rrf = None
-            for n in names:
-                w = Window.orderBy(F.desc(n) if hib else F.asc(n), F.asc(info.id_col))
-                base = base.withColumn(n + "_rk", F.row_number().over(w))
-                term = 1.0 / (F.lit(k) + F.col(n + "_rk"))
-                rrf = term if rrf is None else rrf + term
-            base = base.withColumn("_vql_fusedv", rrf)
+            self.rrf_pending = (list(names), k)
         elif strategy == "weighted":
             aw = float(spec.params.get("avg_weight", 0.4))
             mw = float(spec.params.get("max_weight", 0.4))
@@ -943,6 +979,96 @@ class _SearchState:
         # fused scores are always higher-is-better; flag via text-style order
         self._fused_present = True
         return base, F.lit(True)
+
+    def apply_rrf_global(self, base: DataFrame) -> DataFrame:
+        """Deferred NEAR_FUSED rrf, global-window form: exact ranks via a
+        no-partition row_number over the WHOLE scored relation. Correct
+        everywhere (aggregates, DISTINCT, extra predicates, explicit
+        ORDER BY, unknown limit) but single-partitions the scored set —
+        the fallback, not the search path."""
+        names, k = self.rrf_pending
+        self.rrf_pending = None
+        info = self.info
+        hib = higher_is_better(info.metric)
+        rrf = None
+        for n in names:
+            w = Window.orderBy(F.desc(n) if hib else F.asc(n),
+                               F.asc(info.id_col))
+            base = base.withColumn(n + "_rk", F.row_number().over(w))
+            term = 1.0 / (F.lit(k) + F.col(n + "_rk"))
+            rrf = term if rrf is None else rrf + term
+        return base.withColumn("_vql_fusedv", rrf)
+
+    def apply_rrf_pooled(self, base: DataFrame, want: int) -> DataFrame:
+        """Deferred NEAR_FUSED rrf, bounded-pool EXACT form — the 100 TB
+        path. No window ever sees more than C = m·(k + L) rows:
+
+        - per component, a distributed TakeOrdered top-C list gets exact
+          global ranks 1..C from a window over those ≤C rows;
+        - a pooled row outside some component's top-C has its exact
+          global rank RECONSTRUCTED by counting strictly-better rows in
+          the full scored relation (one broadcast of ≤(m−1)·C threshold
+          rows against the scan — map-combinable count, no shuffle of
+          the scored set, no single-partition exchange);
+        - any row outside ALL top-C lists has every rank ≥ C+1, so its
+          fused score ≤ m/(k+C+1) < 1/(k+L) ≤ the L-th best pooled score
+          (component 1's top-L rows are all pooled, each with fused ≥
+          1/(k+rank₁) ≥ 1/(k+L)) — the returned top-L and every returned
+          fused value are EXACTLY what the global window would produce
+          (oracle-gated + differential-tested equal).
+        """
+        names, k = self.rrf_pending
+        self.rrf_pending = None
+        info = self.info
+        idc = info.id_col
+        hib = higher_is_better(info.metric)
+        m = len(names)
+        pool_c = int(m * (k + want)) + 1
+
+        def order(col):
+            first = F.desc_nulls_last(col) if hib else F.asc_nulls_last(col)
+            return [first, F.asc(idc)]
+
+        # null scores sort last in both paths; a null-scored threshold
+        # must still reconstruct (comparisons against NULL are never
+        # true), so compare on a worst-sentinel coalesce instead
+        sentinel = F.lit(float("-inf") if hib else float("inf"))
+        lists, pool = [], None
+        for n in names:
+            top = base.select(idc, n).orderBy(*order(n)).limit(pool_c)
+            # bounded window: input is the ≤pool_c-row top list above
+            w = Window.orderBy(*order(n))
+            lists.append(top.withColumn(n + "_rk", F.row_number().over(w))
+                         .select(idc, n + "_rk"))
+            ids = lists[-1].select(idc)
+            pool = ids if pool is None else pool.union(ids)
+        pool = pool.distinct()
+        ranks = pool
+        for n, known in zip(names, lists):
+            thr = (base.select(F.col(idc).alias("_tid"),
+                               F.coalesce(F.col(n), sentinel).alias("_ts"))
+                   .join(F.broadcast(
+                       pool.join(known.select(idc), idc, "left_anti")
+                       .select(F.col(idc).alias("_tid"))), "_tid"))
+            sc = base.select(F.col(idc).alias("_sid"),
+                             F.coalesce(F.col(n), sentinel).alias("_ss"))
+            better = F.col("_ss") > F.col("_ts") if hib \
+                else F.col("_ss") < F.col("_ts")
+            beats = better | ((F.col("_ss") == F.col("_ts"))
+                              & (F.col("_sid") < F.col("_tid")))
+            # every threshold is outside this component's top-C, so at
+            # least C rows beat it and the inner-join group always exists
+            recon = (sc.join(F.broadcast(thr), beats)
+                     .groupBy("_tid")
+                     .agg((F.count("*") + 1).alias(n + "_rk"))
+                     .select(F.col("_tid").alias(idc), n + "_rk"))
+            ranks = ranks.join(known.unionByName(recon), idc)
+        fused = None
+        for n in names:
+            term = 1.0 / (F.lit(k) + F.col(n + "_rk"))
+            fused = term if fused is None else fused + term
+        pooled = ranks.select(idc, fused.alias("_vql_fusedv"))
+        return base.join(F.broadcast(pooled), idc)
 
     def _match_text(self, base: DataFrame, cond: ast.MatchText):
         info = self.info
