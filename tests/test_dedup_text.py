@@ -350,8 +350,35 @@ def test_alternating_star_equals_min_label(spark):
                 for r in connected_components(
                     pdf, algorithm="alternating_star").collect()}
         prop = {r.id: r.cluster_id
-                for r in connected_components(pdf, max_iter=70).collect()}
+                for r in connected_components(
+                    pdf, max_iter=70, algorithm="min_label").collect()}
         assert star == prop == uf_labels(pairs), pairs
+
+
+def test_connected_components_auto_strategy(spark):
+    """algorithm='auto' (the round-8 default) must equal BOTH fixed
+    algorithms on a star (shallow: the min_label probe converges and its
+    labels are returned) and a deep chain (the probe budget runs out →
+    alternating_star takes over). Probing must never return the
+    incomplete mid-propagation labels."""
+    from velesdb_spark.functions.dedup import connected_components
+
+    star_pairs = [(0, i) for i in range(1, 30)]
+    chain_pairs = [(i, i + 1) for i in range(60)]       # diameter 60 > 8
+    both = star_pairs + [(100 + i, 101 + i) for i in range(40)]
+    for pairs in (star_pairs, chain_pairs, both):
+        pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        auto = {r.id: r.cluster_id
+                for r in connected_components(pdf).collect()}
+        ml = {r.id: r.cluster_id
+              for r in connected_components(
+                  pdf, max_iter=100, algorithm="min_label").collect()}
+        st = {r.id: r.cluster_id
+              for r in connected_components(
+                  pdf, algorithm="alternating_star").collect()}
+        assert auto == ml == st, pairs[:3]
+        # every cluster label is the component min (complete propagation)
+        assert all(cid <= i for i, cid in auto.items())
 
 
 def test_dedup_keep_representatives(spark):

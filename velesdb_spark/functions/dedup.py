@@ -545,17 +545,18 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
-                         algorithm: str = "min_label") -> DataFrame:
+                         algorithm: str = "auto",
+                         probe_rounds: int = 8) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, cluster_id) where
     cluster_id = the minimum member id (deterministic representative).
 
     Two interchangeable algorithms (property-tested equal):
 
-    - ``min_label`` (default): label propagation over iterative joins;
-      every node starts labeled with itself, each round takes the min
-      label in its closed neighborhood. Rounds ≤ graph diameter — the
-      right default for near-dup components, which are shallow (dozens of
-      docs). Each round is one shuffle-join on the edge list + one
+    - ``min_label``: label propagation over iterative joins; every node
+      starts labeled with itself, each round takes the min label in its
+      closed neighborhood. Rounds ≤ graph diameter — the cheapest form
+      for near-dup components, which are shallow (dozens of docs). Each
+      round is one shuffle-join on the edge list + one
       map-side-combinable min-aggregate; localCheckpoint truncates the
       lineage (the standard Spark iterative-algorithm pattern).
     - ``alternating_star``: the large-star/small-star algorithm (Kiveris
@@ -564,11 +565,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       chain-shaped components (linked crawl chains, transitive mirror
       sets) converge where plain propagation would need diameter rounds.
       Same per-round shape (join + min-agg on the shrinking edge set).
+    - ``auto`` (default, round 8): the probe IS min_label itself —
+      propagate for ``probe_rounds`` rounds; convergence there means the
+      graph was shallow and the (correct, complete) labels are returned
+      as-is, no work wasted. No convergence means a deep component, so
+      switch to alternating_star for the diameter-independent bound.
+      Structural probes (max degree etc.) can't see depth — a chain is
+      all degree-2 — so convergence behavior is the honest signal.
+      Callers no longer need to know the flag to be safe at 100 TB.
     """
+    if algorithm == "auto":
+        out, converged = _cc_min_label(pairs, id_a, id_b, probe_rounds)
+        if converged:
+            return out
+        return _cc_alternating_star(pairs, id_a, id_b, max_iter)
     if algorithm == "alternating_star":
         return _cc_alternating_star(pairs, id_a, id_b, max_iter)
     if algorithm != "min_label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _cc_min_label(pairs, id_a, id_b, max_iter)[0]
+
+
+def _cc_min_label(pairs: DataFrame, id_a: str, id_b: str,
+                  max_iter: int) -> tuple:
+    """(labels, converged): min-label propagation; converged=False means
+    the round budget ran out with labels still moving (deep graph)."""
+    converged = False
     edges = (pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
              .union(pairs.select(F.col(id_b).alias("_src"),
                                  F.col(id_a).alias("_dst")))
@@ -593,10 +615,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select(F.col("_id").alias("id"),
-                         F.col("_lbl").alias("cluster_id"))
+    return (labels.select(F.col("_id").alias("id"),
+                          F.col("_lbl").alias("cluster_id")), converged)
 
 
 def _cc_alternating_star(pairs: DataFrame, id_a: str, id_b: str,
