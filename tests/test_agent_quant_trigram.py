@@ -511,12 +511,26 @@ def test_validation_errors(catalog):
 
 
 def test_explain_analyze(catalog):
+    """EXPLAIN ANALYZE carries OBSERVED execution statistics (round-8
+    verdict #8, mirroring explain.rs ExplainAnalyzeStats): the row count
+    comes from an Observation flowing through the executed plan, and the
+    per-operator SQLMetrics (numOutputRows etc.) from the final AQE plan
+    appear as an operator-metrics section."""
     from velesdb_spark.velesql.translator import translate
 
     text = translate("EXPLAIN ANALYZE SELECT o_orderkey FROM orders "
                      "WHERE o_totalprice > 100.0 LIMIT 7", catalog) \
         .collect()[0].plan
-    assert "-- ANALYZE --" in text and "rows: 7" in text
+    assert "-- ANALYZE (observed) --" in text and "rows: 7" in text
+    assert "elapsed_ms:" in text
+    assert "-- operator metrics --" in text
+    assert "numOutputRows=" in text
+    # aggregation shape: the scan's observed rows exceed the output's
+    text2 = translate(
+        "EXPLAIN ANALYZE SELECT c_nationkey, COUNT(*) AS n FROM customer "
+        "GROUP BY c_nationkey", catalog).collect()[0].plan
+    assert "rows: 25" in text2
+    assert "Scan parquet" in text2 and "numOutputRows=" in text2
 
 
 # ------------------------------------------------------------- reinforcement

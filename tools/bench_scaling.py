@@ -1,0 +1,100 @@
+"""Next-decade scaling evidence (round-8 verdict #2): run the steepest
+headline queries at two scale factors in ONE Spark session and report the
+per-query time ratio vs the 10× data growth. A ratio <= 10 is sublinear
+(fixed overhead amortizing or better); > 10 is superlinear and gets
+flagged in the output.
+
+The ngram_jaccard row runs on the OPEN-vocabulary (Zipf) fixture pair —
+the corpus shape real pipelines dedup, where the round-8 auto strategy
+picks the prefix-filtering join. The closed-vocabulary fixture's
+all-pairs output is itself quadratic in sf (every doc shares bigrams
+with every other), so no exact algorithm can scale it; that regime is
+covered by the documented max_shingle_df cap instead (see
+BENCH_LOCAL_r08_zipf.json / _closed.json for the strategy trade-off).
+
+Usage: python tools/bench_scaling.py <small_dir> <big_dir>
+         [--zipf-small d] [--zipf-big d] [--json out.json] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
+           "minhash_first_hash", "exact_dedup", "ngram_jaccard"]
+
+
+def main():
+    args = sys.argv[1:]
+    out_json, runs = None, 3
+    zsmall = zbig = None
+    for flag in ("--json", "--runs", "--zipf-small", "--zipf-big"):
+        if flag in args:
+            i = args.index(flag)
+            v = args[i + 1]
+            del args[i:i + 2]
+            if flag == "--json":
+                out_json = v
+            elif flag == "--runs":
+                runs = int(v)
+            elif flag == "--zipf-small":
+                zsmall = v
+            else:
+                zbig = v
+    small_dir, big_dir = args[0], args[1]
+
+    import __spark_entry__ as entry_mod
+    from velesdb_spark.session import get_spark
+
+    spark = get_spark("velesdb-spark-scaling-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    def dirs_for(name):
+        if name == "ngram_jaccard" and zsmall and zbig:
+            return zsmall, zbig
+        return small_dir, big_dir
+
+    def best_of(fn, d):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, d).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    # warm both catalogs + codegen outside timing
+    for d in {small_dir, big_dir, zsmall, zbig} - {None}:
+        entry_mod._catalog(spark, d)
+
+    rec = {"small_dir": small_dir, "big_dir": big_dir,
+           "zipf_dirs": [zsmall, zbig], "runs_per_query": runs,
+           "agg": "min", "loadavg_1m": round(os.getloadavg()[0], 2),
+           "queries": {}}
+    superlinear = []
+    for name in QUERIES:
+        ds, db = dirs_for(name)
+        t_small = best_of(qs[name], ds)
+        t_big = best_of(qs[name], db)
+        ratio = round(t_big / max(t_small, 1e-9), 2)
+        rec["queries"][name] = {"small_sec": t_small, "big_sec": t_big,
+                                "ratio_at_10x_data": ratio}
+        if ratio > 10.0:
+            superlinear.append(name)
+        print(f"  {name}: {t_small}s -> {t_big}s  ratio {ratio}",
+              file=sys.stderr)
+    rec["superlinear"] = superlinear
+    line = json.dumps(rec)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+    # partial fixture dirs are legal (e.g. a documents-only corpus from
+    # gen_testdata --tables); absent tables simply aren't registered and
+    # resolve() raises "unknown table" if a query asks for one
+    import os
+
+    return {t: load_table(spark, sf_dir, t) for t in TABLES
+            if os.path.exists(f"{sf_dir}/{t}.parquet")}
 
 
 def make_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

@@ -1089,6 +1089,62 @@ class _SearchState:
         return f"_vql_{tag}_{self.counter}"
 
 
+def _observed_operator_stats(df: DataFrame) -> str:
+    """Per-operator SQLMetrics from the executed plan (after an action):
+    nodeName + numOutputRows where the metric was populated. Best-effort
+    over py4j — any JVM surface drift degrades to the summary stats
+    rather than failing the query."""
+    try:
+        qe = df._jdf.queryExecution()
+        root = qe.executedPlan()
+        lines: list[str] = []
+
+        def walk(node, depth):
+            try:
+                m = node.metrics()
+                it = m.iterator()
+                parts = []
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() in ("numOutputRows", "spillSize",
+                                   "numFiles", "numPartitions"):
+                        v = kv._2().value()
+                        if v > 0:
+                            parts.append(f"{kv._1()}={v}")
+                if parts:
+                    lines.append("  " * depth + node.nodeName()
+                                 + ": " + ", ".join(parts))
+            except Exception:
+                pass
+            # AQE wrappers: the root exposes the final plan via
+            # executedPlan(); materialized stages wrap theirs in
+            # *QueryStage nodes reachable only through plan()
+            try:
+                cls = node.getClass().getSimpleName()
+                if cls == "AdaptiveSparkPlanExec":
+                    walk(node.executedPlan(), depth + 1)
+                    return
+                if cls.endswith("QueryStageExec") \
+                        or "QueryStage" in node.nodeName():
+                    walk(node.plan(), depth + 1)
+                    return
+            except Exception:
+                pass
+            try:
+                ch = node.children().iterator()
+                while ch.hasNext():
+                    walk(ch.next(), depth + 1)
+            except Exception:
+                pass
+
+        walk(root, 0)
+        if not lines:
+            return ""
+        return "\n-- operator metrics --\n" + "\n".join(lines)
+    except Exception:
+        return ""
+
+
 def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None,
               now_epoch: Optional[int] = None) -> DataFrame:
     """Parse (if needed) and translate a VelesQL query to a DataFrame."""
@@ -1106,13 +1162,30 @@ def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None,
         text = (f"-- VelesQL plan --\n{plan_tree(q.query)}\n\n"
                 f"-- Catalyst plan --\n{catalyst}")
         if q.analyze:
-            # EXPLAIN ANALYZE: execute and append runtime stats
-            # (explain.rs ExplainAnalyzeStats)
+            # EXPLAIN ANALYZE: execute and append OBSERVED stats, not
+            # just wall time — the reference's ExplainAnalyze carries
+            # per-run execution statistics (velesql/explain.rs:38-177).
+            # The row count comes from an Observation (flows through the
+            # executed plan itself, no second job); per-operator
+            # numOutputRows/spill metrics come from the executed plan's
+            # SQLMetrics after the action.
             import time as _time
 
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             t0 = _time.time()
-            n = df.count()
-            text += (f"\n\n-- ANALYZE --\nrows: {n}\n"
-                     f"elapsed_ms: {(_time.time() - t0) * 1000:.1f}")
+            # collect() (not count()/noop-write) so the action runs THIS
+            # DataFrame's own QueryExecution — that is the object whose
+            # SQLMetrics we read below; a separate write/count execution
+            # would leave them at zero. Result size is bounded by the
+            # VelesQL limit conventions (default 10, MAX_LIMIT cap).
+            observed.collect()
+            elapsed = (_time.time() - t0) * 1000
+            n = obs.get["rows"]
+            text += (f"\n\n-- ANALYZE (observed) --\nrows: {n}\n"
+                     f"elapsed_ms: {elapsed:.1f}")
+            text += _observed_operator_stats(observed)
         return df.sparkSession.createDataFrame([(text,)], "plan string")
     return Translator(catalog, params, now_epoch).query(q)
