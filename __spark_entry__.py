@@ -1738,6 +1738,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup"] = _stream_dedup
 
+    def _stream_interval(s, d):
+        # REAL stream-stream interval join (round 8, streaming twin of
+        # events_range_join): clicks vs errors within ±1 hour per user,
+        # watermarks on both sides so join state stays bounded; the
+        # availableNow drain must equal the batch inequality join
+        # (DuckDB BETWEEN oracle).
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from velesdb_spark.streaming.events import read_events_stream
+        from velesdb_spark.streaming.temporal import stream_interval_join
+
+        stage = tempfile.mkdtemp(prefix="events_sij_")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        try:
+            hour = 3600 * 1_000_000
+            left = (read_events_stream(s, stage)
+                    .filter((F.col("event_type") == "click")
+                            & (F.col("user_id") < 40))
+                    .select("event_id", "ts", "user_id"))
+            right = (read_events_stream(s, stage)
+                     .filter((F.col("event_type") == "error")
+                             & (F.col("user_id") < 40))
+                     .select("event_id", "ts", "user_id"))
+            out = stream_interval_join(left, right, lower_us=-hour,
+                                       upper_us=hour)
+            name = "stream_sij_" + uuid.uuid4().hex[:8]
+            qr = (out.writeStream.format("memory").queryName(name)
+                  .outputMode("append").trigger(availableNow=True).start())
+            if not qr.awaitTermination(180):
+                qr.stop()
+                raise TimeoutError("stream_interval drain exceeded 180s")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return (s.table(name)
+                .select("event_id", "event_id_right")
+                .orderBy("event_id", "event_id_right"))
+
+    q["stream_interval_join"] = _stream_interval
+
+    def _stream_asof(s, d):
+        # REAL streaming as-of join (round 8, streaming twin of
+        # events_asof): per-key applyInPandasWithState carries the
+        # still-matchable purchase history; each click emits the most
+        # recent purchase at-or-before it. One staged file = one
+        # micro-batch (sorted in-batch), so the drain is exactly the
+        # batch semantics — gated against DuckDB's NATIVE ASOF JOIN.
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from velesdb_spark.streaming.events import read_events_stream
+        from velesdb_spark.streaming.temporal import stream_asof_join
+
+        stage = tempfile.mkdtemp(prefix="events_sasof_")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        try:
+            ev = (read_events_stream(s, stage)
+                  .filter(F.col("event_type").isin("click", "purchase")
+                          & (F.col("user_id") < 40))
+                  .withColumn("_side",
+                              F.when(F.col("event_type") == "click",
+                                     F.lit(1)).otherwise(F.lit(0))))
+            out = stream_asof_join(ev)
+            name = "stream_sasof_" + uuid.uuid4().hex[:8]
+            qr = (out.writeStream.format("memory").queryName(name)
+                  .outputMode("append").trigger(availableNow=True).start())
+            if not qr.awaitTermination(180):
+                qr.stop()
+                raise TimeoutError("stream_asof drain exceeded 180s")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return (s.table(name)
+                .select("u_key", "l_id", "l_ts_us", "r_ts_us",
+                        F.round("r_val", 6).alias("r_val"))
+                .orderBy("l_id"))
+
+    q["stream_asof"] = _stream_asof
+
     def _events_sliding(s, d):
         # 1h windows sliding 15min (batch-mode F.window; same op streams
         # with a watermark — streaming/events.py sliding_avg)
@@ -2139,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-8 additions — first
     "ngram_jaccard_auto", "percentile_approx_price",
+    "stream_interval_join", "stream_asof",
     # ---- round-7 additions
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
@@ -3296,6 +3379,28 @@ FROM imp WHERE improvement >= 0.2"""
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2"""
+
+    o["stream_interval_join"] = """
+SELECT l.event_id AS event_id, r.event_id AS event_id_right
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'click' AND l.user_id < 40
+  AND r.event_type = 'error' AND r.user_id < 40
+ORDER BY 1, 2"""
+
+    # DuckDB NATIVE ASOF against the streaming stateful operator —
+    # the strongest oracle available for as-of semantics
+    o["stream_asof"] = """
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click' AND user_id < 40),
+     r AS (SELECT ts, user_id, value FROM events
+           WHERE event_type = 'purchase' AND user_id < 40)
+SELECT l.user_id AS u_key, l.event_id AS l_id,
+       epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us,
+       round(r.value, 6) AS r_val
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l_id"""
 
     o["stream_dedup"] = """
 SELECT event_type, COUNT(*) AS n FROM events

@@ -1,0 +1,160 @@
+"""Streaming twins of the batch temporal joins (streaming/temporal.py):
+availableNow drains compared against the batch operators on the same
+rows — the stream_hourly evidence pattern."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from velesdb_spark.streaming.temporal import (stream_asof_join,
+                                              stream_interval_join)
+
+SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+          "event_type string, value double")
+
+
+def _stage_single_file(df, write_dir, dest_file):
+    """File-source streams list FILES, not nested parquet output dirs —
+    write one part file and copy it flat into the watched directory."""
+    df.coalesce(1).write.parquet(str(write_dir))
+    part = next(p for p in os.listdir(write_dir)
+                if p.startswith("part-") and p.endswith(".parquet"))
+    shutil.copy(os.path.join(write_dir, part), dest_file)
+
+
+def _drain(df, name_prefix):
+    name = name_prefix + uuid.uuid4().hex[:8]
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream drain exceeded 120s"
+    return name
+
+
+@pytest.fixture()
+def event_rows(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(400):
+        rows.append((i, f"2024-01-01 {rng.randrange(24):02d}:"
+                     f"{rng.randrange(60):02d}:{rng.randrange(60):02d}",
+                     rng.randrange(8),
+                     rng.choice(["click", "error", "purchase"]),
+                     round(rng.random() * 100, 2)))
+    return spark.createDataFrame(
+        [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+        "event_id bigint, ts_s string, user_id bigint, "
+        "event_type string, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value")
+
+
+def test_stream_interval_join_equals_batch(spark, event_rows, tmp_path):
+    from velesdb_spark.operators.rangejoin import interval_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    lbatch = event_rows.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    rbatch = event_rows.filter(F.col("event_type") == "error") \
+        .select("event_id", "ts", "user_id")
+    lbatch.coalesce(1).write.parquet(ldir)
+    rbatch.coalesce(1).write.parquet(rdir)
+    sch = "event_id bigint, ts timestamp, user_id bigint"
+    ls = spark.readStream.schema(sch).parquet(ldir)
+    rs = spark.readStream.schema(sch).parquet(rdir)
+    out = stream_interval_join(ls, rs, lower_us=-3600_000_000,
+                               upper_us=3600_000_000)
+    name = _drain(out, "sij_")
+    got = sorted((r.event_id, r.event_id_right)
+                 for r in spark.table(name).collect())
+    want = sorted((r.event_id, r.event_id_right)
+                  for r in interval_join(
+                      lbatch, rbatch, on="ts", by="user_id",
+                      lower_us=-3600_000_000,
+                      upper_us=3600_000_000).collect())
+    assert got == want and len(got) == len(set(got))  # exactly-once
+    assert len(want) > 0
+
+
+def test_stream_asof_join_equals_batch(spark, event_rows, tmp_path):
+    """Two CHRONOLOGICAL micro-batches (time-ordered arrival, the
+    documented exactness contract): the stateful streaming as-of must
+    equal the batch union+window operator row for row, including
+    same-timestamp visibility and unmatched-left nulls."""
+    from velesdb_spark.operators.asof import asof_join
+
+    left = event_rows.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    right = event_rows.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+
+    tagged = (left.withColumn("_side", F.lit(1))
+              .withColumn("value", F.lit(None).cast("double"))
+              .unionByName(right.withColumn("_side", F.lit(0))))
+    d = str(tmp_path / "tagged")
+    os.makedirs(d)
+    cutoff = "2024-01-01 12:00:00"
+    for i, part in enumerate((tagged.filter(F.col("ts") < cutoff),
+                              tagged.filter(F.col("ts") >= cutoff))):
+        _stage_single_file(part, tmp_path / f"w{i}", f"{d}/b{i}.parquet")
+    # lexicographic file order == chronological order here
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "value double, _side int")
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = stream_asof_join(stream)
+    name = _drain(out, "sasof_")
+    got = {r.l_id: (r.u_key, r.l_ts_us, r.r_ts_us, r.r_val)
+           for r in spark.table(name).collect()}
+
+    want_df = asof_join(left, right.select("user_id", "ts", "value"),
+                        on="ts", by="user_id")
+    want = {r.event_id: (r.user_id,
+                         _us(r.ts), _us(r.ts_right),
+                         r.value_right)
+            for r in want_df.collect()}
+    assert got == want and len(got) == left.count()
+    # both matched and unmatched lefts occur
+    assert any(v[2] is None for v in got.values())
+    assert any(v[2] is not None for v in got.values())
+
+
+def _us(ts):
+    if ts is None:
+        return None
+    import calendar
+
+    return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+
+
+def test_stream_asof_state_is_pruned(spark, tmp_path):
+    """The right-side buffer must not grow with history: after a left
+    probe at time T, rights strictly older than the newest right <= T
+    are dropped. Proven via many rights before one left — the emitted
+    match is the newest, and a second later left still matches
+    correctly (boundary right retained)."""
+    rows = [(100 + i, f"2024-01-01 00:{i:02d}:00", 1, 0, float(i))
+            for i in range(30)]                      # 30 rights
+    rows.append((1, "2024-01-01 00:35:00", 1, 1, None))   # left probe
+    rows.append((2, "2024-01-01 00:36:00", 1, 1, None))   # later left
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, "
+              "_side int, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "value", "_side")
+    d = str(tmp_path / "pruned")
+    os.makedirs(d)
+    _stage_single_file(df, tmp_path / "w", f"{d}/b0.parquet")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double, "
+        "_side int").parquet(d)
+    name = _drain(stream_asof_join(stream), "sprune_")
+    got = {r.l_id: r.r_val for r in spark.table(name).collect()}
+    assert got == {1: 29.0, 2: 29.0}
