@@ -404,3 +404,41 @@ def test_quoted_identifiers_spec_examples():
     assert q.columns[0].name == 'col"name'
     q = parse("SELECT id AS `select` FROM docs ORDER BY `order` ASC")
     assert q.columns[0].alias == "select"
+
+
+def test_aggregate_star_only_count_is_valid():
+    """Reference pr_review_bugfix_tests.rs:14-93 (bug #10): SUM(*),
+    AVG(*), MIN(*), MAX(*) must be rejected; COUNT(*) and SUM(col)
+    succeed."""
+    for fn in ("SUM", "AVG", "MIN", "MAX"):
+        with pytest.raises(VelesQLSyntaxError):
+            parse(f"SELECT {fn}(*) FROM products")
+    q = parse("SELECT COUNT(*) FROM products")
+    assert q.columns[0].func == "count" and q.columns[0].arg == "*"
+    q = parse("SELECT SUM(price) FROM products")
+    assert q.columns[0].func == "sum" and q.columns[0].arg == "price"
+
+
+def test_with_option_keys_case_insensitive():
+    """Reference pr_review_bugfix_tests.rs:218 (bug #8): WITH option
+    keys normalize case — MAX_GROUPS / Max_Groups / max_groups all
+    reach the translator as max_groups."""
+    for spelling in ("max_groups", "MAX_GROUPS", "Max_Groups"):
+        q = parse("SELECT category FROM products GROUP BY category "
+                  f"WITH ({spelling} = 100)")
+        assert q.with_options == {"max_groups": 100}, spelling
+
+
+def test_orderby_multi_direction_parsing():
+    """Reference orderby_multi_tests.rs:12-94: per-column direction,
+    default ASC, aggregate and mixed expressions."""
+    q = parse("SELECT * FROM products ORDER BY category ASC, price DESC")
+    assert [(i.expr, i.ascending) for i in q.order_by] == \
+        [("category", True), ("price", False)]
+    q = parse("SELECT * FROM products ORDER BY price, category")
+    assert all(i.ascending for i in q.order_by)
+    q = parse("SELECT category, COUNT(*), AVG(price) FROM products "
+              "GROUP BY category ORDER BY COUNT(*) DESC, category ASC")
+    from velesdb_spark.velesql import ast as A
+    assert isinstance(q.order_by[0].expr, A.Aggregate)
+    assert not q.order_by[0].ascending and q.order_by[1].ascending

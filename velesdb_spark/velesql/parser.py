@@ -206,7 +206,10 @@ class _Parser:
             self.advance()
             self.expect_punct("(")
             while True:
-                name = self.identifier()
+                # option KEYS are case-insensitive (reference
+                # pr_review_bugfix_tests.rs:218 — WITH (MAX_GROUPS=100)
+                # must behave like max_groups); values keep their case
+                name = self.identifier().lower()
                 self.expect_punct("=")
                 with_options[name] = self.with_value()
                 if not self.accept_punct(","):

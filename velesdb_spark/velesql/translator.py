@@ -327,6 +327,23 @@ class Translator:
 
         aggs = [agg_expr(a) for a in agg_items]
         seen = {a.output_name for a in agg_items}
+        # ORDER BY <aggregate> resolution (reference
+        # orderby_multi_tests.rs:30-77): the sort must find the SAME
+        # aggregate even when the select list aliased it (COUNT(*) AS n
+        # ... ORDER BY COUNT(*) DESC), and an aggregate ordered on but
+        # not projected is computed for the sort only and dropped by the
+        # final projection.
+        agg_by_shape = {(a.func, a.arg): a.output_name for a in agg_items}
+        order_agg_names: dict[int, str] = {}
+        order_extra = []
+        for oi, item in enumerate(s.order_by or []):
+            if isinstance(item.expr, ast.Aggregate):
+                name = agg_by_shape.get((item.expr.func, item.expr.arg))
+                if name is None:
+                    name = f"_vql_ord_{len(order_extra)}"
+                    order_extra.append(agg_expr(ast.Aggregate(
+                        item.expr.func, item.expr.arg, name)))
+                order_agg_names[oi] = name
         having_extra = []
         having_terms = []
         if s.having:
@@ -345,7 +362,9 @@ class Translator:
 
         if group_cols:
             keys = [_col(g).alias(g) for g in group_cols]
-            grouped = base.groupBy(*keys).agg(*(aggs + having_extra)) if aggs or having_extra \
+            grouped = base.groupBy(*keys) \
+                .agg(*(aggs + having_extra + order_extra)) \
+                if aggs or having_extra or order_extra \
                 else base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_vql_cnt")).drop("_vql_cnt")
             if s.with_options.get("max_groups"):
                 maxg = int(s.with_options["max_groups"])
@@ -356,7 +375,7 @@ class Translator:
         else:
             if plain_cols:
                 raise TranslationError("mixed select requires GROUP BY")
-            grouped = base.agg(*(aggs + having_extra))
+            grouped = base.agg(*(aggs + having_extra + order_extra))
 
         having_sq_tags = []
         if s.having:
@@ -386,14 +405,17 @@ class Translator:
             *having_sq_tags)
 
         order_exprs = []
-        for item in s.order_by:
+        for oi, item in enumerate(s.order_by):
             if isinstance(item.expr, ast.Aggregate):
-                c = F.col(item.expr.output_name)
+                c = F.col(order_agg_names[oi])
             else:
                 c = F.col(item.expr)
             order_exprs.append(c.asc() if item.ascending else c.desc())
         if order_exprs:
             grouped = grouped.orderBy(*order_exprs)
+        if order_extra and not s.columns:
+            grouped = grouped.drop(
+                *[f"_vql_ord_{i}" for i in range(len(order_extra))])
 
         # project in select-list order
         out_cols = []
