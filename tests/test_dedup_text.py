@@ -635,6 +635,36 @@ def test_ngram_auto_strategy_picks_by_df_and_matches_both(spark):
     dedup.release_staged()
 
 
+def test_ngram_auto_probe_memoized_per_corpus(spark):
+    """The auto-strategy probe is corpus statistics, memoized by the
+    logical plan's semanticHash (ANALYZE-TABLE spirit): repeated calls
+    over the same corpus pay the probe aggregate once, and memoization
+    can never change results because both strategies are exact."""
+    from velesdb_spark.functions import dedup as dd
+
+    rows = [(i, f"alpha beta gamma delta epsilon {i % 7}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    calls = {"n": 0}
+    real = dd._probe_prefix_wins
+
+    dd._PROBE_CACHE.clear()
+    def counting(ex):
+        calls["n"] += 1
+        return real(ex)
+    dd._probe_prefix_wins = counting
+    try:
+        first = {(r.id_a, r.id_b) for r in
+                 dd.ngram_jaccard_pairs(df, 0.4).collect()}
+        second = {(r.id_a, r.id_b) for r in
+                  dd.ngram_jaccard_pairs(df, 0.4).collect()}
+    finally:
+        dd._probe_prefix_wins = real
+        dd.release_staged()
+    assert first == second
+    assert calls["n"] == 1, calls
+
+
 def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     """prefer_col flips the representative: min-id keeps doc 1, but
     keep-longest keeps doc 2 (higher id, longer text); ties fall back

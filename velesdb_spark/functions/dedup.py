@@ -190,6 +190,15 @@ def release_staged() -> None:
 
 
 AUTO_PREFIX_DF_CUTOFF = 2
+# Probe sampling: keep 1/PROBE_KEY_MOD of the shingle-hash key space. A
+# key that survives the filter keeps its EXACT document frequency (every
+# posting of a shingle shares the hash), so the df regime the probe sees
+# is scale-invariant — doc-sampling would deflate df and flip the pick at
+# small scale factors. Below PROBE_MIN_KEYS sampled keys the estimate is
+# too thin (tiny corpora, closed vocabularies with few distinct
+# shingles) and the probe falls back to the full distribution.
+PROBE_KEY_MOD = 64
+PROBE_MIN_KEYS = 200
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -275,7 +284,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
             # caller choosing the documented-lossy plain path
             prefix_filter = False
         else:
-            prefix_filter = _probe_prefix_wins(ex)
+            prefix_filter = _probe_cached(ex)
     if prefix_filter and threshold > 0.0:
         out = _ngram_prefix_join(base, ex, float(threshold))
         if return_handle:
@@ -312,15 +321,50 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     return out
 
 
+# Memoized probe picks, keyed by the logical plan's semanticHash — the
+# strategy decision is corpus statistics (same spirit as ANALYZE TABLE),
+# so repeated jobs over the same corpus pay the probe once. Safe to
+# memoize because BOTH strategies are exact: a stale or hash-colliding
+# entry can only swap two result-identical plans, never change output.
+_PROBE_CACHE: dict[int, bool] = {}
+_PROBE_CACHE_MAX = 64
+
+
+def _probe_cached(ex: DataFrame) -> bool:
+    try:
+        key = ex.semanticHash()
+    except Exception:
+        return _probe_prefix_wins(ex)
+    hit = _PROBE_CACHE.get(key)
+    if hit is None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.clear()
+        hit = _PROBE_CACHE[key] = _probe_prefix_wins(ex)
+    return hit
+
+
 def _probe_prefix_wins(ex: DataFrame) -> bool:
     """The auto-strategy probe: 5th-percentile document frequency across
     distinct shingles. Prefix postings are the RAREST shingles, so this
     is the df regime the pruned join would actually scan — df ≈ 1 ⟹
     ~O(N) candidates ⟹ prefix wins; df in the tens+ (closed vocabulary)
     ⟹ pruning is weak and the plain join's fewer stages win (measured
-    ~2× at sf1). One map-combinable aggregate, one driver-side scalar —
-    the cost a 100 TB job pays once to avoid a Σdf²/2 candidate
-    explosion that would never complete."""
+    ~2× at sf1). The distribution is estimated from a hash-range sample
+    of shingle KEYS (1/PROBE_KEY_MOD of the key space): each sampled key
+    carries its exact df, so only the shuffle shrinks, not the df values
+    — one small map-combinable aggregate, one driver-side scalar, the
+    cost a 100 TB job pays once to avoid a Σdf²/2 candidate explosion
+    that would never complete. Thin samples (fewer than PROBE_MIN_KEYS
+    distinct shingles survive the hash filter) fall back to the exact
+    full-distribution aggregate, so tiny corpora keep the deterministic
+    pick."""
+    row = (ex.filter(F.pmod(F.col("_s"), F.lit(PROBE_KEY_MOD)) == 0)
+           .groupBy("_s").agg(F.count("*").alias("_df"))
+           .agg(F.count("*").alias("_n"),
+                F.percentile_approx("_df", 0.05, 1000).alias("_p"))
+           .first())
+    if row["_n"] >= PROBE_MIN_KEYS:
+        return row["_p"] is not None and row["_p"] <= AUTO_PREFIX_DF_CUTOFF
     p05 = (ex.groupBy("_s").agg(F.count("*").alias("_df"))
            .agg(F.percentile_approx("_df", 0.05, 1000).alias("_p"))
            .first()["_p"])
