@@ -1290,6 +1290,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["content_fingerprint"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", dd.content_fingerprint(F.col("text")).alias("fp"))
 
+    # --- train/eval decontamination (round 8) -------------------------
+    # eval = every 17th doc (a benchmark-sized held-out slice), train =
+    # the rest; contaminated = sharing ≥2 distinct 3-gram shingles.
+    # Spark runs the broadcast-eval postings join (the train corpus is
+    # never shuffled); the oracle recomputes from the plain SQL shingle
+    # formula, so a hash match proves the broadcast pipeline loses and
+    # invents nothing.
+    def _decontam_split(s, d):
+        docs = _t(s, d, "documents")
+        return (docs.filter(F.col("doc_id") % 17 != 0),
+                docs.filter(F.col("doc_id") % 17 == 0))
+
+    def _decontam_report(s, d):
+        from velesdb_spark.functions import decontam as dct
+
+        train, ev = _decontam_split(s, d)
+        return dct.contamination_report(train, ev, "text", "doc_id",
+                                        min_shared=2)
+
+    q["decontam_report"] = _decontam_report
+
+    def _decontam_clean(s, d):
+        from velesdb_spark.functions import decontam as dct
+
+        train, ev = _decontam_split(s, d)
+        return dct.decontaminate(train, ev, "text", "doc_id",
+                                 min_shared=2).select("doc_id")
+
+    q["decontam_clean"] = _decontam_clean
+
+    # --- Gopher-style repetition metrics (round 8) --------------------
+    # map-only run-length fold over sorted 2-gram multisets; the oracle
+    # is the explode+GROUP BY frequency-table formulation — different
+    # physical shape, identical values.
+    q["repetition_stats"] = lambda s, d: ta.repetition_stats_df(
+        _t(s, d, "documents"), "text", "doc_id").select(
+            F.col("_id").alias("doc_id"), "n_grams",
+            F.round("top_frac", 6).alias("top_frac"),
+            F.round("dup_frac", 6).alias("dup_frac"))
+
+    # --- deterministic per-epoch corpus shuffle (round 8) -------------
+    # global position WITHOUT a single-partition sort: range exchange +
+    # per-partition windows + broadcast prefix offsets; oracle is the
+    # naive ROW_NUMBER() OVER (ORDER BY md5key) the operator refuses to
+    # execute physically.
+    def _epoch_shuffle(s, d):
+        from velesdb_spark.functions.sampling import epoch_shuffle
+
+        return epoch_shuffle(_t(s, d, "documents"), "epoch1", "doc_id") \
+            .select("doc_id", "pos")
+
+    q["epoch_shuffle"] = _epoch_shuffle
+
     # END-TO-END curation pipeline — the training-data shape the engine
     # exists for, as ONE lazy plan: score quality + language + fingerprint
     # + token counts, keep the best-quality representative per exact-dup
@@ -2265,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-8 additions — first
+    "decontam_report", "decontam_clean", "repetition_stats",
+    "epoch_shuffle",
     "ngram_jaccard_auto", "percentile_approx_price",
     "stream_interval_join", "stream_asof", "orderby_mixed_agg",
     "orderby_unprojected_agg", "full_featured_near",
@@ -2759,6 +2814,72 @@ WITH fp AS (
   SELECT doc_id, CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT) AS f
   FROM documents)
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f"""
+
+    # round-8 pipeline gates ------------------------------------------
+    _sh3 = ("CASE WHEN len(t) > 0 THEN list_distinct("
+            "[array_to_string(t[i:i+2], ' ') "
+            "for i in range(1, greatest(len(t) - 2, 1) + 1)]) "
+            "ELSE [] END")
+    o["decontam_report"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_sh3} AS s FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       count(*) AS shared
+FROM ex tr JOIN ex ev ON tr.g = ev.g
+WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+    o["decontam_clean"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_sh3} AS s FROM toks
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), bad AS (
+  SELECT tr.doc_id AS doc_id
+  FROM ex tr JOIN ex ev ON tr.g = ev.g
+  WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0
+  GROUP BY tr.doc_id, ev.doc_id HAVING count(*) >= 2
+)
+SELECT d.doc_id AS doc_id FROM documents d
+WHERE d.doc_id % 17 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+    o["repetition_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS gs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), freq AS (
+  SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(c) AS total, max(c) AS best,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM freq GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(a.total, 0) AS INT) AS n_grams,
+       round(coalesce(a.best * 1.0 / a.total, 0.0), 6) AS top_frac,
+       round(coalesce(a.dup * 1.0 / a.total, 0.0), 6) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["epoch_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS k
+      FROM documents)"""
 
     o["ngram_jaccard"] = f"""
 WITH toks AS (

@@ -1,0 +1,137 @@
+"""Round-8 pipeline operators: decontamination, repetition metrics,
+epoch shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from velesdb_spark.functions import decontam as dc
+from velesdb_spark.functions.sampling import epoch_shuffle, shuffle_key
+from velesdb_spark.functions.text_analysis import repetition_stats_df
+
+
+def test_repetition_stats_hand_computed(spark):
+    """top_frac / dup_frac against hand-counted 2-gram multisets,
+    including the empty-doc and all-identical edge cases."""
+    rows = [(1, "a b a b a b c"),   # grams: ab ba ab ba ab bc
+            (2, "x y z w"),        # 3 distinct grams
+            (3, ""),               # no grams
+            (4, "q q q q q")]      # 'q q' ×4
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r["_id"]: r for r in repetition_stats_df(df).collect()}
+    assert out[1]["n_grams"] == 6
+    assert abs(out[1]["top_frac"] - 3 / 6) < 1e-12      # 'a b' ×3
+    assert abs(out[1]["dup_frac"] - 5 / 6) < 1e-12      # ab×3 + ba×2
+    assert out[2]["n_grams"] == 3 and out[2]["dup_frac"] == 0.0
+    assert abs(out[2]["top_frac"] - 1 / 3) < 1e-12
+    assert out[3]["n_grams"] == 0
+    assert out[3]["top_frac"] == 0.0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["top_frac"] == 1.0 and out[4]["dup_frac"] == 1.0
+
+
+def test_repetition_stats_matches_explode_groupby(spark):
+    """The map-only run-length fold must equal the explode+groupBy
+    frequency-table formulation on arbitrary corpus text (differential
+    against the shuffle-based reference implementation)."""
+    import random
+
+    from velesdb_spark.functions.text_analysis import (ngram_multiset,
+                                                       normalized_text,
+                                                       word_tokens)
+
+    rng = random.Random(8)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    fold = {r["_id"]: (r["n_grams"], round(r["top_frac"], 9),
+                       round(r["dup_frac"], 9))
+            for r in repetition_stats_df(df).collect()}
+
+    toks = df.select(F.col("id").alias("_id"),
+                     word_tokens(normalized_text(F.col("text")))
+                     .alias("_toks"))
+    ref = (toks.select("_id",
+                       F.explode(ngram_multiset(F.col("_toks"), 2))
+                       .alias("_g"))
+           .groupBy("_id", "_g").agg(F.count("*").alias("c"))
+           .groupBy("_id")
+           .agg(F.sum("c").alias("total"), F.max("c").alias("best"),
+                F.sum(F.when(F.col("c") > 1, F.col("c"))
+                      .otherwise(F.lit(0))).alias("dup")))
+    ref_map = {r["_id"]: (r["total"],
+                          round(r["best"] / r["total"], 9),
+                          round(r["dup"] / r["total"], 9))
+               for r in ref.collect()}
+    for _id, vals in ref_map.items():
+        assert fold[_id] == vals, (_id, fold[_id], vals)
+    # docs with <2 tokens never reach ref_map (no exploded rows): the
+    # fold must report the zero struct for them
+    for _id, vals in fold.items():
+        if _id not in ref_map:
+            assert vals == (0, 0.0, 0.0)
+
+
+def test_decontaminate_flags_shared_shingles_only(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"),
+         (2, "totally unrelated words appear here now"),
+         (3, "a quick brown fox runs away fast"),
+         (4, "")],
+        "id bigint, text string")
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox appear")],
+        "id bigint, text string")
+    rep = {(r.train_id, r.eval_id): r.shared
+           for r in dc.contamination_report(train, ev).collect()}
+    # docs 1 and 3 share the 'quick brown fox' 3-gram; 2 and 4 are clean
+    assert set(rep) == {(1, 100), (3, 100)}
+    assert rep[(1, 100)] >= 1
+    kept = sorted(r.id for r in dc.decontaminate(train, ev).collect())
+    assert kept == [2, 4]
+    # min_shared above the overlap keeps everything
+    kept2 = sorted(r.id for r in
+                   dc.decontaminate(train, ev, min_shared=5).collect())
+    assert kept2 == [1, 2, 3, 4]
+    # decontaminate preserves the full row schema
+    assert dc.decontaminate(train, ev).columns == ["id", "text"]
+
+
+def test_decontam_plan_broadcasts_eval_side(spark):
+    """The train corpus must never shuffle for the contamination join:
+    the eval postings are broadcast (plan-asserted)."""
+    train = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "id bigint, text string")
+    ev = spark.createDataFrame([(9, "w10 w11 w12 w13")],
+                               "id bigint, text string")
+    plan = dc.contamination_report(train, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_exact_permutation_and_plan(spark):
+    df = spark.range(0, 500)
+    out = epoch_shuffle(df, "epochA", "id", partitions=7)
+    rows = out.collect()
+    assert sorted(r.pos for r in rows) == list(range(1, 501))
+    # equals the single-sort global order (the semantics being avoided
+    # physically must still be matched exactly)
+    exp = df.withColumn("_k", shuffle_key(F.col("id"), "epochA")) \
+        .orderBy("_k", "id").collect()
+    expmap = {r.id: i + 1 for i, r in enumerate(exp)}
+    assert all(expmap[r.id] == r.pos for r in rows)
+    # a different seed is a different permutation
+    other = {r.id: r.pos for r in
+             epoch_shuffle(df, "epochB", "id", partitions=7).collect()}
+    assert any(other[r.id] != r.pos for r in rows)
+    # deterministic across invocations
+    again = {r.id: r.pos for r in
+             epoch_shuffle(df, "epochA", "id", partitions=7).collect()}
+    assert {(r.id, r.pos) for r in rows} == set(again.items())
+    # scale shape: the numbering window is partitioned — no global sort,
+    # no single-partition exchange in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -50,3 +50,57 @@ def weighted_sample_topk(df: DataFrame, k: int, weight_col: str,
     return (df.withColumn("_wkey", key)
             .orderBy(F.desc("_wkey"), F.asc(id_col))
             .limit(int(k)))
+
+
+def shuffle_key(id_col: Column, seed: str = "epoch0") -> Column:
+    """Per-epoch pseudo-random order key: md5-derived 60-bit BIGINT of
+    seed:id — engine-reproducible (DuckDB:
+    CAST(('0x' || substr(md5(seed || ':' || id), 1, 15)) AS BIGINT))."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+
+
+def epoch_shuffle(df: DataFrame, seed: str = "epoch0",
+                  id_col: str = "id",
+                  partitions: int | None = None) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    1-based global position in the order (shuffle_key, id) — a fresh
+    pseudo-random permutation per seed ("epoch0", "epoch1", …), the
+    standard per-epoch corpus shuffle before sequence packing.
+
+    100 TB design: a naive ROW_NUMBER() OVER (ORDER BY key) is a
+    single-partition sort. Here the position is assembled scalably:
+    range-repartition on (key, id) — Spark's sampled range exchange —
+    then ONE tiny per-partition-count aggregate builds broadcast prefix
+    offsets, and each partition numbers its own rows with a window
+    PARTITIONED BY partition id (parallel, no global exchange). The
+    repartitioned input is eagerly localCheckpoint-ed so the counts job
+    and the numbering job see identical partition assignment (range
+    boundaries are sampled, so an uncheckpointed lineage could re-draw
+    them between jobs and mis-offset every position).
+
+    Positions are exact and deterministic: 1..N, each exactly once,
+    independent of the (nondeterministic) range boundaries."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "200"))
+    keyed = df.withColumn("_k", shuffle_key(F.col(id_col), seed))
+    part = keyed.repartitionByRange(int(partitions), "_k", id_col) \
+        .withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=True)
+    counts = {r["_pid"]: r["n"] for r in
+              part.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    return (part.join(F.broadcast(off_df), "_pid")
+            .withColumn("pos", F.row_number().over(w) + F.col("_off"))
+            .drop("_pid", "_off", "_k"))

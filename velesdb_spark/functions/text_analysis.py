@@ -127,6 +127,74 @@ def text_stats_df(df, text_col: str = "text", id_col: str = "id",
     )
 
 
+def ngram_multiset(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH duplicates — repetition analysis needs the
+    multiset (dedup.shingles_from_tokens dedups for Jaccard). Empty
+    array when the doc has fewer than n tokens."""
+    k = F.size(toks)
+    grams = F.transform(F.sequence(F.lit(1), k - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_from_sorted_grams(grams: Column) -> Column:
+    """struct(n_grams, top_frac, dup_frac) from a SORTED n-gram multiset:
+    Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
+    public quality heuristics; the reference engine has no text-quality
+    module). top_frac = share of n-gram occurrences claimed by the single
+    most frequent n-gram; dup_frac = share claimed by n-grams occurring
+    more than once. Computed as a run-length fold over the sorted array —
+    map-only, no explode, no shuffle: the per-doc frequency table never
+    materializes, which is what lets this run inside a scan at 100 TB.
+
+    Pass a STAGED sorted-gram column (prior select), not the expression —
+    the fold and size() both reference it (CollapseProject keeps staged
+    non-cheap aliases, see dedup.shingles_from_tokens)."""
+    total = F.size(grams)
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit(0).alias("dup"))
+
+    def step(acc, x):
+        closes = x != acc["prev"]
+        best = F.when(closes, F.greatest(acc["best"], acc["run"])) \
+            .otherwise(acc["best"])
+        dup = F.when(closes & (acc["run"] > 1), acc["dup"] + acc["run"]) \
+            .otherwise(acc["dup"])
+        run = F.when(closes, F.lit(1)).otherwise(acc["run"] + 1)
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        best.alias("best"), dup.alias("dup"))
+
+    def fin(acc):
+        return F.struct(
+            F.greatest(acc["best"], acc["run"]).alias("best"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"]).alias("dup"))
+
+    folded = F.aggregate(grams, acc0, step, fin)
+    top = F.when(total > 0, folded["best"] / total).otherwise(F.lit(0.0))
+    dupf = F.when(total > 0, folded["dup"] / total).otherwise(F.lit(0.0))
+    return F.struct(total.alias("n_grams"), top.alias("top_frac"),
+                    dupf.alias("dup_frac"))
+
+
+def repetition_stats_df(df, text_col: str = "text", id_col: str = "id",
+                        n: int = 2):
+    """Per-doc repetition signals: (_id, n_grams, top_frac, dup_frac).
+    Three staged selects so tokenization, gram-building and the fold each
+    evaluate once per row."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     word_tokens(normalized_text(F.col(text_col)))
+                     .alias("_toks"))
+    grams = toks.select(
+        "_id", F.array_sort(ngram_multiset(F.col("_toks"), n)).alias("_g"))
+    rep = grams.select(
+        "_id", repetition_from_sorted_grams(F.col("_g")).alias("_r"))
+    return rep.select(
+        "_id", F.col("_r.n_grams").alias("n_grams"),
+        F.col("_r.top_frac").alias("top_frac"),
+        F.col("_r.dup_frac").alias("dup_frac"))
+
+
 def fingerprint64(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint: first 16 hex chars of md5
     → BIGINT (reference has no fingerprinting; rolling-hash analog for
