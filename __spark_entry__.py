@@ -542,6 +542,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ORDER BY similarity(vector, $v) DESC LIMIT 10 "
         "WITH (ef_search = 400)", {"v": QV1})
 
+    # aggregation_params_tests.rs:15-96 (Bug 5: "aggregation params
+    # become NULL") — $params in an aggregate query's WHERE must filter
+    # BEFORE aggregation, flat and grouped. The reference fixed its
+    # executor ignoring the params map entirely; these execute both
+    # shapes against the oracle running the resolved literal.
+    q["agg_params"] = lambda s, d: _vql(
+        s, d,
+        "SELECT COUNT(*), SUM(value) FROM events WHERE event_type = $t",
+        {"t": "click"}).select(
+            F.col("count").alias("n"),
+            F.round("sum_value", 4).alias("sv"))
+
+    q["agg_params_grouped"] = lambda s, d: _vql(
+        s, d,
+        "SELECT event_type, AVG(value) FROM events WHERE value > $min "
+        "GROUP BY event_type", {"min": 50.0}).select(
+            "event_type", F.round("avg_value", 6).alias("av"))
+
+    # distinct_tests.rs:203-238 — DISTINCT over a column that is missing
+    # on a subset of rows returns the present values plus EXACTLY ONE
+    # consolidated NULL row. The nullable column is derived (the fixture
+    # has no nulls) and registered as its own catalog table; the oracle
+    # re-derives it in SQL.
+    def _distinct_nulls(s, d):
+        ev = _t(s, d, "events")
+        prod = ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 4 != 3,
+                   F.when(F.col("event_id") % 4 <= 1, F.lit("A"))
+                   .otherwise(F.lit("B"))).alias("category"))
+        _catalog(s, d).register("products_nulls", prod)
+        # the consolidation happens inside the translator's DISTINCT; the
+        # output edge maps the one NULL row to a sentinel because the
+        # driver's row-hash canonicalization may not order NULLs
+        return _vql(s, d, "SELECT DISTINCT category FROM products_nulls") \
+            .select(F.coalesce(F.col("category"), F.lit("<null>"))
+                    .alias("category"))
+
+    q["distinct_nulls"] = _distinct_nulls
+
+    # groupby_tests.rs:480-521 — GROUP BY metadata.source where the
+    # nested path is missing for some docs: one NULL group, COUNT(*)
+    # counting the missing docs. Also locks the round-8 _flat fix (the
+    # aggregated output column is literally named 'metadata.source' and
+    # must not be re-parsed as struct access in the projection).
+    def _groupby_nested_null(s, d):
+        ev = _t(s, d, "events")
+        meta = ev.select(
+            "event_id",
+            F.struct(
+                F.when(F.col("event_id") % 3 == 0,
+                       F.concat(F.lit("src"),
+                                (F.col("event_id") % 2).cast("string")))
+                .alias("source")).alias("metadata"))
+        _catalog(s, d).register("events_meta", meta)
+        return _vql(
+            s, d,
+            "SELECT metadata.source, COUNT(*) FROM events_meta "
+            "GROUP BY metadata.source").select(
+                F.coalesce(F.col("`metadata.source`"), F.lit("<null>"))
+                .alias("src"),
+                F.col("count").alias("n"))
+
+    q["groupby_nested_null"] = _groupby_nested_null
+
     q["set_union"] = lambda s, d: _vql(
         s, d,
         "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
@@ -2319,7 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-8 additions — first
     "decontam_report", "decontam_clean", "repetition_stats",
-    "epoch_shuffle",
+    "epoch_shuffle", "agg_params", "agg_params_grouped",
+    "distinct_nulls", "groupby_nested_null",
     "ngram_jaccard_auto", "percentile_approx_price",
     "stream_interval_join", "stream_asof", "orderby_mixed_agg",
     "orderby_unprojected_agg", "full_featured_near",
@@ -2814,6 +2880,27 @@ WITH fp AS (
   SELECT doc_id, CAST(('0x' || substr(md5({norm}), 1, 15)) AS BIGINT) AS f
   FROM documents)
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f"""
+
+    # round-8 reference-test ports ------------------------------------
+    o["agg_params"] = (
+        "SELECT COUNT(*) AS n, round(SUM(value), 4) AS sv "
+        "FROM events WHERE event_type = 'click'")
+
+    o["agg_params_grouped"] = (
+        "SELECT event_type, round(AVG(value), 6) AS av "
+        "FROM events WHERE value > 50.0 GROUP BY event_type")
+
+    o["distinct_nulls"] = """
+SELECT DISTINCT COALESCE(CASE WHEN event_id % 4 <> 3 THEN
+         CASE WHEN event_id % 4 <= 1 THEN 'A' ELSE 'B' END
+       END, '<null>') AS category
+FROM events"""
+
+    o["groupby_nested_null"] = """
+SELECT COALESCE(CASE WHEN event_id % 3 = 0
+            THEN 'src' || CAST(event_id % 2 AS VARCHAR) END, '<null>') AS src,
+       COUNT(*) AS n
+FROM events GROUP BY 1"""
 
     # round-8 pipeline gates ------------------------------------------
     _sh3 = ("CASE WHEN len(t) > 0 THEN list_distinct("

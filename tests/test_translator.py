@@ -488,3 +488,72 @@ def test_temporal_partition_pruning(spark, catalog, tmp_path_factory):
         now_epoch=1706659200)
     assert sorted(r.event_id for r in pruned.collect()) == \
         sorted(r.event_id for r in base.collect())
+
+
+def test_groupby_nested_path_null_group(spark):
+    """groupby_tests.rs:480-521 — GROUP BY metadata.source: docs whose
+    nested path is missing consolidate into ONE NULL group whose
+    COUNT(*) counts them; present values group normally. Also the
+    round-8 _flat regression: the aggregated output column is literally
+    named 'metadata.source', which the final projection / ORDER BY must
+    reference backtick-quoted, not re-parse as struct access."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    rows = [(1, ("web",)), (2, (None,)), (3, (None,)), (4, ("app",)),
+            (5, ("web",))]
+    df = spark.createDataFrame(
+        rows, "id bigint, metadata struct<source: string>")
+    cat = Catalog().register("events_m", df)
+    out = translate(
+        "SELECT metadata.source, COUNT(*) FROM events_m "
+        "GROUP BY metadata.source ORDER BY COUNT(*) DESC", cat)
+    assert out.columns == ["metadata.source", "count"]
+    got = [(r["metadata.source"], r["count"]) for r in out.collect()]
+    assert got == [(None, 2), ("web", 2), ("app", 1)] or \
+        got == [("web", 2), (None, 2), ("app", 1)]
+    # HAVING on an aggregate over a nested arg + ORDER BY nested key
+    out2 = translate(
+        "SELECT metadata.source FROM events_m "
+        "GROUP BY metadata.source HAVING COUNT(*) > 1 "
+        "ORDER BY metadata.source ASC", cat)
+    vals = [r["metadata.source"] for r in out2.collect()]
+    assert vals == [None, "web"] or vals == ["web", None]
+
+
+def test_distinct_consolidates_nulls(spark):
+    """distinct_tests.rs:203-238 — SELECT DISTINCT over a column where
+    some rows lack the value: exactly one NULL row comes back alongside
+    the distinct present values."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "A"), (4, None)],
+        "id bigint, category string")
+    cat = Catalog().register("products", df)
+    out = translate("SELECT DISTINCT category FROM products", cat)
+    got = sorted((r.category or "") for r in out.collect())
+    assert got == ["", "A"]
+
+
+def test_aggregate_params_resolved(spark):
+    """aggregation_params_tests.rs:15-96 (Bug 5) — $params in the WHERE
+    of an aggregate query must filter before aggregation, for both the
+    flat and grouped forms."""
+    from velesdb_spark.velesql.translator import Catalog
+
+    df = spark.createDataFrame(
+        [(1, "electronics", 100.0), (2, "electronics", 200.0),
+         (3, "books", 50.0)],
+        "id bigint, category string, price double")
+    cat = Catalog().register("products", df)
+    out = translate(
+        "SELECT COUNT(*), SUM(price) FROM products WHERE category = $cat",
+        cat, {"cat": "electronics"})
+    row = out.collect()[0]
+    assert out.columns == ["count", "sum_price"]
+    assert row["count"] == 2 and abs(row["sum_price"] - 300.0) < 1e-9
+    out2 = translate(
+        "SELECT category, AVG(price) FROM products WHERE price > $min "
+        "GROUP BY category", cat, {"min": 60.0})
+    got = {r["category"]: r["avg_price"] for r in out2.collect()}
+    assert got == {"electronics": 150.0}

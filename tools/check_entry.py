@@ -34,7 +34,10 @@ def canon(rows):
             return tuple(norm(x) for x in v)
         return v
 
-    return sorted(tuple(norm(v) for v in r) for r in rows)
+    # sort key stringifies so rows containing NULLs (unorderable against
+    # str/int in Python) still canonicalize deterministically
+    return sorted((tuple(norm(v) for v in r) for r in rows),
+                  key=lambda t: tuple(repr(v) for v in t))
 
 
 def main():

@@ -83,6 +83,18 @@ def _col(name: str) -> Column:
     return F.col(name)
 
 
+def _flat(name: str) -> Column:
+    """Reference an already-COMPUTED flat output column whose name may
+    contain dots/brackets (a nested path used as its own output alias,
+    e.g. GROUP BY metadata.source → column literally named
+    'metadata.source'). Unquoted, F.col would re-parse the dots as
+    struct access and fail to resolve (groupby_tests.rs:358-478 nested
+    group-by shapes surfaced this)."""
+    if "." in name or "[" in name:
+        return F.col(f"`{name}`")
+    return F.col(name)
+
+
 def _never_null(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
@@ -393,9 +405,9 @@ class Translator:
                             f"unsupported operator {op!r} on scalar "
                             "subquery comparison")
                     conds.append(_SearchState._COMPARE_OPS[op](
-                        F.col(name), F.col(tag)))
+                        _flat(name), F.col(tag)))
                 else:
-                    conds.append(self._compare_col(F.col(name), op, val))
+                    conds.append(self._compare_col(_flat(name), op, val))
             cond = conds[0]
             for op_kw, c in zip(s.having.ops, conds[1:]):
                 cond = (cond & c) if op_kw == "AND" else (cond | c)
@@ -407,9 +419,9 @@ class Translator:
         order_exprs = []
         for oi, item in enumerate(s.order_by):
             if isinstance(item.expr, ast.Aggregate):
-                c = F.col(order_agg_names[oi])
+                c = _flat(order_agg_names[oi])
             else:
-                c = F.col(item.expr)
+                c = _flat(item.expr)
             order_exprs.append(c.asc() if item.ascending else c.desc())
         if order_exprs:
             grouped = grouped.orderBy(*order_exprs)
@@ -421,9 +433,9 @@ class Translator:
         out_cols = []
         for c in s.columns:
             if isinstance(c, ast.Aggregate):
-                out_cols.append(F.col(c.output_name))
+                out_cols.append(_flat(c.output_name))
             else:
-                out_cols.append(F.col(c.alias or c.name))
+                out_cols.append(_flat(c.alias or c.name))
         if out_cols:
             grouped = grouped.select(*out_cols)
         if s.offset:
