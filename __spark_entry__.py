@@ -682,6 +682,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q5"] = _tpch_q5
 
+    # TPC-H Q6 — the canonical pushdown probe: every predicate and both
+    # projected columns must reach the parquet scan (PushedFilters +
+    # 4-column ReadSchema, plan-asserted in test_plans), then one
+    # map-combinable global agg. At 100 TB this is a scan-bound query
+    # with near-zero shuffle.
+    def _tpch_q6(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1997-01-01").cast("timestamp")
+        return (_t(s, d, "lineitem")
+                .filter((F.col("l_shipdate") >= lo)
+                        & (F.col("l_shipdate") < hi)
+                        & (F.col("l_discount") >= 0.05)
+                        & (F.col("l_discount") <= 0.07)
+                        & (F.col("l_quantity") < 24))
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * F.col("l_discount")), 4)
+                     .alias("revenue")))
+
+    q["tpch_q6"] = _tpch_q6
+
+    # TPC-H Q4 (adapted: the fixture has no l_commitdate/l_receiptdate,
+    # so "late" = shipped >30 days after the order date) — EXISTS
+    # decorrelated to a left-semi join whose condition spans both sides.
+    def _tpch_q4(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1996-07-01").cast("timestamp")
+        ords = _t(s, d, "orders").filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        late = ords.join(
+            li, (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi")
+        return (late.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("order_count"))
+                .orderBy("o_orderpriority"))
+
+    q["tpch_q4"] = _tpch_q4
+
+    # TPC-H Q10 — returned-item revenue: 3 joins (two broadcast-sized
+    # dims), agg on a wide composite key, exact top-20.
+    def _tpch_q10(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1996-04-01").cast("timestamp")
+        ords = _t(s, d, "orders").filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        li = _t(s, d, "lineitem").filter(F.col("l_returnflag") == "R")
+        return (li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(_t(s, d, "customer"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .join(_t(s, d, "nation"),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 4)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+                .limit(20))
+
+    q["tpch_q10"] = _tpch_q10
+
+    # TPC-H Q14 — promo revenue share: lineitem month slice joined to
+    # the part dim (auto-broadcast), conditional aggregate ratio.
+    def _tpch_q14(s, d):
+        lo = F.lit("1996-03-01").cast("timestamp")
+        hi = F.lit("1996-04-01").cast("timestamp")
+        li = _t(s, d, "lineitem").filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (li.join(_t(s, d, "part"),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .agg(F.round(
+                    100.0 * F.sum(F.when(
+                        F.col("p_type").like("PROMO%"), rev)
+                        .otherwise(F.lit(0.0))) / F.sum(rev), 6)
+                     .alias("promo_revenue")))
+
+    q["tpch_q14"] = _tpch_q14
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -2386,6 +2466,7 @@ _GATE_ORDER = [
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
+    "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14",
     "ngram_jaccard_auto", "percentile_approx_price",
     "stream_interval_join", "stream_asof", "orderby_mixed_agg",
     "orderby_unprojected_agg", "full_featured_near",
@@ -2504,6 +2585,46 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+    o["tpch_q6"] = """
+SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+    o["tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["tpch_q10"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+    o["tpch_q14"] = """
+SELECT round(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'"""
 
     o["join_using"] = (
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "

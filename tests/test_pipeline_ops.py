@@ -135,3 +135,27 @@ def test_epoch_shuffle_exact_permutation_and_plan(spark):
     # no single-partition exchange in the executed plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6's scale contract: every filter reaches the parquet scan
+    (PushedFilters) and only the four referenced columns are read
+    (ReadSchema) — at 100 TB this query is scan-bound with one
+    map-combinable aggregate and no join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q6"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, (col, line)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"):
+        assert col in read
+    # column pruning: none of the other 7 lineitem columns are read
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_tax",
+                "l_returnflag"):
+        assert col not in read, (col, read)
