@@ -1452,7 +1452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         train, ev = _decontam_split(s, d)
         return dct.contamination_report(train, ev, "text", "doc_id",
-                                        min_shared=2)
+                                        min_shared=2).select(
+            "train_id", "eval_id", "shared",
+            F.round("containment", 6).alias("containment"))
 
     q["decontam_report"] = _decontam_report
 
@@ -3037,8 +3039,10 @@ WITH toks AS (
   SELECT doc_id, unnest(s) AS g FROM sh
 )
 SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
-       count(*) AS shared
+       count(*) AS shared,
+       round(count(*) * 1.0 / any_value(tsz.sz), 6) AS containment
 FROM ex tr JOIN ex ev ON tr.g = ev.g
+JOIN (SELECT doc_id, len(s) AS sz FROM sh) tsz ON tsz.doc_id = tr.doc_id
 WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0
 GROUP BY 1, 2 HAVING count(*) >= 2"""
 

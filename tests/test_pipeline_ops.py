@@ -83,11 +83,16 @@ def test_decontaminate_flags_shared_shingles_only(spark):
     ev = spark.createDataFrame(
         [(100, "watch the quick brown fox appear")],
         "id bigint, text string")
-    rep = {(r.train_id, r.eval_id): r.shared
-           for r in dc.contamination_report(train, ev).collect()}
+    rows = dc.contamination_report(train, ev).collect()
+    rep = {(r.train_id, r.eval_id): r.shared for r in rows}
     # docs 1 and 3 share the 'quick brown fox' 3-gram; 2 and 4 are clean
     assert set(rep) == {(1, 100), (3, 100)}
     assert rep[(1, 100)] >= 1
+    # containment = shared / |train shingle set| (5 shingles for doc 1's
+    # 7 tokens, 1 shared)
+    cont = {(r.train_id, r.eval_id): r.containment for r in rows}
+    assert abs(cont[(1, 100)] - rep[(1, 100)] / 5) < 1e-12
+    assert all(0.0 < c <= 1.0 for c in cont.values())
     kept = sorted(r.id for r in dc.decontaminate(train, ev).collect())
     assert kept == [2, 4]
     # min_shared above the overlap keeps everything

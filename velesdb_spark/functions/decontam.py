@@ -25,9 +25,12 @@ from .dedup import DEFAULT_SHINGLE, staged_shingles
 
 
 def _postings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(_id, _s) exploded distinct-shingle hash postings (no text)."""
+    """(_id, _sz, _s) exploded distinct-shingle hash postings (no text);
+    _sz carries the doc's shingle-set size inline (8 bytes/row) so
+    containment falls out of the pair aggregate with no size join."""
     base = staged_shingles(df, text_col, id_col, n)
-    return base.select("_id", F.explode("_sh").alias("_s")) \
+    return base.select("_id", F.size("_sh").alias("_sz"),
+                       F.explode("_sh").alias("_s")) \
         .withColumn("_s", F.xxhash64("_s"))
 
 
@@ -35,18 +38,25 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
                          text_col: str = "text", id_col: str = "id",
                          n: int = DEFAULT_SHINGLE,
                          min_shared: int = 1) -> DataFrame:
-    """(train_id, eval_id, shared) for every train/eval doc pair sharing
-    at least ``min_shared`` distinct n-gram shingles.
+    """(train_id, eval_id, shared, containment) for every train/eval doc
+    pair sharing at least ``min_shared`` distinct n-gram shingles.
 
     ``shared`` counts DISTINCT shared shingles (shingle sets are distinct
-    per doc, so the join produces one row per shared shingle)."""
-    t = _postings(train, text_col, id_col, n) \
-        .select(F.col("_id").alias("train_id"), "_s")
+    per doc, so the join produces one row per shared shingle);
+    ``containment`` = shared / |train doc's shingle set| — the standard
+    decontamination metric (how much of the training doc is covered by
+    benchmark n-grams), asymmetric on purpose."""
+    t = _postings(train, text_col, id_col, n).select(
+        F.col("_id").alias("train_id"), F.col("_sz").alias("_tsz"), "_s")
     e = _postings(eval_df, text_col, id_col, n) \
         .select(F.col("_id").alias("eval_id"), "_s")
     pairs = (t.join(F.broadcast(e), "_s")
              .groupBy("train_id", "eval_id")
-             .agg(F.count("*").alias("shared")))
+             .agg(F.count("*").alias("shared"),
+                  F.first("_tsz").alias("_tsz"))
+             .withColumn("containment",
+                         F.col("shared") / F.col("_tsz"))
+             .drop("_tsz"))
     if min_shared > 1:
         pairs = pairs.filter(F.col("shared") >= int(min_shared))
     return pairs
