@@ -762,6 +762,181 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q14"] = _tpch_q14
 
+    # TPC-H Q7 (adapted: the fixture's 10 suppliers make single nation
+    # pairs empty, so the "two nations" become two REGIONS — EUROPE and
+    # ASIA, both directions). Scale shape: the region membership filter
+    # is applied to the tiny nation×region dims BEFORE they broadcast,
+    # so the fact-side joins prune to the two regions early; only the
+    # lineitem⋈orders⋈customer chain shuffles, on its join keys.
+    def _tpch_q7(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1998-01-01").cast("timestamp")
+        regions = ("EUROPE", "ASIA")
+
+        def nation_region(nk_alias, region_alias):
+            return (_t(s, d, "nation")
+                    .join(_t(s, d, "region"),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                    .filter(F.col("r_name").isin(*regions))
+                    .select(F.col("n_nationkey").alias(nk_alias),
+                            F.col("r_name").alias(region_alias)))
+
+        li = _t(s, d, "lineitem").filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        j = (li.join(_t(s, d, "orders"),
+                     F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(_t(s, d, "customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(_t(s, d, "supplier")),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(nation_region("supp_nk", "supp_region")),
+                   F.col("s_nationkey") == F.col("supp_nk"))
+             .join(F.broadcast(nation_region("cust_nk", "cust_region")),
+                   F.col("c_nationkey") == F.col("cust_nk"))
+             .filter(F.col("supp_region") != F.col("cust_region")))
+        return (j.groupBy("supp_region", "cust_region",
+                          F.year("l_shipdate").alias("yr"))
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 4)
+                     .alias("volume"))
+                .orderBy("supp_region", "cust_region", "yr"))
+
+    q["tpch_q7"] = _tpch_q7
+
+    # TPC-H Q12 (adapted: no l_shipmode in the fixture, so the mode
+    # grouping becomes l_linestatus) — one fact⋈fact join on the order
+    # key, then conditional counts; both counts come out of ONE
+    # map-combinable aggregate pass.
+    def _tpch_q12(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1997-01-01").cast("timestamp")
+        hi_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li = _t(s, d, "lineitem").filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        return (li.join(_t(s, d, "orders")
+                        .select("o_orderkey", "o_orderpriority"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("l_linestatus")
+                .agg(F.sum(F.when(hi_pri, 1).otherwise(0))
+                     .alias("high_line_count"),
+                     F.sum(F.when(hi_pri, 0).otherwise(1))
+                     .alias("low_line_count"))
+                .orderBy("l_linestatus"))
+
+    q["tpch_q12"] = _tpch_q12
+
+    # TPC-H Q13 — customer order-count distribution. Scale shape: the
+    # per-customer count aggregates the ORDERS side first (map-side
+    # combinable, output = one row per customer), and only then
+    # outer-joins customers — customer rows never pass through the
+    # count shuffle, and the second aggregate is over ≤ |distinct
+    # counts| groups.
+    def _tpch_q13(s, d):
+        ocnt = (_t(s, d, "orders")
+                .filter(F.col("o_orderpriority") != "5-LOW")
+                .groupBy("o_custkey")
+                .agg(F.count("*").alias("n_orders")))
+        per_cust = (_t(s, d, "customer").select("c_custkey")
+                    .join(ocnt, F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+                    .select(F.coalesce("n_orders", F.lit(0))
+                            .alias("c_count")))
+        return (per_cust.groupBy("c_count")
+                .agg(F.count("*").alias("custdist"))
+                .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+    q["tpch_q13"] = _tpch_q13
+
+    # TPC-H Q15 — top supplier by revenue. The scalar MAX is a 1-row
+    # aggregate broadcast back over the per-supplier revenue table (no
+    # second scan of lineitem, no global sort); supplier dim broadcasts.
+    def _tpch_q15(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1996-07-01").cast("timestamp")
+        rev = (_t(s, d, "lineitem")
+               .filter((F.col("l_shipdate") >= lo)
+                       & (F.col("l_shipdate") < hi))
+               .groupBy("l_suppkey")
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 4)
+                    .alias("total_revenue")))
+        mx = rev.agg(F.max("total_revenue").alias("mx"))
+        return (rev.join(F.broadcast(mx),
+                         F.col("total_revenue") == F.col("mx"))
+                .join(F.broadcast(_t(s, d, "supplier")),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name", "total_revenue")
+                .orderBy("s_suppkey"))
+
+    q["tpch_q15"] = _tpch_q15
+
+    # TPC-H Q18 — large-volume orders. The HAVING-filtered order list is
+    # tiny relative to the fact table, so it broadcasts INTO orders and
+    # customers; lineitem is touched once, by a map-combinable sum.
+    def _tpch_q18(s, d):
+        big = (_t(s, d, "lineitem")
+               .groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("sum_qty"))
+               .filter(F.col("sum_qty") > 250))
+        return (_t(s, d, "orders")
+                .join(F.broadcast(big),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+                .join(_t(s, d, "customer"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .select("c_custkey", "c_name", "o_orderkey",
+                        "o_orderdate", "o_totalprice", "sum_qty")
+                .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+                .limit(100))
+
+    q["tpch_q18"] = _tpch_q18
+
+    # TPC-H Q19 — the disjunctive-predicate query: three (brand, size,
+    # quantity) conjunct groups OR-ed together across the join. part is
+    # broadcast; the OR-of-ANDs stays a single JVM filter (no union of
+    # three scans).
+    def _tpch_q19(s, d):
+        def grp(brand, size_lo, size_hi, qty_lo, qty_hi):
+            return ((F.col("p_brand") == brand)
+                    & F.col("p_size").between(size_lo, size_hi)
+                    & F.col("l_quantity").between(qty_lo, qty_hi))
+
+        cond = (grp("Brand#1", 1, 15, 1, 21)
+                | grp("Brand#12", 10, 30, 10, 35)
+                | grp("Brand#23", 20, 50, 20, 50))
+        return (_t(s, d, "lineitem")
+                .join(F.broadcast(_t(s, d, "part")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .filter(cond)
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 4)
+                     .alias("revenue")))
+
+    q["tpch_q19"] = _tpch_q19
+
+    # TPC-H Q22 (adapted: no phone country codes in the fixture — the
+    # grouping is c_nationkey, and "no orders" becomes "no URGENT
+    # orders" because every fixture customer has some order). Scale
+    # shape: the positive-balance average is a 1-row broadcast, the
+    # exclusion is a left-anti join on the filtered orders projection.
+    def _tpch_q22(s, d):
+        avg_pos = (_t(s, d, "customer")
+                   .filter(F.col("c_acctbal") > 0)
+                   .agg(F.avg("c_acctbal").alias("av")))
+        urgent = (_t(s, d, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_custkey"))
+        return (_t(s, d, "customer")
+                .join(F.broadcast(avg_pos))
+                .filter(F.col("c_acctbal") > F.col("av"))
+                .join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .groupBy("c_nationkey")
+                .agg(F.count("*").alias("numcust"),
+                     F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
+                .orderBy("c_nationkey"))
+
+    q["tpch_q22"] = _tpch_q22
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -2469,6 +2644,8 @@ _GATE_ORDER = [
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
     "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
+    "tpch_q19", "tpch_q22",
     "ngram_jaccard_auto", "percentile_approx_price",
     "stream_interval_join", "stream_asof", "orderby_mixed_agg",
     "orderby_unprojected_agg", "full_featured_near",
@@ -2627,6 +2804,89 @@ SELECT round(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+    o["tpch_q7"] = """
+SELECT supp_region, cust_region, yr,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS volume
+FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             year(l_shipdate) AS yr, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r1.r_name IN ('EUROPE', 'ASIA')
+        AND r2.r_name IN ('EUROPE', 'ASIA')
+        AND r1.r_name <> r2.r_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+GROUP BY supp_region, cust_region, yr
+ORDER BY supp_region, cust_region, yr"""
+
+    o["tpch_q12"] = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+    o["tpch_q13"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+    o["tpch_q15"] = """
+WITH rev AS (SELECT l_suppkey,
+                    round(SUM(l_extendedprice * (1 - l_discount)), 4)
+                      AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-07-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+    o["tpch_q18"] = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+    o["tpch_q19"] = """
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)"""
+
+    o["tpch_q22"] = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       round(SUM(c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey"""
 
     o["join_using"] = (
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
