@@ -1950,6 +1950,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_mix"] = _training_mix
 
+    # token-budget mixture (functions/mixture.py make_mixture_weighted):
+    # target shares are shares of total CHARS (the form an LLM data
+    # recipe is written in — "50% of training tokens from en"), not of
+    # document counts; T = min_s W_s/share_s, per-stratum keep rates in
+    # integer basis points, same engine-portable md5-bucket decision.
+    # One map-combinable SUM per stratum replaces the COUNT.
+    def _token_budget_mix(s, d):
+        from velesdb_spark.functions.mixture import make_mixture_weighted
+
+        mixed = make_mixture_weighted(
+            _t(s, d, "documents"), "lang",
+            {"en": 0.5, "zh": 0.2, "es": 0.3},
+            weight_col="n_chars", id_col="doc_id", seed="tokmix")
+        return (mixed.groupBy("lang")
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("n_chars").alias("chars_kept"))
+                .orderBy("lang"))
+
+    q["token_budget_mix"] = _token_budget_mix
+
+    # per-domain cap (functions/sampling.py cap_per_group): bound any
+    # one domain's share of a crawl — keep the k deterministically
+    # smallest (md5 order) docs per source. Two-phase salted windows so
+    # a 10^9-doc domain never lands on one reducer; the oracle is the
+    # textbook single QUALIFY window the two-phase plan must equal.
+    def _domain_cap(s, d):
+        from velesdb_spark.functions.sampling import cap_per_group
+
+        capped = cap_per_group(
+            _t(s, d, "documents").select("doc_id", "source"),
+            "source", 10, id_col="doc_id", seed="cap", salt_buckets=8)
+        return capped.select("source", "doc_id") \
+            .orderBy("source", "doc_id")
+
+    q["domain_cap"] = _domain_cap
+
+    # scale-safe distinct counting: approx_count_distinct is a bounded
+    # mergeable HLL++ sketch per group (exact COUNT(DISTINCT) keeps a
+    # per-group hash set — a memory hazard at 100 TB on high-cardinality
+    # keys, and a second shuffle in multi-agg queries). Tolerance-
+    # sentinel gate shape (cf. percentile_approx_price): any group whose
+    # sketch deviates >5% from the exact count is EMITTED as a row plus
+    # one ('ok', n_groups) sentinel; the oracle returns only the
+    # sentinel. (The exact side is itself hash-gated vs DuckDB by the
+    # count_distinct gate.)
+    def _approx_distinct(s, d):
+        g = (_t(s, d, "orders").groupBy("o_orderpriority")
+             .agg(F.approx_count_distinct("o_custkey", 0.02).alias("ap"),
+                  F.countDistinct("o_custkey").alias("ex")))
+        bad = g.filter(F.abs(F.col("ap") - F.col("ex"))
+                       > F.col("ex") * 0.05) \
+            .select(F.col("o_orderpriority").alias("tag"),
+                    F.lit(1).cast("long").alias("n"))
+        okrow = g.agg(F.count("*").alias("n")) \
+            .select(F.lit("ok").alias("tag"), F.col("n"))
+        return bad.unionByName(okrow)
+
+    q["approx_distinct"] = _approx_distinct
+
     # fixed-iteration PageRank (operators/graph.py pagerank — headroom):
     # authority scoring over the customer↔supplier interaction graph
     # (distinct trade pairs from orders⋈lineitem, both directions, ids
@@ -2653,6 +2712,7 @@ _GATE_ORDER = [
     # ---- round-7 additions
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
+    "token_budget_mix", "domain_cap", "approx_distinct",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -4205,6 +4265,42 @@ WITH n AS (
         % 10000 < r.bp
 )
 SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang ORDER BY lang"""
+
+    # weighted mixture: same pipeline with SUM(n_chars) as the stratum
+    # mass; int64 sums are exact cross-engine, then the identical
+    # float-op order (share*T)/W → floor(…*10000) keeps rates equal
+    o["token_budget_mix"] = """
+WITH n AS (
+  SELECT lang, SUM(n_chars) AS c FROM documents GROUP BY lang
+), tot AS (
+  SELECT min(CASE lang WHEN 'en' THEN c/0.5 WHEN 'zh' THEN c/0.2
+             WHEN 'es' THEN c/0.3 END) AS t
+  FROM n WHERE lang IN ('en','zh','es')
+), rates AS (
+  SELECT n.lang,
+         CAST(floor(((CASE n.lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                      ELSE 0.3 END * tot.t) / n.c) * 10000) AS BIGINT) AS bp
+  FROM n, tot WHERE n.lang IN ('en','zh','es')
+), kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || substr(md5('tokmix:' || d.doc_id), 1, 6)) AS BIGINT)
+        % 10000 < r.bp
+)
+SELECT lang, count(*) AS n_kept, SUM(n_chars) AS chars_kept
+FROM kept GROUP BY lang ORDER BY lang"""
+
+    # the two-phase salted cap must equal the textbook single window
+    o["domain_cap"] = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+  FROM documents) WHERE rn <= 10 ORDER BY source, doc_id"""
+
+    o["approx_distinct"] = (
+        "SELECT 'ok' AS tag, "
+        "count(DISTINCT o_orderpriority) AS n FROM orders")
 
     # discrete weighted sampling: identical md5 hex keys, lexicographic max
     o["weighted_sample"] = """

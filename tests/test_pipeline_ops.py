@@ -164,3 +164,81 @@ def test_tpch_q6_pushdown_and_pruning(spark):
     for col in ("l_orderkey", "l_partkey", "l_comment", "l_tax",
                 "l_returnflag"):
         assert col not in read, (col, read)
+
+
+def test_cap_per_group_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from velesdb_spark.functions.sampling import cap_per_group
+
+    # skewed fixture: one 400-row group, one 7-row group (< k), one 10-row
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "tiny") for i in range(7)]
+            + [(2000 + i, "mid") for i in range(10)])
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    naive_key = F.md5(F.concat(F.lit("cap:"), F.col("id").cast("string")))
+    w = Window.partitionBy("g").orderBy(naive_key, "id")
+    expect = sorted(
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10).select("g", "id").collect())
+    for buckets in (1, 4, 32):
+        got = sorted(cap_per_group(df, "g", 10, id_col="id", seed="cap",
+                                   salt_buckets=buckets)
+                     .select("g", "id").collect())
+        assert got == expect, f"salt_buckets={buckets}"
+    # groups smaller than k survive whole
+    tiny = [r for r in expect if r[0] == "tiny"]
+    assert len(tiny) == 7
+
+
+def test_cap_per_group_cap_counts(spark):
+    from velesdb_spark.functions.sampling import cap_per_group
+
+    df = spark.range(0, 300).withColumn(
+        "g", (F.col("id") % 3).cast("string"))
+    out = cap_per_group(df, "g", 5, id_col="id").groupBy("g") \
+        .count().collect()
+    assert all(r["count"] == 5 for r in out) and len(out) == 3
+
+
+def test_make_mixture_weighted_hits_char_shares(spark):
+    from velesdb_spark.functions.mixture import (make_mixture,
+                                                 make_mixture_weighted)
+
+    # en docs are 10x longer than zh docs: a DOC-count 50/50 mix would
+    # put ~91% of chars in en; the weighted mix must not
+    rows = ([(i, "en", 1000) for i in range(2000)]
+            + [(10_000 + i, "zh", 100) for i in range(2000)]
+            + [(90_000 + i, "xx", 500) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars int")
+    targets = {"en": 0.5, "zh": 0.5}
+    kept = make_mixture_weighted(df, "lang", targets,
+                                 weight_col="n_chars", id_col="doc_id")
+    by_lang = {r["lang"]: r["w"] for r in
+               kept.groupBy("lang").agg(F.sum("n_chars").alias("w"))
+               .collect()}
+    assert set(by_lang) == {"en", "zh"}  # untargeted stratum dropped
+    total = sum(by_lang.values())
+    assert abs(by_lang["en"] / total - 0.5) < 0.05
+    assert abs(by_lang["zh"] / total - 0.5) < 0.05
+    # the doc-count mixture on the same corpus is char-skewed (sanity
+    # that the weighted variant is actually doing something different)
+    doc_kept = make_mixture(df, "lang", targets, id_col="doc_id")
+    doc_by_lang = {r["lang"]: r["w"] for r in
+                   doc_kept.groupBy("lang").agg(F.sum("n_chars").alias("w"))
+                   .collect()}
+    doc_total = sum(doc_by_lang.values())
+    assert doc_by_lang["en"] / doc_total > 0.85
+
+
+def test_make_mixture_weighted_deterministic_across_partitionings(spark):
+    from velesdb_spark.functions.mixture import make_mixture_weighted
+
+    rows = [(i, "a" if i % 3 else "b", 10 + i % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars int")
+    t = {"a": 0.6, "b": 0.4}
+    one = sorted(r["doc_id"] for r in make_mixture_weighted(
+        df.coalesce(1), "lang", t, "n_chars", "doc_id").collect())
+    many = sorted(r["doc_id"] for r in make_mixture_weighted(
+        df.repartition(13), "lang", t, "n_chars", "doc_id").collect())
+    assert one == many and len(one) > 0

@@ -43,6 +43,19 @@ def mixture_rates(counts: Mapping[str, int],
             for s, share in targets.items() if share > 0}
 
 
+def _apply_rates(df: DataFrame, stratum_col: str,
+                 rates: Mapping[str, int], id_col: str,
+                 seed: str) -> DataFrame:
+    rate_col = F.lit(None).cast("long")
+    for s, bp in rates.items():
+        rate_col = F.when(F.col(stratum_col) == s, F.lit(bp)) \
+            .otherwise(rate_col)
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        1, 6), 16, 10).cast("long") % BP)
+    return df.filter(rate_col.isNotNull() & (bucket < rate_col))
+
+
 def make_mixture(df: DataFrame, stratum_col: str,
                  targets: Mapping[str, float], id_col: str = "id",
                  seed: str = "mix") -> DataFrame:
@@ -52,11 +65,31 @@ def make_mixture(df: DataFrame, stratum_col: str,
     counts = {r[0]: r[1] for r in
               df.groupBy(stratum_col).count().collect()}
     rates = mixture_rates(counts, targets)
-    rate_col = F.lit(None).cast("long")
-    for s, bp in rates.items():
-        rate_col = F.when(F.col(stratum_col) == s, F.lit(bp)) \
-            .otherwise(rate_col)
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-        1, 6), 16, 10).cast("long") % BP)
-    return df.filter(rate_col.isNotNull() & (bucket < rate_col))
+    return _apply_rates(df, stratum_col, rates, id_col, seed)
+
+
+def make_mixture_weighted(df: DataFrame, stratum_col: str,
+                          targets: Mapping[str, float], weight_col: str,
+                          id_col: str = "id",
+                          seed: str = "mix") -> DataFrame:
+    """Token-budget mixture: targets are shares of total WEIGHT (token
+    or char count), not document count — the form an LLM data recipe is
+    actually written in ("50% of training TOKENS from en"). T becomes
+    the largest total weight every targeted stratum can serve
+    (min_s W_s/share_s) and each stratum keeps rows at rate
+    share_s·T/W_s, so the KEPT weight hits the target shares in
+    expectation while every surviving document stays whole (no
+    mid-document truncation; exactness at the document level would
+    require bin-packing, which no curation pipeline needs).
+
+    Same engine-portable md5-bucket keep decision as ``make_mixture``;
+    one map-combinable SUM per stratum replaces the COUNT. Weights must
+    be non-negative integers (int64 sums are exact cross-engine;
+    float weight sums would make the basis-point rates
+    addition-order-dependent)."""
+    weights = {r[0]: r[1] for r in
+               df.groupBy(stratum_col)
+               .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+               .collect()}
+    rates = mixture_rates(weights, targets)
+    return _apply_rates(df, stratum_col, rates, id_col, seed)

@@ -104,3 +104,38 @@ def epoch_shuffle(df: DataFrame, seed: str = "epoch0",
     return (part.join(F.broadcast(off_df), "_pid")
             .withColumn("pos", F.row_number().over(w) + F.col("_off"))
             .drop("_pid", "_off", "_k"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  id_col: str = "id", seed: str = "cap",
+                  salt_buckets: int = 32) -> DataFrame:
+    """Keep at most ``k`` rows per group — the k smallest by
+    (md5(seed:id), id) — the standard per-domain document cap in crawl
+    curation (bound any one domain's share of the corpus),
+    deterministic and engine-reproducible (DuckDB: QUALIFY
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(...), id) <= k).
+
+    100 TB design: the textbook single window PARTITION BY group is one
+    shuffle keyed on the group — and a crawl's biggest domain can be
+    10^9 rows landing on one reducer. Two-phase instead: phase 1
+    shuffles on (group, salt) where salt = md5-bucket(id) % S, and caps
+    each salted cell to its k smallest — a superset of the global k
+    smallest, since each global survivor is also among the smallest k
+    of its own cell. Phase 2 re-windows over the ≤ k·S survivors per
+    group, which is bounded regardless of the original group size. The
+    extra exchange touches only phase-1 survivors."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    salt = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("salt:"), F.col(id_col).cast("string"))),
+        1, 6), 16, 10).cast("long") % int(salt_buckets))
+    staged = df.withColumn("_ckey", key).withColumn("_salt", salt)
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_ckey", id_col)
+    local = (staged.withColumn("_rn", F.row_number().over(w1))
+             .filter(F.col("_rn") <= int(k)).drop("_rn", "_salt"))
+    w2 = Window.partitionBy(group_col).orderBy("_ckey", id_col)
+    return (local.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= int(k)).drop("_rn", "_ckey"))
