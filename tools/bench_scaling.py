@@ -26,7 +26,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
-           "minhash_first_hash", "exact_dedup", "ngram_jaccard"]
+           "minhash_first_hash", "exact_dedup", "ngram_jaccard",
+           "decontam_fixed_eval", "epoch_shuffle", "repetition_stats"]
 
 
 def main():
@@ -68,6 +69,42 @@ def main():
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    def decontam_fixed_eval(s, d):
+        # the 100 TB decontamination regime: the EVAL side is a FIXED
+        # benchmark suite (doc_id < 1000, identical at both scales) and
+        # only the training corpus grows — scaling both sides 10x would
+        # measure a quadratic regime that does not exist in production
+        from pyspark.sql import functions as _F
+
+        from velesdb_spark.functions import decontam as _dct
+        from velesdb_spark.functions import dedup as _dd
+
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .selectExpr("doc_id as id", "text")
+        ev = docs.filter((_F.col("id") % 17 == 0) & (_F.col("id") < 1000))
+        train = docs.filter((_F.col("id") % 17 != 0) | (_F.col("id") >= 1000))
+        out = _dct.contamination_report(train, ev, "text", "id",
+                                        min_shared=2)
+        _dd.release_staged()
+        return out
+
+    def epoch_shuffle_q(s, d):
+        from velesdb_spark.functions.sampling import epoch_shuffle as _es
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+        return _es(docs, "bench", "doc_id")
+
+    def repetition_q(s, d):
+        from velesdb_spark.functions.text_analysis import \
+            repetition_stats_df as _rs
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return _rs(docs, "text", "doc_id")
+
+    CUSTOM = {"decontam_fixed_eval": (decontam_fixed_eval, "count"),
+              "epoch_shuffle": (epoch_shuffle_q, "count"),
+              "repetition_stats": (repetition_q, "count")}
+
     def ngram_zipf(s, d):
         # the dedup regime (t=0.6) on the open-vocab corpus, NOT the
         # entry gate's t=0.2 exploratory threshold: at 0.2 a Zipf corpus
@@ -95,6 +132,10 @@ def main():
         if name == "ngram_jaccard" and zsmall and zbig:
             t_small = best_of(ngram_zipf, ds, action="count")
             t_big = best_of(ngram_zipf, db, action="count")
+        elif name in CUSTOM:
+            fn, action = CUSTOM[name]
+            t_small = best_of(fn, ds, action=action)
+            t_big = best_of(fn, db, action=action)
         else:
             t_small = best_of(qs[name], ds)
             t_big = best_of(qs[name], db)
