@@ -2009,6 +2009,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["approx_distinct"] = _approx_distinct
 
+    # quality-threshold corpus pruning (functions/sampling.py
+    # percentile_prune): drop the worst quartile of each language by
+    # heuristic quality. Scale shape: per-stratum percentile_approx
+    # threshold (ONE map-combinable agg → |strata| rows, broadcast,
+    # map-only filter) instead of a percent_rank window that would
+    # single-reduce the largest language; md5 jitter splits the
+    # tie-heavy composite score uniformly. Tolerance-sentinel gate: any
+    # language whose kept fraction is off 0.75 by >0.10 is emitted.
+    def _quality_prune(s, d):
+        from velesdb_spark.functions.sampling import percentile_prune
+        from velesdb_spark.functions.text_analysis import quality_score
+
+        docs = _t(s, d, "documents") \
+            .withColumn("q", quality_score(F.col("text")))
+        kept = percentile_prune(docs, "q", "lang", 0.75, id_col="doc_id")
+        frac = (docs.groupBy("lang").agg(F.count("*").alias("n_all"))
+                .join(kept.groupBy("lang")
+                      .agg(F.count("*").alias("n_kept")), "lang", "left"))
+        bad = frac.filter(
+            F.abs(F.coalesce("n_kept", F.lit(0)) / F.col("n_all") - 0.75)
+            > 0.10) \
+            .select(F.col("lang").alias("tag"),
+                    F.lit(1).cast("long").alias("n"))
+        okrow = docs.agg(F.countDistinct("lang").alias("n")) \
+            .select(F.lit("ok").alias("tag"), F.col("n"))
+        return bad.unionByName(okrow)
+
+    q["quality_prune"] = _quality_prune
+
     # fixed-iteration PageRank (operators/graph.py pagerank — headroom):
     # authority scoring over the customer↔supplier interaction graph
     # (distinct trade pairs from orders⋈lineitem, both directions, ids
@@ -2712,7 +2741,7 @@ _GATE_ORDER = [
     # ---- round-7 additions
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
-    "token_budget_mix", "domain_cap", "approx_distinct",
+    "token_budget_mix", "domain_cap", "approx_distinct", "quality_prune",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -4301,6 +4330,9 @@ SELECT source, doc_id FROM (
     o["approx_distinct"] = (
         "SELECT 'ok' AS tag, "
         "count(DISTINCT o_orderpriority) AS n FROM orders")
+
+    o["quality_prune"] = (
+        "SELECT 'ok' AS tag, count(DISTINCT lang) AS n FROM documents")
 
     # discrete weighted sampling: identical md5 hex keys, lexicographic max
     o["weighted_sample"] = """

@@ -242,3 +242,38 @@ def test_make_mixture_weighted_deterministic_across_partitionings(spark):
     many = sorted(r["doc_id"] for r in make_mixture_weighted(
         df.repartition(13), "lang", t, "n_chars", "doc_id").collect())
     assert one == many and len(one) > 0
+
+
+def test_percentile_prune_tie_heavy_scores(spark):
+    from velesdb_spark.functions.sampling import percentile_prune
+
+    # worst case for a threshold cut: 60% of one stratum shares a single
+    # score value; jitter must split the tie mass uniformly
+    rows = ([(i, "a", 0.5) for i in range(600)]
+            + [(1000 + i, "a", float(i % 5) / 10) for i in range(400)]
+            + [(5000 + i, "b", float(i)) for i in range(200)])
+    df = spark.createDataFrame(rows, "id bigint, g string, q double")
+    kept = percentile_prune(df, "q", "g", 0.75, id_col="id")
+    n = {r["g"]: r["count"] for r in kept.groupBy("g").count().collect()}
+    assert abs(n["a"] / 1000 - 0.75) < 0.05
+    assert abs(n["b"] / 200 - 0.75) < 0.05
+    # pruning keeps the top: every dropped "b" row scores below every
+    # kept "b" row (continuous scores, jitter can't reorder them)
+    kept_b = {r["id"] for r in kept.filter("g = 'b'").collect()}
+    dropped_b = {5000 + i for i in range(200)} - kept_b
+    assert max(5000 + i for i in range(200) if 5000 + i in dropped_b) \
+        < min(kept_b) or not dropped_b
+
+
+def test_percentile_prune_deterministic(spark):
+    from velesdb_spark.functions.sampling import percentile_prune
+
+    rows = [(i, "x" if i % 2 else "y", float(i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, g string, q double")
+    a = sorted(r["id"] for r in
+               percentile_prune(df.coalesce(1), "q", "g", 0.6,
+                                id_col="id").collect())
+    b = sorted(r["id"] for r in
+               percentile_prune(df.repartition(17), "q", "g", 0.6,
+                                id_col="id").collect())
+    assert a == b and len(a) > 0

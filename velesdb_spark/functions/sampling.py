@@ -139,3 +139,40 @@ def cap_per_group(df: DataFrame, group_col: str, k: int,
     w2 = Window.partitionBy(group_col).orderBy("_ckey", id_col)
     return (local.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= int(k)).drop("_rn", "_ckey"))
+
+
+def percentile_prune(df: DataFrame, score_col: str, stratum_col: str,
+                     keep_frac: float = 0.75, id_col: str = "id",
+                     accuracy: int = 10000,
+                     seed: str = "prune") -> DataFrame:
+    """Keep approximately the top ``keep_frac`` of rows per stratum by
+    score — quality-threshold corpus pruning ("drop the worst quartile
+    of each language").
+
+    100 TB design: the exact spelling is percent_rank() OVER (PARTITION
+    BY stratum ORDER BY score) — a full-corpus shuffle keyed on the
+    stratum, and the largest stratum (half the web is English) lands on
+    one reducer. Here the per-stratum cut is a percentile_approx
+    threshold: ONE map-combinable aggregate with bounded sketch state
+    reduces the corpus to |strata| rows, which broadcast back over a
+    map-only filter — no row ever shuffles.
+
+    Heuristic quality scores are tie-heavy (composites of a few binary
+    indicators), and a cut landing on a tie value would keep all or
+    none of that mass; the ranking key therefore adds a deterministic
+    md5 jitter (< 1e-5, far below any real score quantum) so ties split
+    uniformly and the kept fraction tracks ``keep_frac`` to within the
+    sketch error."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    jitter = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        1, 6), 16, 10).cast("double") / F.lit(1e12))
+    keyed = df.withColumn("_pkey",
+                          F.col(score_col).cast("double") + jitter)
+    thr = (keyed.groupBy(stratum_col)
+           .agg(F.expr(f"percentile_approx(_pkey, {1.0 - keep_frac!r}, "
+                       f"{int(accuracy)})").alias("_thr")))
+    return (keyed.join(F.broadcast(thr), stratum_col)
+            .filter(F.col("_pkey") >= F.col("_thr"))
+            .drop("_pkey", "_thr"))
