@@ -412,6 +412,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "JOIN nation AS b USING (n_regionkey) WHERE a.n_name < b.n_name "
         "ORDER BY n1, n2")
 
+    # multi-column USING — reference parses it
+    # (join_extended_tests.rs:126-140, using_columns == [a, b]); executed
+    # here. Bare aliases (no AS) are an executed superset: the
+    # reference's parser requires AS (join_extended_tests.rs:94-96).
+    q["join_using_multi"] = lambda s, d: _vql(
+        s, d,
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
+        "JOIN nation b USING (n_regionkey, n_nationkey) "
+        "ORDER BY n1 LIMIT 30")
+
+    # multiple JOIN clauses with mixed types in one query — the
+    # reference asserts the parsed chain (join_extended_tests.rs:143-157,
+    # LEFT then RIGHT); executed left-to-right here, matching SQL's
+    # left-associative join chaining.
+    q["join_chain_mixed"] = lambda s, d: _vql(
+        s, d,
+        "SELECT s_name, n_name, c_name FROM supplier "
+        "LEFT JOIN nation ON s_nationkey = n_nationkey "
+        "RIGHT JOIN customer ON n_nationkey = c_nationkey "
+        "ORDER BY c_name, s_name LIMIT 200")
+
+    # HAVING A OR B AND C — the reference evaluates HAVING chains
+    # LEFT-TO-RIGHT with no AND-over-OR precedence
+    # (collection/search/query/aggregation.rs:611-644 folds result op
+    # cond sequentially; velesql_v2_integration_tests.rs:47-56 parses the
+    # unparenthesized chain). We implement the same fold, so the oracle
+    # SQL writes the left-fold parenthesization explicitly —
+    # ((A OR B) AND C). Constants chosen so standard SQL precedence
+    # (A OR (B AND C)) would return all 5 groups while the left fold
+    # returns a proper subset, at sf0.001, sf0.01, and sf1.
+    q["having_precedence"] = lambda s, d: _vql(
+        s, d,
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority "
+        "HAVING COUNT(*) > 10 OR AVG(o_totalprice) > 1000000000.0 "
+        "AND AVG(o_totalprice) > 250000.0 "
+        "ORDER BY o_orderpriority")
+
     q["join_right_outer"] = lambda s, d: _vql(
         s, d,
         "SELECT n.n_name AS nation, s.s_name AS supp FROM supplier AS s "
@@ -2742,6 +2780,7 @@ _GATE_ORDER = [
     "knn_f16", "media_png_decode", "ngram_jaccard_prefix", "events_asof",
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
     "token_budget_mix", "domain_cap", "approx_distinct", "quality_prune",
+    "join_using_multi", "join_chain_mixed", "having_precedence",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -2981,6 +3020,26 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
         "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
         "JOIN nation b USING (n_regionkey) "
         "WHERE a.n_name < b.n_name ORDER BY n1, n2")
+
+    o["join_using_multi"] = (
+        "SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a "
+        "JOIN nation b USING (n_regionkey, n_nationkey) "
+        "ORDER BY n1 LIMIT 30")
+
+    o["join_chain_mixed"] = (
+        "SELECT s_name, n_name, c_name FROM supplier "
+        "LEFT JOIN nation ON s_nationkey = n_nationkey "
+        "RIGHT JOIN customer ON n_nationkey = c_nationkey "
+        "ORDER BY c_name, s_name LIMIT 200")
+
+    # left-fold parenthesization made explicit — the reference (and we)
+    # evaluate HAVING chains left-to-right, NOT with SQL's AND precedence
+    o["having_precedence"] = (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority "
+        "HAVING (COUNT(*) > 10 OR AVG(o_totalprice) > 1000000000.0) "
+        "AND AVG(o_totalprice) > 250000.0 "
+        "ORDER BY o_orderpriority")
 
     o["join_right_outer"] = (
         "SELECT n.n_name AS nation, s.s_name AS supp FROM supplier s "

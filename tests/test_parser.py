@@ -442,3 +442,32 @@ def test_orderby_multi_direction_parsing():
     from velesdb_spark.velesql import ast as A
     assert isinstance(q.order_by[0].expr, A.Aggregate)
     assert not q.order_by[0].ascending and q.order_by[1].ascending
+
+
+def test_bare_table_alias_from_and_join():
+    # executed superset: the reference requires AS for aliases
+    # (join_extended_tests.rs:94-96); standard SQL allows bare aliases
+    q = parse("SELECT a.n_name FROM nation a JOIN nation b "
+              "ON a.n_regionkey = b.n_regionkey")
+    assert q.table_alias == "a"
+    assert q.joins[0].alias == "b"
+    # bare alias must NOT swallow clause keywords
+    q2 = parse("SELECT n_name FROM nation WHERE n_nationkey = 1")
+    assert q2.table_alias is None
+    q3 = parse("SELECT n_name FROM nation ORDER BY n_name LIMIT 5")
+    assert q3.table_alias is None
+
+
+def test_join_using_multiple_columns():
+    # join_extended_tests.rs:126-140: USING (a, b) keeps both columns
+    q = parse("SELECT * FROM orders JOIN customer "
+              "USING (o_custkey, o_orderkey)")
+    assert q.joins[0].using == ("o_custkey", "o_orderkey")
+
+
+def test_multiple_joins_mixed_types():
+    # join_extended_tests.rs:143-157: LEFT then RIGHT in one chain
+    q = parse("SELECT * FROM orders LEFT JOIN customer "
+              "ON o_custkey = c_custkey RIGHT JOIN nation "
+              "ON c_nationkey = n_nationkey")
+    assert [j.how for j in q.joins] == ["left", "right"]

@@ -118,6 +118,20 @@ class _Parser:
         self.advance()
         return int(tok.value)
 
+    def maybe_alias(self):
+        """Optional table alias: ``AS ident`` or a bare identifier
+        (standard SQL — an executed superset of the reference, whose
+        parser requires AS: join_extended_tests.rs:94-96 "FROM table
+        alias not yet supported, only JOIN alias"). Safe without
+        lookahead: everything that may legally follow a table name
+        (JOIN/WHERE/GROUP/ORDER/LIMIT/WITH/USING/UNION/…) tokenizes as
+        KW, never IDENT."""
+        if self.accept_kw("AS"):
+            return self.identifier()
+        if self.cur.kind in ("IDENT", "QIDENT"):
+            return self.identifier()
+        return None
+
     def identifier(self) -> str:
         tok = self.cur
         if tok.kind in ("IDENT", "QIDENT"):
@@ -173,7 +187,7 @@ class _Parser:
         columns = self.select_list()
         self.expect_kw("FROM")
         table = self.identifier()
-        table_alias = self.identifier() if self.accept_kw("AS") else None
+        table_alias = self.maybe_alias()
 
         joins = []
         while True:
@@ -274,7 +288,7 @@ class _Parser:
             return None
         self.advance()
         table = self.identifier()
-        alias = self.identifier() if self.accept_kw("AS") else None
+        alias = self.maybe_alias()
         if self.accept_kw("ON"):
             left = self.dotted_name()
             self.expect_punct("=")
