@@ -277,3 +277,35 @@ def test_percentile_prune_deterministic(spark):
                percentile_prune(df.repartition(17), "q", "g", 0.6,
                                 id_col="id").collect())
     assert a == b and len(a) > 0
+
+
+def test_tpch_batch2_plan_shapes(spark):
+    """Scale contracts for the round-8 TPC-H batch: dims and
+    HAVING-filtered build sides broadcast (BroadcastHashJoin), and no
+    plan degenerates to a nested-loop or cartesian join."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15",
+                 "tpch_q18", "tpch_q19", "tpch_q22"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name == "tpch_q22":
+            # the scalar avg is a conditionless 1-row broadcast join —
+            # Spark plans that as BroadcastNestedLoopJoin, which is the
+            # RIGHT plan here (O(n) map-side multiply against a single
+            # aggregated row); what must never appear is an unbounded
+            # nested loop, i.e. more than this one BNLJ
+            assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # q18: the HAVING-filtered order set is the broadcast build side
+    plan18 = qs["tpch_q18"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan18
+    # q19: part joins broadcast, filter not expanded to a union of scans
+    plan19 = qs["tpch_q19"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan19
+    assert plan19.count("Scan parquet") <= 2
