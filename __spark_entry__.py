@@ -803,9 +803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TPC-H Q7 (adapted: the fixture's 10 suppliers make single nation
     # pairs empty, so the "two nations" become two REGIONS — EUROPE and
     # ASIA, both directions). Scale shape: the region membership filter
-    # is applied to the tiny nation×region dims BEFORE they broadcast,
-    # so the fact-side joins prune to the two regions early; only the
-    # lineitem⋈orders⋈customer chain shuffles, on its join keys.
+    # is applied to the tiny (FIXED-size) nation×region dims BEFORE
+    # they broadcast; supplier SCALES with sf, so its join strategy is
+    # left to AQE rather than a forced broadcast that would build a
+    # 10M-row hash table at 100 TB. Only the lineitem⋈orders⋈customer
+    # chain shuffles, on its join keys.
     def _tpch_q7(s, d):
         lo = F.lit("1996-01-01").cast("timestamp")
         hi = F.lit("1998-01-01").cast("timestamp")
@@ -825,7 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.col("l_orderkey") == F.col("o_orderkey"))
              .join(_t(s, d, "customer"),
                    F.col("o_custkey") == F.col("c_custkey"))
-             .join(F.broadcast(_t(s, d, "supplier")),
+             .join(_t(s, d, "supplier"),
                    F.col("l_suppkey") == F.col("s_suppkey"))
              .join(F.broadcast(nation_region("supp_nk", "supp_region")),
                    F.col("s_nationkey") == F.col("supp_nk"))
@@ -886,8 +888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q13"] = _tpch_q13
 
     # TPC-H Q15 — top supplier by revenue. The scalar MAX is a 1-row
-    # aggregate broadcast back over the per-supplier revenue table (no
-    # second scan of lineitem, no global sort); supplier dim broadcasts.
+    # (bounded) aggregate broadcast back over the per-supplier revenue
+    # table — no second scan of lineitem, no global sort. The supplier
+    # join is AQE-decided: supplier scales with sf, so only the
+    # provably-1-row side gets a forced broadcast.
     def _tpch_q15(s, d):
         lo = F.lit("1996-01-01").cast("timestamp")
         hi = F.lit("1996-07-01").cast("timestamp")
@@ -901,7 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mx = rev.agg(F.max("total_revenue").alias("mx"))
         return (rev.join(F.broadcast(mx),
                          F.col("total_revenue") == F.col("mx"))
-                .join(F.broadcast(_t(s, d, "supplier")),
+                .join(_t(s, d, "supplier"),
                       F.col("l_suppkey") == F.col("s_suppkey"))
                 .select("s_suppkey", "s_name", "total_revenue")
                 .orderBy("s_suppkey"))
@@ -909,15 +913,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q15"] = _tpch_q15
 
     # TPC-H Q18 — large-volume orders. The HAVING-filtered order list is
-    # tiny relative to the fact table, so it broadcasts INTO orders and
-    # customers; lineitem is touched once, by a map-combinable sum.
+    # a small FRACTION of orders (~1.7% at the fixture threshold) but
+    # still scales with the data, so its join strategy is AQE-decided —
+    # broadcast at bench scales, shuffle join when the qualifying set
+    # outgrows the broadcast budget at 100 TB. lineitem is touched
+    # once, by a map-combinable sum.
     def _tpch_q18(s, d):
         big = (_t(s, d, "lineitem")
                .groupBy("l_orderkey")
                .agg(F.sum("l_quantity").alias("sum_qty"))
                .filter(F.col("sum_qty") > 250))
         return (_t(s, d, "orders")
-                .join(F.broadcast(big),
+                .join(big,
                       F.col("o_orderkey") == F.col("l_orderkey"))
                 .join(_t(s, d, "customer"),
                       F.col("o_custkey") == F.col("c_custkey"))
@@ -929,9 +936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q18"] = _tpch_q18
 
     # TPC-H Q19 — the disjunctive-predicate query: three (brand, size,
-    # quantity) conjunct groups OR-ed together across the join. part is
-    # broadcast; the OR-of-ANDs stays a single JVM filter (no union of
-    # three scans).
+    # quantity) conjunct groups OR-ed together across the join. part
+    # scales with sf, so AQE picks its join strategy (broadcast at
+    # bench scales); the OR-of-ANDs stays a single JVM filter (no union
+    # of three scans).
     def _tpch_q19(s, d):
         def grp(brand, size_lo, size_hi, qty_lo, qty_hi):
             return ((F.col("p_brand") == brand)
@@ -942,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 | grp("Brand#12", 10, 30, 10, 35)
                 | grp("Brand#23", 20, 50, 20, 50))
         return (_t(s, d, "lineitem")
-                .join(F.broadcast(_t(s, d, "part")),
+                .join(_t(s, d, "part"),
                       F.col("l_partkey") == F.col("p_partkey"))
                 .filter(cond)
                 .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -2076,6 +2084,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_prune"] = _quality_prune
 
+    # corpus heavy hitters (functions/text_analysis.py top_tokens):
+    # approx_top_k — Spark 4's mergeable frequent-items sketch, the
+    # bounded-memory/no-token-shuffle spelling of "top tokens in the
+    # corpus" (executors exchange fixed-size sketches, never the token
+    # multiset). Counts are exact while |vocab| <= max_items, so the
+    # gate joins each returned item to its exact per-token count and
+    # emits any count mismatch as a row; ('ok', k) sentinel otherwise.
+    # Which k items are returned on boundary TIES is not pinned — only
+    # that every returned item's count is the true count and there are
+    # exactly k of them.
+    def _top_tokens(s, d):
+        from velesdb_spark.functions.text_analysis import top_tokens
+
+        docs = _t(s, d, "documents")
+        top = top_tokens(docs, "text", 20)
+        toks = docs.select(F.explode(
+            F.split(F.lower(F.col("text")), r"\s+")).alias("token")) \
+            .filter(F.length("token") > 0)
+        exact = toks.groupBy("token").agg(F.count("*").alias("ex"))
+        j = top.join(exact, "token", "left")
+        bad = j.filter(F.col("cnt") != F.coalesce("ex", F.lit(-1))) \
+            .select(F.col("token").alias("tag"),
+                    F.lit(1).cast("long").alias("n"))
+        okrow = top.agg(F.count("*").alias("n")) \
+            .select(F.lit("ok").alias("tag"), F.col("n"))
+        return bad.unionByName(okrow)
+
+    q["top_tokens"] = _top_tokens
+
     # fixed-iteration PageRank (operators/graph.py pagerank — headroom):
     # authority scoring over the customer↔supplier interaction graph
     # (distinct trade pairs from orders⋈lineitem, both directions, ids
@@ -2502,8 +2539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correlated IN → semi on (custkey, orderkey) — but every orders-rooted
     # shape now feeds off ONE per-customer aggregate (one scan, one
     # map-combinable shuffle; Catalyst's ReuseExchange shares the shuffle
-    # across the three consumers), and the per-customer table is tiny
-    # (≤ |customer| rows) so the derived joins broadcast. The translator's
+    # across the three consumers). The derived sides (per-customer
+    # aggregate, >200k-price order subset) all SCALE with the data, so
+    # their join strategies are AQE-decided — forcing broadcast here was
+    # the one superlinear scaler in the sf1→sf10 evidence (11.4× at 10×
+    # data: a 1.5M-row hash table built on the driver three times, plus
+    # a ~7M-row forced-broadcast orders subset). The translator's
     # own decorrelation (subquery_optimizer.rs:10-42) stays driver-gated
     # via scalar_subquery / in_subquery / semi_anti_join and the pytest
     # translator suite's EXISTS/NOT EXISTS/COUNT-guard cases.
@@ -2520,7 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         qual250 = per_cust.filter(F.col("has250") == 1).select("o_custkey")
         ex = customer.join(
-            F.broadcast(qual250),
+            qual250,
             customer["c_custkey"] == qual250["o_custkey"], "left_semi") \
             .select(F.lit("exists").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
@@ -2538,14 +2579,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("s_suppkey").alias("ckey"))
 
         avg_t = per_cust.select("o_custkey", "avg_price")
-        sc = (orders.join(F.broadcast(avg_t), "o_custkey")
+        sc = (orders.join(avg_t, "o_custkey")
               .filter(F.col("o_totalprice") > F.col("avg_price"))
               .select(F.lit("scalar").alias("kind"),
                       F.col("o_orderkey").alias("ckey")))
 
         qual300 = per_cust.filter(F.col("has300") == 1).select("o_custkey")
         cnt = customer.join(
-            F.broadcast(qual300),
+            qual300,
             customer["c_custkey"] == qual300["o_custkey"], "left_anti") \
             .select(F.lit("count_zero").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
@@ -2554,7 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("o_custkey").alias("_ck"),
                     F.col("o_orderkey").alias("_ok"))
         cin = orders.join(
-            F.broadcast(q200),
+            q200,
             (orders["o_custkey"] == F.col("_ck"))
             & (orders["o_orderkey"] == F.col("_ok")), "left_semi") \
             .select(F.lit("corr_in").alias("kind"),
@@ -2781,6 +2822,7 @@ _GATE_ORDER = [
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
     "token_budget_mix", "domain_cap", "approx_distinct", "quality_prune",
     "join_using_multi", "join_chain_mixed", "having_precedence",
+    "top_tokens",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -4392,6 +4434,8 @@ SELECT source, doc_id FROM (
 
     o["quality_prune"] = (
         "SELECT 'ok' AS tag, count(DISTINCT lang) AS n FROM documents")
+
+    o["top_tokens"] = "SELECT 'ok' AS tag, CAST(20 AS BIGINT) AS n"
 
     # discrete weighted sampling: identical md5 hex keys, lexicographic max
     o["weighted_sample"] = """

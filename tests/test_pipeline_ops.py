@@ -309,3 +309,14 @@ def test_tpch_batch2_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan19
     assert plan19.count("Scan parquet") <= 2
+
+
+def test_top_tokens_exact_within_capacity(spark):
+    from velesdb_spark.functions.text_analysis import top_tokens
+
+    rows = [(1, "a a a b b c"), (2, "a b b d"), (3, "a c c c")]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r["token"]: r["cnt"]
+           for r in top_tokens(df, "text", 3, max_items=100).collect()}
+    # exact counts: a=5, b=4, c=4 (d=1 falls outside top-3)
+    assert got == {"a": 5, "b": 4, "c": 4}

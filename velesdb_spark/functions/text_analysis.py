@@ -261,3 +261,32 @@ def pii_scrub(col: Column) -> Column:
     out = F.regexp_replace(
         out, r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]")
     return out
+
+
+def top_tokens(df, text_col: str = "text", k: int = 20,
+               max_items: int = 100_000):
+    """Corpus heavy hitters: the k most frequent tokens and their
+    counts, via Spark 4's ``approx_top_k`` sketch.
+
+    100 TB design: the exact spelling — explode + groupBy(token).count()
+    + TakeOrdered — shuffles one record per (distinct token ×
+    partition). The sketch aggregates map-side into a bounded
+    frequent-items buffer (``max_items`` slots) and merges buffers, so
+    the token multiset never shuffles; executors exchange only
+    fixed-size sketches. Counts are EXACT whenever the corpus
+    vocabulary fits ``max_items`` (the buffer then is the full count
+    table), approximate with the usual frequent-items guarantees
+    beyond it.
+
+    Returns (token STRING, cnt BIGINT) rows, most frequent first.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")) \
+        .filter(F.length("token") > 0)
+    est = toks.agg(F.expr(
+        f"approx_top_k(token, {int(k)}, {int(max_items)})").alias("tk"))
+    return (est.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("token"),
+                    F.col("e.count").alias("cnt")))
