@@ -983,6 +983,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q22"] = _tpch_q22
 
+    # TPC-H Q17 (adapted: Brand#3, no container column) — the
+    # correlated per-part scalar (0.2·avg quantity of THAT part)
+    # decorrelated to a groupBy-on-the-correlation-key aggregate joined
+    # back on l_partkey; the brand-filtered part dim prunes first.
+    # Threshold doubles are bit-identical cross-engine: integer-valued
+    # quantities sum exactly in doubles, so avg is one IEEE division in
+    # both engines.
+    def _tpch_q17(s, d):
+        li = _t(s, d, "lineitem").select("l_partkey", "l_quantity",
+                                         "l_extendedprice")
+        avg_q = (li.groupBy("l_partkey")
+                 .agg((0.2 * F.avg("l_quantity")).alias("thr"))
+                 .withColumnRenamed("l_partkey", "_pk"))
+        brand = _t(s, d, "part").filter(F.col("p_brand") == "Brand#3") \
+            .select("p_partkey")
+        return (li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+                .join(avg_q, F.col("l_partkey") == F.col("_pk"))
+                .filter(F.col("l_quantity") < F.col("thr"))
+                .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                     .alias("avg_yearly")))
+
+    q["tpch_q17"] = _tpch_q17
+
+    # TPC-H Q8 (adapted to regions like Q7): EUROPE suppliers' market
+    # share of ASIA customers' order volume, by order year — nested
+    # conditional aggregate over the full join chain; fixed-size
+    # nation×region dims broadcast, supplier join AQE-decided.
+    def _tpch_q8(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1998-01-01").cast("timestamp")
+
+        def nat_region(nk, rg):
+            return (_t(s, d, "nation")
+                    .join(_t(s, d, "region"),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select(F.col("n_nationkey").alias(nk),
+                            F.col("r_name").alias(rg)))
+
+        ords = _t(s, d, "orders").filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = (_t(s, d, "lineitem")
+             .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(_t(s, d, "customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(nat_region("cust_nk", "cust_region")),
+                   F.col("c_nationkey") == F.col("cust_nk"))
+             .filter(F.col("cust_region") == "ASIA")
+             .join(_t(s, d, "supplier"),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(nat_region("supp_nk", "supp_region")),
+                   F.col("s_nationkey") == F.col("supp_nk")))
+        return (j.groupBy(F.year("o_orderdate").alias("yr"))
+                .agg(F.round(
+                    F.sum(F.when(F.col("supp_region") == "EUROPE", vol)
+                          .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+                     .alias("mkt_share"))
+                .orderBy("yr"))
+
+    q["tpch_q8"] = _tpch_q8
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -2434,6 +2495,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_session"] = _events_session
 
+    # running (cumulative) per-user aggregate — the canonical
+    # key-partitioned window: one shuffle on user_id, every partition
+    # sorts only its own users' rows, no global ordering anywhere.
+    # Ordering key (ts, event_id) is total per user, so the running sum
+    # visits both engines' rows in the same sequence and the double
+    # additions are bit-identical.
+    def _events_cumulative(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events").filter(F.col("user_id") < 50)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (ev.select("event_id", "user_id",
+                          F.round(F.sum("value").over(w), 4)
+                          .alias("running_value"),
+                          F.row_number().over(
+                              Window.partitionBy("user_id")
+                              .orderBy("ts", "event_id")).alias("seq"))
+                .orderBy("user_id", "seq"))
+
+    q["events_cumulative"] = _events_cumulative
+
+    # lead/lag over event time per user: inter-event gap in seconds and
+    # the next event's type — same single key-partitioned shuffle.
+    def _events_lead_lag(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events").filter(F.col("user_id") < 50)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # epoch-micros longs, not second-truncated casts: exact int64
+        # arithmetic in both engines (unix_micros ↔ DuckDB epoch_us);
+        # the fixture ts is TIMESTAMP_NTZ, so cast through TIMESTAMP
+        # first (session tz is UTC — the instant equals the naive wall
+        # clock DuckDB sees); materialized as a column, not inline in
+        # lag(), so the window expression resolves
+        ev = ev.withColumn("_us",
+                           F.unix_micros(F.col("ts").cast("timestamp")))
+        return (ev.select(
+            "event_id", "user_id",
+            (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"))
+            .orderBy("user_id", "event_id"))
+
+    q["events_lead_lag"] = _events_lead_lag
+
     # as-of join (operators/asof.py — headroom; Spark has no native
     # ASOF): each click aligned to the user's most recent prior-or-same
     # purchase via the union+window plan (ONE shuffle on user_id, no
@@ -2822,7 +2928,8 @@ _GATE_ORDER = [
     "events_range_join", "events_funnel", "dedup_keep_best", "corpus_diff",
     "token_budget_mix", "domain_cap", "approx_distinct", "quality_prune",
     "join_using_multi", "join_chain_mixed", "having_precedence",
-    "top_tokens",
+    "top_tokens", "tpch_q17", "tpch_q8", "events_cumulative",
+    "events_lead_lag",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -2974,6 +3081,53 @@ SELECT round(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+    o["tpch_q17"] = """
+SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3') b
+  ON l_partkey = b.p_partkey
+JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS thr
+      FROM lineitem GROUP BY l_partkey) t ON l_partkey = t.pk
+WHERE l_quantity < thr"""
+
+    o["tpch_q8"] = """
+SELECT yr, round(SUM(CASE WHEN supp_region = 'EUROPE' THEN vol
+                          ELSE 0.0 END) / SUM(vol), 6) AS mkt_share
+FROM (SELECT year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS vol,
+             r2.r_name AS supp_region
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r1.r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY yr ORDER BY yr"""
+
+    o["events_cumulative"] = """
+SELECT event_id, user_id,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4)
+         AS running_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS seq
+FROM events WHERE user_id < 50
+ORDER BY user_id, seq"""
+
+    o["events_lead_lag"] = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+       LEAD(event_type) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events WHERE user_id < 50
+ORDER BY user_id, event_id"""
 
     o["tpch_q7"] = """
 SELECT supp_region, cust_region, yr,
