@@ -2464,6 +2464,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_asof"] = _stream_asof
 
+    # streaming per-domain admission quota (streaming/quota.py — the
+    # continuous-ingest twin of domain_cap): 8 bytes of state per key,
+    # no watermark needed; a one-file availableNow drain equals the
+    # batch first-k-by-id rule, which is the oracle. Cross-batch state
+    # carry is pytest-covered with two chronological files.
+    def _stream_quota(s, d):
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from velesdb_spark.streaming.events import read_docs_stream
+        from velesdb_spark.streaming.quota import stream_quota
+
+        stage = tempfile.mkdtemp(prefix="docs_quota_")
+        os.symlink(f"{d}/documents.parquet", f"{stage}/documents.parquet")
+        try:
+            from pyspark.sql.types import (LongType, StringType,
+                                           StructField, StructType)
+
+            full = StructType([StructField("doc_id", LongType()),
+                               StructField("text", StringType()),
+                               StructField("lang", StringType()),
+                               StructField("source", StringType()),
+                               StructField("n_chars", LongType())])
+            docs = read_docs_stream(s, stage, schema=full)
+            out = stream_quota(docs, 7, "source", "doc_id")
+            name = "stream_quota_" + uuid.uuid4().hex[:8]
+            qr = (out.writeStream.format("memory").queryName(name)
+                  .outputMode("append").trigger(availableNow=True).start())
+            if not qr.awaitTermination(180):
+                qr.stop()
+                raise TimeoutError("stream_quota drain exceeded 180s")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return s.table(name).select("g_key", "adm_id") \
+            .orderBy("g_key", "adm_id")
+
+    q["stream_quota"] = _stream_quota
+
     def _events_sliding(s, d):
         # 1h windows sliding 15min (batch-mode F.window; same op streams
         # with a watermark — streaming/events.py sliding_avg)
@@ -2929,7 +2969,7 @@ _GATE_ORDER = [
     "token_budget_mix", "domain_cap", "approx_distinct", "quality_prune",
     "join_using_multi", "join_chain_mixed", "having_precedence",
     "top_tokens", "tpch_q17", "tpch_q8", "events_cumulative",
-    "events_lead_lag",
+    "events_lead_lag", "stream_quota",
     "weighted_sample", "training_mix", "graph_pagerank",
     # ---- round-6 additions + the single never-driver-proven query
     "rag_retrieval", "embedding_near_dups_brute",
@@ -4382,6 +4422,12 @@ FROM imp WHERE improvement >= 0.2"""
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2"""
+
+    o["stream_quota"] = """
+SELECT source AS g_key, doc_id AS adm_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 7 ORDER BY g_key, adm_id"""
 
     o["stream_interval_join"] = """
 SELECT l.event_id AS event_id, r.event_id AS event_id_right

@@ -158,3 +158,49 @@ def test_stream_asof_state_is_pruned(spark, tmp_path):
     name = _drain(stream_asof_join(stream), "sprune_")
     got = {r.l_id: r.r_val for r in spark.table(name).collect()}
     assert got == {1: 29.0, 2: 29.0}
+
+
+def test_stream_quota_cross_batch_state(spark, tmp_path):
+    """Two chronological micro-batches: batch 1 part-fills some domains'
+    quotas, batch 2 may only admit the REMAINDER — the 8-byte count
+    state must carry across batches."""
+    import uuid
+
+    from velesdb_spark.streaming.quota import stream_quota
+
+    stage = tmp_path / "docs"
+    stage.mkdir()
+    b1 = [(i, "a") for i in range(5)] + [(100 + i, "b") for i in range(2)]
+    b2 = [(10 + i, "a") for i in range(5)] + [(200 + i, "b")
+                                              for i in range(2)]
+    spark.createDataFrame(b1, "doc_id bigint, source string") \
+        .coalesce(1).write.parquet(str(stage / "f1"))
+    spark.createDataFrame(b2, "doc_id bigint, source string") \
+        .coalesce(1).write.parquet(str(stage / "f2"))
+    # file source lists FILES: copy part files flat, chronological names
+    import glob
+    import shutil
+
+    for i, d in enumerate(("f1", "f2")):
+        part = glob.glob(str(stage / d / "part-*.parquet"))[0]
+        shutil.copy(part, str(stage / f"batch_{i}.parquet"))
+        shutil.rmtree(str(stage / d))
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("source", StringType())])
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    out = stream_quota(docs, 6, "source", "doc_id")
+    name = "q_" + uuid.uuid4().hex[:8]
+    qr = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    assert qr.awaitTermination(120)
+    got = {(r.g_key, r.adm_id)
+           for r in spark.table(name).collect()}
+    # a: 5 admitted in batch 1, only 1 more (the smallest of batch 2);
+    # b: 2 + 2 admitted (quota never reached)
+    expect = {("a", i) for i in range(5)} | {("a", 10)} \
+        | {("b", 100), ("b", 101), ("b", 200), ("b", 201)}
+    assert got == expect
