@@ -1044,6 +1044,270 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q8"] = _tpch_q8
 
+    # TPC-H Q1 — the pricing summary report: ONE map-combinable
+    # aggregate over a date-pruned scan, 6 output groups. At 100 TB
+    # this is the pure scan-bound query — no join, no second shuffle;
+    # the partial aggregates carry 8 numbers per (returnflag,
+    # linestatus) pair per task. Money flows as EXACT scaled integers
+    # (prices are 2-decimal, discount/tax 2-decimal, quantity
+    # integer-valued by construction): a billion-row double sum
+    # drifts in the 4th decimal between engines (observed at sf1),
+    # while int64 sums are bit-exact and associative — the same
+    # reason warehouses use DECIMAL for money. Headroom: the charge
+    # sum in 1e-6-dollar units stays under 2^63 to ~sf100.
+    def _tpch_q1(s, d):
+        cutoff = F.lit("2000-12-01").cast("timestamp")
+        ip100 = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        d100 = F.round(F.col("l_discount") * 100).cast("bigint")
+        t100 = F.round(F.col("l_tax") * 100).cast("bigint")
+        qty = F.col("l_quantity").cast("bigint")
+        n = F.count("*")
+        return (_t(s, d, "lineitem")
+                .filter(F.col("l_shipdate") <= cutoff)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(qty).alias("sum_qty"),
+                     F.round(F.sum(ip100) / 100.0, 4)
+                     .alias("sum_base_price"),
+                     F.round(F.sum(ip100 * (100 - d100)) / 10000.0, 4)
+                     .alias("sum_disc_price"),
+                     F.round(F.sum(ip100 * (100 - d100) * (100 + t100))
+                             / 1000000.0, 4).alias("sum_charge"),
+                     F.round(F.sum(qty) / n, 4).alias("avg_qty"),
+                     F.round(F.sum(ip100) / 100.0 / n, 4)
+                     .alias("avg_price"),
+                     F.round(F.sum(d100) / 100.0 / n, 4)
+                     .alias("avg_disc"),
+                     n.alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+
+    q["tpch_q1"] = _tpch_q1
+
+    # TPC-H Q2 (adapted: the fixture has no partsupp, so the supply
+    # relation is DERIVED from lineitem — unit cost of a (part,
+    # supplier) pair = MIN(l_extendedprice / l_quantity) over its
+    # lineitems). The correlated "minimum cost supplier for this part"
+    # subquery decorrelates to a groupBy on the correlation key
+    # (p_partkey) joined back on equality — the same shape as Q17.
+    # Double equality across engines is safe here because both sides
+    # are MIN-selections over the identical set of IEEE divisions.
+    # Scale: the supply relation aggregates lineitem down to |part|×
+    # |supp| rows before any dim join; region/nation dims broadcast.
+    def _tpch_q2(s, d):
+        supply = (_t(s, d, "lineitem")
+                  .groupBy("l_partkey", "l_suppkey")
+                  .agg(F.min(F.col("l_extendedprice")
+                             / F.col("l_quantity")).alias("cost")))
+        eur_supp = (_t(s, d, "supplier")
+                    .join(F.broadcast(
+                        _t(s, d, "nation")
+                        .join(_t(s, d, "region"),
+                              F.col("n_regionkey") == F.col("r_regionkey"))
+                        .filter(F.col("r_name") == "EUROPE")
+                        .select("n_nationkey", "n_name")),
+                        F.col("s_nationkey") == F.col("n_nationkey")))
+        eur_cost = supply.join(
+            eur_supp.select(F.col("s_suppkey").alias("_sk")),
+            F.col("l_suppkey") == F.col("_sk"))
+        min_cost = (eur_cost.groupBy(F.col("l_partkey").alias("_pk"))
+                    .agg(F.min("cost").alias("min_cost")))
+        parts = (_t(s, d, "part")
+                 .filter(F.col("p_size") == 15)
+                 .select("p_partkey", "p_name"))
+        return (eur_cost
+                .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+                .join(min_cost, (F.col("l_partkey") == F.col("_pk"))
+                      & (F.col("cost") == F.col("min_cost")))
+                .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                        "p_name", F.round("cost", 6).alias("cost"))
+                .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                         "p_partkey")
+                .limit(100))
+
+    q["tpch_q2"] = _tpch_q2
+
+    # TPC-H Q9 (adapted: no partsupp → supply cost proxied as
+    # 0.6·p_retailprice per unit; the name filter is '%bolt%' over the
+    # fixture's adjective-noun part names). Profit per supplier-nation
+    # per order-year. Scale shape: part (filtered) and the fixed-size
+    # nation dim broadcast; supplier scales so its join is AQE-decided;
+    # lineitem shuffles once on l_orderkey for the orders join.
+    def _tpch_q9(s, d):
+        amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+        return (_t(s, d, "lineitem")
+                .join(_t(s, d, "part")
+                      .filter(F.col("p_name").like("%bolt%"))
+                      .select("p_partkey", "p_retailprice"),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .join(_t(s, d, "supplier"),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(F.broadcast(_t(s, d, "nation")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(_t(s, d, "orders")
+                      .select("o_orderkey", "o_orderdate"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy(F.col("n_name").alias("nation"),
+                         F.year("o_orderdate").alias("o_year"))
+                .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+                .orderBy("nation", F.desc("o_year")))
+
+    q["tpch_q9"] = _tpch_q9
+
+    # TPC-H Q11 (adapted: no partsupp → per-part "stock value" is the
+    # EUROPE-supplied lineitem revenue; the HAVING threshold is
+    # value > 2× the mean per-part value, i.e. value·2·|parts| >
+    # total — TPC-H's fraction/SF made scale-invariant without a
+    # per-sf constant). All money flows as exact integer cents
+    # (l_extendedprice is 2-decimal by construction, l_quantity
+    # integer-valued), so the threshold comparison is pure int64 —
+    # bit-exact in both engines, no FP-boundary row can flip. Scale
+    # shape: the grand (total, count) is a 1-row broadcast over the
+    # per-part aggregate; the per-part aggregate is map-combinable
+    # on l_partkey.
+    def _tpch_q11(s, d):
+        cents = (F.round(F.col("l_extendedprice") * 100)
+                 .cast("bigint") * F.col("l_quantity").cast("bigint"))
+        eur = (_t(s, d, "nation")
+               .join(_t(s, d, "region"),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "EUROPE")
+               .select("n_nationkey"))
+        li = (_t(s, d, "lineitem")
+              .join(_t(s, d, "supplier"),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(eur),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .select(F.col("l_partkey"), cents.alias("cents")))
+        per_part = (li.groupBy("l_partkey")
+                    .agg(F.sum("cents").alias("value_cents")))
+        total = per_part.agg(F.sum("value_cents").alias("total_cents"),
+                             F.count("*").alias("n_parts"))
+        return (per_part.join(F.broadcast(total))
+                .filter(F.col("value_cents") * F.col("n_parts")
+                        > 2 * F.col("total_cents"))
+                .select("l_partkey", "value_cents")
+                .orderBy(F.desc("value_cents"), "l_partkey"))
+
+    q["tpch_q11"] = _tpch_q11
+
+    # TPC-H Q16 (adapted: the part-supplier relation is the DISTINCT
+    # (l_partkey, l_suppkey) projection of lineitem; the "customer
+    # complaints" supplier exclusion becomes s_acctbal < 0). Scale
+    # shape: the pair-distinct is one shuffle on the composite key
+    # carrying two longs; the excluded-supplier set is a broadcast
+    # anti-join; count(DISTINCT supplier) per (brand, type, size)
+    # re-shuffles only the surviving pairs.
+    def _tpch_q16(s, d):
+        pairs = (_t(s, d, "lineitem")
+                 .select("l_partkey", "l_suppkey").distinct())
+        bad_supp = (_t(s, d, "supplier")
+                    .filter(F.col("s_acctbal") < 0)
+                    .select("s_suppkey"))
+        parts = (_t(s, d, "part")
+                 .filter((F.col("p_brand") != "Brand#5")
+                         & (F.col("p_type") != "PROMO")
+                         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+                 .select("p_partkey", "p_brand", "p_type", "p_size"))
+        return (pairs
+                .join(F.broadcast(bad_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"),
+                      "left_anti")
+                .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+                .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                         "p_size"))
+
+    q["tpch_q16"] = _tpch_q16
+
+    # TPC-H Q20 (adapted: no partsupp availability → a supplier
+    # "stocks excess" of a part when its 1996 shipped quantity exceeds
+    # 30% of that part's total 1996 quantity; parts are the 'red%'
+    # name prefix; suppliers restricted to EUROPE). Quantities are
+    # integer-valued doubles, so both the per-pair and per-part sums
+    # are exact and the 0.3× threshold is one deterministic multiply —
+    # no cross-engine FP boundary. Scale shape: per-pair and per-part
+    # aggregates share the same date+part-pruned scan; the qualifying
+    # supplier set is a semi-join into the (small) supplier dim.
+    def _tpch_q20(s, d):
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1997-01-01").cast("timestamp")
+        red = (_t(s, d, "part")
+               .filter(F.col("p_name").like("red%"))
+               .select("p_partkey"))
+        li = (_t(s, d, "lineitem")
+              .filter((F.col("l_shipdate") >= lo)
+                      & (F.col("l_shipdate") < hi))
+              .join(F.broadcast(red),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .select("l_partkey", "l_suppkey", "l_quantity"))
+        per_pair = (li.groupBy("l_partkey", "l_suppkey")
+                    .agg(F.sum("l_quantity").alias("pair_qty")))
+        per_part = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                    .agg(F.sum("l_quantity").alias("part_qty")))
+        excess = (per_pair
+                  .join(per_part, F.col("l_partkey") == F.col("_pk"))
+                  .filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+                  .select("l_suppkey").distinct())
+        eur = (_t(s, d, "nation")
+               .join(_t(s, d, "region"),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "EUROPE")
+               .select("n_nationkey"))
+        return (_t(s, d, "supplier")
+                .join(F.broadcast(eur),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(excess, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+                .select("s_suppkey", "s_name")
+                .orderBy("s_suppkey"))
+
+    q["tpch_q20"] = _tpch_q20
+
+    # TPC-H Q21 (adapted: no receipt/commit dates → "late" is
+    # l_shipdate > o_orderdate + 80 days — past the p90 ship gap in
+    # every fixture generation, so the predicate is non-trivial at
+    # all scales; status 'F' orders). The
+    # double EXISTS / NOT EXISTS ("another supplier on the order,
+    # but no OTHER late supplier") decorrelates to ONE aggregate per
+    # order — distinct-supplier count ≥ 2 AND distinct-LATE-supplier
+    # count = 1 — joined back to the late rows. Scale shape: both
+    # per-order counts come out of a single groupBy on l_orderkey
+    # (one shuffle of (orderkey, suppkey, late) triples); the culprit
+    # extraction reuses the same pruned projection; supplier join is
+    # AQE-decided.
+    def _tpch_q21(s, d):
+        late = (F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
+        lo_ = (_t(s, d, "lineitem")
+               .select("l_orderkey", "l_suppkey", "l_shipdate")
+               .join(_t(s, d, "orders")
+                     .filter(F.col("o_orderstatus") == "F")
+                     .select("o_orderkey", "o_orderdate"),
+                     F.col("l_orderkey") == F.col("o_orderkey"))
+               .select("l_orderkey", "l_suppkey", late.alias("late")))
+        per_order = (lo_.groupBy(F.col("l_orderkey").alias("_ok"))
+                     .agg(F.countDistinct("l_suppkey").alias("ns"),
+                          F.countDistinct(
+                              F.when(F.col("late"),
+                                     F.col("l_suppkey"))).alias("nl"))
+                     .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+                     .select("_ok"))
+        culprit = (lo_.filter(F.col("late"))
+                   .select("l_orderkey", "l_suppkey").distinct())
+        return (culprit
+                .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+                .groupBy("l_suppkey")
+                .agg(F.count("*").alias("numwait"))
+                .join(_t(s, d, "supplier"),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_name", "numwait")
+                .orderBy(F.desc("numwait"), "s_name")
+                .limit(100))
+
+    q["tpch_q21"] = _tpch_q21
+
     q["limit_offset"] = lambda s, d: _vql(
         s, d,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")
@@ -2953,6 +3217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
     # ---- round-8 additions — first
+    "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -3149,6 +3415,133 @@ FROM (SELECT year(o_orderdate) AS yr,
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1998-01-01')
 GROUP BY yr ORDER BY yr"""
+
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(ip) AS BIGINT) AS sum_qty,
+       round(CAST(SUM(c100) AS BIGINT) / 100.0, 4) AS sum_base_price,
+       round(CAST(SUM(c100 * (100 - d100)) AS BIGINT) / 10000.0, 4)
+         AS sum_disc_price,
+       round(CAST(SUM(c100 * (100 - d100) * (100 + t100)) AS BIGINT)
+             / 1000000.0, 4) AS sum_charge,
+       round(CAST(SUM(ip) AS BIGINT) / COUNT(*), 4) AS avg_qty,
+       round(CAST(SUM(c100) AS BIGINT) / 100.0 / COUNT(*), 4)
+         AS avg_price,
+       round(CAST(SUM(d100) AS BIGINT) / 100.0 / COUNT(*), 4)
+         AS avg_disc,
+       COUNT(*) AS count_order
+FROM (SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS ip,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c100,
+             CAST(round(l_discount * 100) AS BIGINT) AS d100,
+             CAST(round(l_tax * 100) AS BIGINT) AS t100
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    o["tpch_q2"] = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eur_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+eur_cost AS (
+  SELECT supply.* FROM supply
+  JOIN eur_supp ON l_suppkey = s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(cost, 6) AS cost
+FROM eur_cost
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, MIN(cost) AS min_cost
+      FROM eur_cost GROUP BY l_partkey) m
+  ON l_partkey = m.pk AND cost = m.min_cost
+JOIN eur_supp ON l_suppkey = s_suppkey
+WHERE p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+    o["tpch_q9"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC"""
+
+    o["tpch_q11"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_cents FROM per_part
+WHERE value_cents * (SELECT COUNT(*) FROM per_part)
+      > 2 * (SELECT SUM(value_cents) FROM per_part)
+ORDER BY value_cents DESC, l_partkey"""
+
+    o["tpch_q16"] = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+    o["tpch_q20"] = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM li
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(l_quantity) > 0.3 * (SELECT SUM(l2.l_quantity)
+                                    FROM li l2
+                                    WHERE l2.l_partkey = li.l_partkey))
+ORDER BY s_suppkey"""
+
+    o["tpch_q21"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 80 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey FROM lo
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) >= 2
+     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) culprit
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100"""
 
     o["events_cumulative"] = """
 SELECT event_id, user_id,

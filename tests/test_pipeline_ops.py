@@ -311,6 +311,44 @@ def test_tpch_batch2_plan_shapes(spark):
     assert plan19.count("Scan parquet") <= 2
 
 
+def test_tpch_batch3_plan_shapes(spark):
+    """Scale contracts for the TPC-H completion batch (Q1, Q2, Q9,
+    Q11, Q16, Q20, Q21): Q1 stays scan-bound (date filter pushed to
+    the parquet scan, exactly one aggregate exchange); the scalar
+    totals in Q11 broadcast as 1-row builds; nothing degenerates to a
+    cartesian or unbounded nested-loop join."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11",
+                 "tpch_q16", "tpch_q20", "tpch_q21"):
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name == "tpch_q11":
+            # the (total, n_parts) scalar is a conditionless 1-row
+            # broadcast — exactly one BNLJ, same contract as q22
+            assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q1: date predicate reaches the scan; one shuffle total (the
+    # partial→final aggregate exchange) — the signature of a
+    # scan-bound query at 100 TB
+    plan1 = qs["tpch_q1"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" \
+        in plan1
+    assert plan1.count("Exchange") <= 2  # agg exchange + result sort
+    # Q16: the negative-balance supplier exclusion is a broadcast
+    # anti-join, never a shuffle of the pair-distinct set against a
+    # 6-row table
+    plan16 = qs["tpch_q16"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan16
+    assert "LeftAnti" in plan16
+
+
 def test_top_tokens_exact_within_capacity(spark):
     from velesdb_spark.functions.text_analysis import top_tokens
 
