@@ -645,6 +645,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["groupby_nested_null"] = _groupby_nested_null
 
+    # use_cases_integration_tests.rs:534-566 (trend analysis) — the
+    # reference only PARSE-asserts its dashboard query; here the full
+    # combined shape executes through one translator pass: similarity()
+    # threshold AND BETWEEN in the same WHERE, GROUP BY, HAVING over
+    # COUNT(*), ORDER BY the aggregate DESC with a key tiebreak. Scale
+    # shape: the similarity predicate is a JVM expression on the scan
+    # (no top-k materialization), the aggregate is map-combinable.
+    q["trend_analysis"] = lambda s, d: _vql(
+        s, d,
+        "SELECT label, COUNT(*) FROM embeddings "
+        "WHERE similarity(vector, $v) > 0.2 AND label BETWEEN 1 AND 8 "
+        "GROUP BY label HAVING COUNT(*) > 2 "
+        "ORDER BY COUNT(*) DESC, label", {"v": QV2})
+
+    # velesql_v2_integration_tests.rs:314-323 + complex_parser_tests.rs:
+    # 29-43 — five aggregates over the SAME column in one SELECT; the
+    # reference parse-asserts, we execute and pin the default-name
+    # convention (min_/max_/avg_/sum_/count_<col>) under collision
+    # pressure. Float outputs rounded at the gate edge (sums of ~100
+    # doubles per group; cross-engine order drift lives below 1e-4).
+    def _multi_agg_same_col(s, d):
+        df = _vql(
+            s, d,
+            "SELECT c_mktsegment, MIN(c_acctbal), MAX(c_acctbal), "
+            "AVG(c_acctbal), SUM(c_acctbal), COUNT(c_acctbal) "
+            "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        return df.select(
+            "c_mktsegment", "min_c_acctbal", "max_c_acctbal",
+            F.round("avg_c_acctbal", 4).alias("avg_c_acctbal"),
+            F.round("sum_c_acctbal", 4).alias("sum_c_acctbal"),
+            "count_c_acctbal")
+
+    q["multi_agg_same_col"] = _multi_agg_same_col
+
     q["set_union"] = lambda s, d: _vql(
         s, d,
         "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
@@ -3218,7 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-8 additions — first
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q21",
+    "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -3776,6 +3810,21 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     o["similarity_threshold"] = (
         f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "
         f"ORDER BY vec_id LIMIT 100000")
+
+    o["trend_analysis"] = (
+        f"SELECT label, COUNT(*) AS count FROM embeddings "
+        f"WHERE {cos(QV2)} > 0.2 AND label BETWEEN 1 AND 8 "
+        f"GROUP BY label HAVING COUNT(*) > 2 "
+        f"ORDER BY count DESC, label")
+
+    o["multi_agg_same_col"] = """
+SELECT c_mktsegment,
+       MIN(c_acctbal) AS min_c_acctbal,
+       MAX(c_acctbal) AS max_c_acctbal,
+       round(AVG(c_acctbal), 4) AS avg_c_acctbal,
+       round(SUM(c_acctbal), 4) AS sum_c_acctbal,
+       COUNT(c_acctbal) AS count_c_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
     o["similarity_groupby"] = (
         f"SELECT label, COUNT(*) AS doc_count FROM embeddings "
