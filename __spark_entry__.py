@@ -679,6 +679,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multi_agg_same_col"] = _multi_agg_same_col
 
+    # similarity_exec_tests.rs:360-437 (issue #122 regression) — a
+    # similarity predicate nested under OR inside an outer AND:
+    # (similarity > t OR meta) AND meta2. The reference's bug was the
+    # outer AND leg leaking rows that matched only the inner OR; here
+    # the whole tree stays ONE JVM filter over the scan (no union of
+    # scans, no top-k detour), so the conjunction cannot decompose.
+    q["similarity_nested_bool"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings "
+        "WHERE (similarity(vector, $v) > 0.45 OR label = 3) "
+        "AND vec_id < 250 ORDER BY vec_id LIMIT 100000", {"v": QV2})
+
     q["set_union"] = lambda s, d: _vql(
         s, d,
         "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
@@ -3253,6 +3265,7 @@ _GATE_ORDER = [
     # ---- round-8 additions — first
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
+    "similarity_nested_bool",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -3809,6 +3822,11 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
 
     o["similarity_threshold"] = (
         f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "
+        f"ORDER BY vec_id LIMIT 100000")
+
+    o["similarity_nested_bool"] = (
+        f"SELECT vec_id FROM embeddings "
+        f"WHERE ({cos(QV2)} > 0.45 OR label = 3) AND vec_id < 250 "
         f"ORDER BY vec_id LIMIT 100000")
 
     o["trend_analysis"] = (

@@ -28,7 +28,11 @@ sys.path.insert(0, "/root/repo")
 QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
            "minhash_first_hash", "exact_dedup", "ngram_jaccard",
            "decontam_fixed_eval", "epoch_shuffle", "repetition_stats",
-           "tpch_q3", "tpch_q13", "tpch_q18"]
+           "tpch_q3", "tpch_q13", "tpch_q18",
+           # completion-batch representatives: Q1 = scan-bound exact
+           # integer aggregate, Q9 = 5-way join + 175-group agg, Q21 =
+           # double-distinct per-order decorrelation
+           "tpch_q1", "tpch_q9", "tpch_q21"]
 
 
 def main():
