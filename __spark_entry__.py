@@ -2190,6 +2190,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_png_decode"] = _media_png
 
+    # REAL y4m VIDEO decode + frame sampling, oracle-checked end-to-end:
+    # deterministic integer-arithmetic planes → YUV4MPEG2 container →
+    # parsed back (header, FRAME markers, planar Y/U/V) in mapInPandas,
+    # sampling every 2nd frame with per-frame statistics. DuckDB
+    # re-derives the stats from the plane FORMULA — a hash match proves
+    # the container round-trip is byte-exact without DuckDB needing a
+    # video stack. Means are one IEEE division of an exact uint8-sum, so
+    # no f32 emulation is needed. Completes the real-decoder trio
+    # (PNG image / WAV audio / y4m video); compressed codecs stay behind
+    # register_decoder() (no media libs in this container — SURVEY §4).
+    def _media_video(s, d):
+        from velesdb_spark.multimodal.media import (decode_frames,
+                                                    synth_y4m_col)
+
+        vid = (_t(s, d, "documents").filter(F.col("doc_id") < 120)
+               .select(F.col("doc_id").alias("id"),
+                       F.lit("video").alias("modality"),
+                       synth_y4m_col(F.col("doc_id")).alias("content")))
+        fr = decode_frames(vid, every_n=2)
+        return fr.select(
+            F.col("id").alias("doc_id"), "frame_idx", "ts_ms",
+            F.round("y_mean", 6).alias("y_mean"),
+            F.round("u_mean", 6).alias("u_mean"),
+            F.round("v_mean", 6).alias("v_mean"),
+            "y_min", "y_max").orderBy("doc_id", "frame_idx")
+
+    q["media_video_frames"] = _media_video
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -3265,7 +3293,7 @@ _GATE_ORDER = [
     # ---- round-8 additions — first
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
-    "similarity_nested_bool",
+    "similarity_nested_bool", "media_video_frames",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4315,6 +4343,34 @@ SELECT doc_id,
   round(CAST(CAST(SUM(CASE WHEN floor(l/32) = 7 THEN 1 ELSE 0 END)/120.0
     AS REAL) AS DOUBLE), 6) AS hist7
 FROM lum GROUP BY doc_id ORDER BY doc_id"""
+
+    # y4m frame sampling: per-frame stats re-derived from the synth plane
+    # formulas Y[i]=(i*31+seed*7+f*13)%251, U[i]=(i*17+seed*5+f*11)%251,
+    # V[i]=(i*23+seed*3+f*19)%251 over an 8×6 C444 raster, 5 frames at
+    # F25:1 (→ ts_ms = f*40), sampled every 2nd frame. Plane sums are
+    # exact integers, so avg() is one identical IEEE division per engine.
+    o["media_video_frames"] = """
+WITH seeds AS (
+  SELECT doc_id FROM documents WHERE doc_id < 120
+), fr AS (
+  SELECT range AS f FROM range(0, 5) WHERE range % 2 = 0
+), px AS (
+  SELECT s.doc_id, fr.f, i.range AS i
+  FROM seeds s CROSS JOIN fr CROSS JOIN range(0, 48) i
+), pv AS (
+  SELECT doc_id, f,
+         CAST((i*31 + doc_id*7 + f*13) % 251 AS DOUBLE) AS y,
+         CAST((i*17 + doc_id*5 + f*11) % 251 AS DOUBLE) AS u,
+         CAST((i*23 + doc_id*3 + f*19) % 251 AS DOUBLE) AS v
+  FROM px
+)
+SELECT doc_id, f AS frame_idx, f * 40 AS ts_ms,
+       round(avg(y), 6) AS y_mean,
+       round(avg(u), 6) AS u_mean,
+       round(avg(v), 6) AS v_mean,
+       CAST(min(y) AS BIGINT) AS y_min,
+       CAST(max(y) AS BIGINT) AS y_max
+FROM pv GROUP BY doc_id, f ORDER BY doc_id, frame_idx"""
 
     words_raw = _DK_WORDS.format(c="lower(text)")
     o["chunk_docs"] = f"""

@@ -583,3 +583,79 @@ def test_decode_png_dispatch_and_guards(spark):
         mm.decode_png(bad, {})
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png", {})
+
+
+def test_decode_y4m_real_exact_planes():
+    """REAL y4m video decode: synth encoder emits integer-arithmetic
+    planes; decoded 16-dim feature must equal stats computed directly
+    from the formula — for C444, C420jpeg, and Cmono colorspaces."""
+    import numpy as np
+
+    from velesdb_spark import multimodal as mm
+
+    for cs in ("C444", "C420jpeg", "Cmono"):
+        blob = mm.synth_y4m(seed=9, w=8, h=6, frames=4, colorspace=cs)
+        feats = mm.decode_y4m(blob, {})
+        cw = {"C444": 8, "C420jpeg": 4, "Cmono": 0}[cs]
+        chh = {"C444": 6, "C420jpeg": 3, "Cmono": 0}[cs]
+        i = np.arange(48, dtype=np.int64)
+        j = np.arange(cw * chh, dtype=np.int64)
+        ys = np.stack([(i * 31 + 9 * 7 + f * 13) % 251 for f in range(4)]
+                      ).astype(np.float64)
+        if cw:
+            us = np.stack([(j * 17 + 9 * 5 + f * 11) % 251
+                           for f in range(4)]).astype(np.float64)
+            vs = np.stack([(j * 23 + 9 * 3 + f * 19) % 251
+                           for f in range(4)]).astype(np.float64)
+            u_mean, v_mean = us.mean() / 255.0, vs.mean() / 255.0
+        else:
+            u_mean = v_mean = 0.0
+        hist, _ = np.histogram(ys, bins=8, range=(0, 256))
+        want = [8.0, 6.0, 4.0, ys.mean() / 255.0, u_mean, v_mean,
+                ys.std() / 255.0, ys.min() / 255.0,
+                *(hist / ys.size).tolist()]
+        assert feats == pytest.approx(want, abs=1e-12), cs
+
+
+def test_decode_y4m_guards():
+    """Container guards: truncated frames, bad FRAME markers, unsupported
+    colorspaces, odd 4:2:0 dims, and non-y4m streams all refuse loudly;
+    non-y4m video bytes route to the md5 fake through video_decoder."""
+    from velesdb_spark import multimodal as mm
+
+    blob = mm.synth_y4m(seed=1, w=8, h=6, frames=2)
+    with pytest.raises(ValueError):
+        mm.decode_y4m(blob[:-10], {})          # truncated plane data
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"garbage", {})
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\n", {})
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"YUV4MPEG2 W5 H4 F25:1 C420\n", {})  # odd w @420
+    with pytest.raises(NotImplementedError):
+        mm.synth_y4m(1, colorspace="C422")
+    assert len(mm.video_decoder(b"\x00mp4garbage", {})) == 16
+
+
+def test_decode_frames_sampling(spark):
+    """decode_frames: one row per sampled frame (every_n), ts_ms from the
+    stream's own F<num>:<den> rate, per-frame stats matching the formula;
+    the plan is a pure map over the scan (no shuffle before decode)."""
+    import numpy as np
+
+    from velesdb_spark import multimodal as mm
+
+    rows = [(k, "video", mm.synth_y4m(k, w=8, h=6, frames=5),
+             ("y4m", 8, 6, None, None)) for k in (3, 4)]
+    media = mm.media_table(spark, rows)
+    got = mm.decode_frames(media, every_n=2).collect()
+    assert sorted((r.id, r.frame_idx, r.ts_ms) for r in got) == [
+        (k, f, f * 40) for k in (3, 4) for f in (0, 2, 4)]
+    i = np.arange(48, dtype=np.int64)
+    for r in got:
+        y = ((i * 31 + r.id * 7 + r.frame_idx * 13) % 251).astype(float)
+        assert r.y_mean == pytest.approx(y.mean(), abs=0)
+        assert (r.y_min, r.y_max) == (int(y.min()), int(y.max()))
+    plan = mm.decode_frames(media, every_n=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

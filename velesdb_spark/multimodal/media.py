@@ -20,8 +20,8 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -290,6 +290,197 @@ def synth_png(seed: int, w: int = 12, h: int = 10, channels: int = 3,
     return png, px
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def _y4m_parse(content: bytes):
+    """Parse a YUV4MPEG2 stream (the public uncompressed video container
+    used by ffmpeg/codec development): header line → (w, h, fps_num,
+    fps_den, colorspace), then raw FRAME-delimited planar frames.
+
+    Returns (w, h, fps_num, fps_den, frames) where frames is a list of
+    (y, u, v) NumPy uint8 planes (u/v are None for Cmono).
+    """
+    import numpy as np
+
+    if not content.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.index(b"\n")
+    w = h = None
+    num, den, cs = 25, 1, "C420jpeg"           # y4m defaults
+    for tok in content[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            cs = "C" + val
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("odd dimensions with 4:2:0 subsampling")
+        cw, ch = w // 2, h // 2
+    elif cs == "C444":
+        cw, ch = w, h
+    elif cs == "Cmono":
+        cw = ch = 0
+    else:
+        raise NotImplementedError(f"unsupported y4m colorspace {cs} — "
+                                  "only C420*, C444, Cmono")
+    fsz = w * h + 2 * cw * ch
+    pos, frames = nl + 1, []
+    while pos < len(content):
+        if content[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        fnl = content.index(b"\n", pos)
+        pos = fnl + 1
+        if pos + fsz > len(content):
+            raise ValueError("truncated y4m frame data")
+        y = np.frombuffer(content, np.uint8, w * h, pos).reshape(h, w)
+        if cw:
+            u = np.frombuffer(content, np.uint8, cw * ch,
+                              pos + w * h).reshape(ch, cw)
+            v = np.frombuffer(content, np.uint8, cw * ch,
+                              pos + w * h + cw * ch).reshape(ch, cw)
+        else:
+            u = v = None
+        frames.append((y, u, v))
+        pos += fsz
+    return w, h, num, den, frames
+
+
+def decode_y4m(content: bytes, meta: dict) -> list[float]:
+    """REAL y4m video decode: 16-dim feature over all frames — same layout
+    family as decode_bmp/decode_png (w, h, n_frames, Y/U/V means, Y std/min,
+    8-bin Y histogram pooled across frames).
+
+    Reference treats video as opaque payloads (SURVEY §4 stub note); y4m is
+    the one public video container decodable with struct+NumPy alone, so the
+    decode step is real here while compressed codecs (h264 etc.) still
+    require register_decoder() with an external library."""
+    import numpy as np
+
+    w, h, _num, _den, frames = _y4m_parse(content)
+    if not frames:
+        return [float(w), float(h)] + [0.0] * 14
+    ys = np.stack([f[0] for f in frames]).astype(np.float64)
+    us = [f[1] for f in frames if f[1] is not None]
+    vs = [f[2] for f in frames if f[2] is not None]
+    u_mean = float(np.stack(us).mean()) if us else 0.0
+    v_mean = float(np.stack(vs).mean()) if vs else 0.0
+    hist, _ = np.histogram(ys, bins=8, range=(0, 256))
+    return [float(w), float(h), float(len(frames)),
+            float(ys.mean() / 255.0), u_mean / 255.0, v_mean / 255.0,
+            float(ys.std() / 255.0), float(ys.min() / 255.0),
+            *(hist / ys.size).tolist()]
+
+
+def synth_y4m(seed: int, w: int = 8, h: int = 6, frames: int = 5,
+              colorspace: str = "C444", fps=(25, 1)) -> bytes:
+    """Deterministic y4m encoder for tests/fixtures: plane bytes from pure
+    integer arithmetic (pixel i of frame f, row-major):
+        Y[i] = (i*31 + seed*7 + f*13) % 251
+        U[i] = (i*17 + seed*5 + f*11) % 251
+        V[i] = (i*23 + seed*3 + f*19) % 251
+    so an external oracle (DuckDB) re-derives per-frame statistics without
+    a video stack — making the container parse itself oracle-checkable."""
+    import numpy as np
+
+    if colorspace.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    elif colorspace == "C444":
+        cw, ch = w, h
+    elif colorspace == "Cmono":
+        cw = ch = 0
+    else:
+        raise NotImplementedError(colorspace)
+    hdr = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+           f"{colorspace}\n").encode()
+    out = [hdr]
+    for f in range(frames):
+        out.append(b"FRAME\n")
+        i = np.arange(w * h, dtype=np.int64)
+        out.append(((i * 31 + seed * 7 + f * 13) % 251)
+                   .astype(np.uint8).tobytes())
+        if cw:
+            j = np.arange(cw * ch, dtype=np.int64)
+            out.append(((j * 17 + seed * 5 + f * 11) % 251)
+                       .astype(np.uint8).tobytes())
+            out.append(((j * 23 + seed * 3 + f * 19) % 251)
+                       .astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def synth_y4m_col(seed_col, w: int = 8, h: int = 6, frames: int = 5,
+                  colorspace: str = "C444"):
+    """Column form of synth_y4m (Arrow-batched)."""
+    import pandas as pd
+
+    def _synth(s: "pd.Series") -> "pd.Series":
+        return s.map(lambda x: synth_y4m(int(x), w, h, frames, colorspace))
+
+    _synth.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_synth, BinaryType())(seed_col)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("ts_ms", LongType()),
+    StructField("y_mean", DoubleType()),
+    StructField("u_mean", DoubleType()),
+    StructField("v_mean", DoubleType()),
+    StructField("y_min", LongType()),
+    StructField("y_max", LongType()),
+])
+
+
+def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video → one row per sampled frame with REAL per-frame statistics
+    (y4m path; same mapInPandas shape as decode_and_featurize). Sampling
+    keeps frames where frame_idx % every_n == 0; ts_ms derives from the
+    stream's own F<num>:<den> rate. Means are one IEEE division of an
+    exact integer sum (planes are uint8, sums < 2^53), so an external
+    oracle reproduces them bit-exactly.
+
+    100 TB shape: the only shuffle-bearing op is whatever the caller does
+    downstream — decode itself is a map over the scan; one task decodes
+    one batch of videos and emits bounded (id, stats) rows, never pixels.
+    """
+    video = media.filter(F.col("modality") == "video")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "frame_idx", "ts_ms", "y_mean",
+                                    "u_mean", "v_mean", "y_min", "y_max")}
+            for mid, content in zip(pdf["id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                _w, _h, num, den, frames = _y4m_parse(bytes(content))
+                for fi in range(0, len(frames), every_n):
+                    y, u, v = frames[fi]
+                    rows["id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["ts_ms"].append(fi * 1000 * den // num)
+                    rows["y_mean"].append(float(y.mean()))
+                    rows["u_mean"].append(
+                        float(u.mean()) if u is not None else 0.0)
+                    rows["v_mean"].append(
+                        float(v.mean()) if v is not None else 0.0)
+                    rows["y_min"].append(int(y.min()))
+                    rows["y_max"].append(int(y.max()))
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def image_decoder(content: bytes, meta: dict) -> list[float]:
     """Magic-byte dispatch: real BMP/PNG decode when the stream matches,
     md5 fake otherwise (JPEG etc. need libs this container lacks)."""
@@ -306,6 +497,14 @@ def audio_decoder(content: bytes, meta: dict) -> list[float]:
     return fake_image_decoder(content, meta)
 
 
+def video_decoder(content: bytes, meta: dict) -> list[float]:
+    """Magic-byte dispatch: real y4m decode when the stream matches, md5
+    fake otherwise (compressed codecs need libs this container lacks)."""
+    if content[:10] == _Y4M_SIG:
+        return decode_y4m(content, meta)
+    return fake_image_decoder(content, meta)
+
+
 def _decoder_for(modality: str) -> Callable[[bytes, dict], list[float]]:
     if modality in DECODERS:
         return DECODERS[modality]
@@ -313,6 +512,8 @@ def _decoder_for(modality: str) -> Callable[[bytes, dict], list[float]]:
         return image_decoder
     if modality == "audio":
         return audio_decoder
+    if modality == "video":
+        return video_decoder
     raise NotImplementedError(
         f"no decoder registered for modality {modality!r} — media libraries "
         "are not available in this container; register_decoder() a real one")
