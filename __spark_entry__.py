@@ -2842,6 +2842,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_quota"] = _stream_quota
 
+    # streaming funnel (streaming/funnel.py — the continuous twin of
+    # events_funnel): n+1 longs of state per key carry the greedy-chain
+    # frontier; a key emits once, at the micro-batch its chain
+    # completes. One chronological file = one micro-batch, so the drain
+    # equals the batch greedy funnel — the SAME chained-min DuckDB
+    # oracle as events_funnel, emitting epoch-micros longs. Cross-batch
+    # chain carry is pytest-covered with two chronological files.
+    def _stream_funnel(s, d):
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from velesdb_spark.streaming.events import read_events_stream
+        from velesdb_spark.streaming.funnel import stream_funnel
+
+        stage = tempfile.mkdtemp(prefix="events_sfun_")
+        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        try:
+            ev = read_events_stream(s, stage)
+            out = stream_funnel(ev, ["view", "click", "purchase"],
+                                on="ts", by="user_id")
+            name = "stream_funnel_" + uuid.uuid4().hex[:8]
+            qr = (out.writeStream.format("memory").queryName(name)
+                  .outputMode("append").trigger(availableNow=True).start())
+            if not qr.awaitTermination(180):
+                qr.stop()
+                raise TimeoutError("stream_funnel drain exceeded 180s")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return (s.table(name)
+                .select("user_id", "t0_us", "t1_us", "t2_us")
+                .orderBy("user_id"))
+
+    q["stream_funnel"] = _stream_funnel
+
     def _events_sliding(s, d):
         # 1h windows sliding 15min (batch-mode F.window; same op streams
         # with a watermark — streaming/events.py sliding_avg)
@@ -3293,7 +3329,7 @@ _GATE_ORDER = [
     # ---- round-8 additions — first
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
-    "similarity_nested_bool", "media_video_frames",
+    "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -5055,6 +5091,29 @@ SELECT v.user_id,
        date_trunc('second', v.t0) AS view_sec,
        date_trunc('second', c.t1) AS click_sec,
        date_trunc('second', p.t2) AS purchase_sec
+FROM v JOIN c ON v.user_id = c.user_id
+JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id"""
+
+    # streaming funnel: identical greedy recurrence, epoch-micros longs
+    # (the stream emits exact longs; no truncation needed)
+    o["stream_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.t0) AS t0_us,
+       epoch_us(c.t1) AS t1_us,
+       epoch_us(p.t2) AS t2_us
 FROM v JOIN c ON v.user_id = c.user_id
 JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id"""

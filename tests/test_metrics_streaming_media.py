@@ -292,13 +292,24 @@ def test_video_frame_sample(spark):
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000, 4000]
 
 
-def test_video_decoder_not_implemented(spark):
+def test_video_decoder_dispatch(spark):
+    """Video modality: y4m streams decode for real; compressed codecs
+    (mp4 etc.) fall back to the md5 fake (no media libs in container);
+    an UNKNOWN modality still refuses loudly."""
     from velesdb_spark import multimodal as mm
 
-    rows = [(3, "video", b"mp4fake", ("mp4", 1920, 1080, 5000, None))]
+    y4m = mm.synth_y4m(seed=5, w=8, h=6, frames=3)
+    rows = [(3, "video", b"mp4fake", ("mp4", 1920, 1080, 5000, None)),
+            (4, "video", y4m, ("y4m", 8, 6, 120, None))]
     media = mm.media_table(spark, rows)
-    with pytest.raises(Exception):  # NotImplementedError inside the worker
-        mm.decode_and_featurize(media).collect()
+    got = {r.id: r.feature
+           for r in mm.decode_and_featurize(media).collect()}
+    assert got[4][0] == 8.0 and got[4][2] == 3.0   # real y4m decode
+    assert len(got[3]) == 16                        # md5 fake fallback
+    unknown = mm.media_table(
+        spark, [(9, "hologram", b"x", ("h", None, None, None, None))])
+    with pytest.raises(Exception):  # NotImplementedError in the worker
+        mm.decode_and_featurize(unknown).collect()
 
 
 def test_resize_meta(spark):

@@ -204,3 +204,98 @@ def test_stream_quota_cross_batch_state(spark, tmp_path):
     expect = {("a", i) for i in range(5)} | {("a", 10)} \
         | {("b", 100), ("b", 101), ("b", 200), ("b", 201)}
     assert got == expect
+
+
+def test_stream_funnel_equals_batch(spark, event_rows, tmp_path):
+    """availableNow drain of one chronological file equals the batch
+    greedy funnel on the same rows (epoch-micros longs)."""
+    from velesdb_spark.operators.funnel import funnel
+    from velesdb_spark.streaming.funnel import stream_funnel
+
+    steps = ["click", "error", "purchase"]
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    _stage_single_file(event_rows, tmp_path / "w", stage / "b0.parquet")
+    ev = spark.readStream.schema(SCHEMA).parquet(str(stage))
+    name = _drain(stream_funnel(ev, steps), "sfun_")
+    got = {(r.user_id, r.t0_us, r.t1_us, r.t2_us)
+           for r in spark.table(name).collect()}
+    want = {(r.user_id, r.t0, r.t1, r.t2) for r in
+            funnel(event_rows, steps).select(
+                "user_id", F.unix_micros("t0").alias("t0"),
+                F.unix_micros("t1").alias("t1"),
+                F.unix_micros("t2").alias("t2")).collect()}
+    assert got == want and got
+
+
+def test_stream_funnel_cross_batch_single_emission(spark, tmp_path):
+    """Chain frontier carries across micro-batches; a completed key
+    emits exactly once; wrong-order steps never complete."""
+    import glob
+    import uuid
+
+    from velesdb_spark.streaming.funnel import stream_funnel
+
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    # u1: view@b1 → click+purchase@b2 (completes in b2, t0 from b1)
+    # u2: completes inside b1; b2 adds more purchases (no re-emission)
+    # u3: click BEFORE view — never completes
+    b1 = [(1, "2024-01-01 00:00:01", 1, "view", 0.0),
+          (2, "2024-01-01 00:00:01", 2, "view", 0.0),
+          (3, "2024-01-01 00:00:02", 2, "click", 0.0),
+          (4, "2024-01-01 00:00:03", 2, "purchase", 0.0),
+          (5, "2024-01-01 00:00:01", 3, "click", 0.0)]
+    b2 = [(6, "2024-01-01 00:00:10", 1, "click", 0.0),
+          (7, "2024-01-01 00:00:11", 1, "purchase", 0.0),
+          (8, "2024-01-01 00:00:12", 2, "purchase", 0.0),
+          (9, "2024-01-01 00:00:13", 3, "view", 0.0)]
+    for i, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts_s string, user_id bigint, "
+                  "event_type string, value double") \
+            .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                    "user_id", "event_type", "value")
+        df.coalesce(1).write.parquet(str(stage / f"w{i}"))
+        part = glob.glob(str(stage / f"w{i}" / "part-*.parquet"))[0]
+        import shutil
+        shutil.copy(part, str(stage / f"batch_{i}.parquet"))
+        shutil.rmtree(str(stage / f"w{i}"))
+    ev = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    out = stream_funnel(ev, ["view", "click", "purchase"])
+    name = "sfun_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert sorted(r.user_id for r in rows) == [1, 2]  # u3 absent, u2 once
+    by_user = {r.user_id: r for r in rows}
+    us = lambda s: 1704067200000000 + s * 1_000_000  # 2024-01-01 UTC
+    assert (by_user[1].t0_us, by_user[1].t1_us, by_user[1].t2_us) == \
+        (us(1), us(10), us(11))
+    assert (by_user[2].t0_us, by_user[2].t1_us, by_user[2].t2_us) == \
+        (us(1), us(2), us(3))
+
+
+def test_stream_funnel_tie_semantics(spark, tmp_path):
+    """strict_increase=True rejects same-timestamp chaining; False
+    allows it (step order breaks the tie, as in the batch operator)."""
+    from velesdb_spark.streaming.funnel import stream_funnel
+
+    rows = [(1, "2024-01-01 00:00:01", 7, "view", 0.0),
+            (2, "2024-01-01 00:00:01", 7, "click", 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, "
+              "event_type string, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value")
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    _stage_single_file(df, tmp_path / "w", stage / "b0.parquet")
+    ev = spark.readStream.schema(SCHEMA).parquet(str(stage))
+    strict = _drain(stream_funnel(ev, ["view", "click"]), "sfs_")
+    loose = _drain(stream_funnel(ev, ["view", "click"],
+                                 strict_increase=False), "sfl_")
+    assert spark.table(strict).count() == 0
+    assert [r.user_id for r in spark.table(loose).collect()] == [7]
