@@ -2954,6 +2954,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_lead_lag"] = _events_lead_lag
 
+    # ntile quartile bucketing (window headroom, SURVEY §2.5): value
+    # quartiles per event type — both engines implement the SQL-standard
+    # split (first n mod k buckets take one extra row), deterministic
+    # because the ordering key (value, event_id) is unique; NULL values
+    # filtered since engines default-order NULLs differently. Output is
+    # the per-bucket summary, so the gate hashes |types|·4 rows, not the
+    # event stream.
+    def _events_ntile(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events").filter(F.col("value").isNotNull())
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        t = ev.select("event_type", "value",
+                      F.ntile(4).over(w).cast("long").alias("quartile"))
+        return (t.groupBy("event_type", "quartile")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.min("value"), 4).alias("lo"),
+                     F.round(F.max("value"), 4).alias("hi"))
+                .orderBy("event_type", "quartile"))
+
+    q["events_ntile"] = _events_ntile
+
+    # percent_rank + cume_dist (window headroom): rank-based, so ties
+    # share a value and the result is deterministic without a tiebreak
+    # column; both are one IEEE division of exact integer counts, so no
+    # rounding slack is needed beyond the display round(6).
+    def _events_percent_rank(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events").filter(F.col("value").isNotNull()
+                                       & (F.col("event_id") < 400))
+        w = Window.partitionBy("event_type").orderBy("value")
+        return (ev.select(
+            "event_id", "event_type",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"))
+            .orderBy("event_id"))
+
+    q["events_percent_rank"] = _events_percent_rank
+
+    # empty-set aggregate semantics (reference
+    # aggregation_executor_tests.rs:197-213 test_executor_empty_collection):
+    # COUNT over an empty relation is 0, SUM is NULL — one row either way.
+    def _agg_empty(s, d):
+        return (_t(s, d, "orders").filter(F.col("o_orderkey") < 0)
+                .agg(F.count("*").alias("count"),
+                     F.sum("o_totalprice").alias("sum_price")))
+
+    q["agg_empty"] = _agg_empty
+
     # as-of join (operators/asof.py — headroom; Spark has no native
     # ASOF): each click aligned to the user's most recent prior-or-same
     # purchase via the union+window plan (ONE shuffle on user_id, no
@@ -3330,6 +3380,7 @@ _GATE_ORDER = [
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
+    "events_ntile", "events_percent_rank", "agg_empty",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -3663,6 +3714,33 @@ SELECT event_id, user_id,
          AS seq
 FROM events WHERE user_id < 50
 ORDER BY user_id, seq"""
+
+    o["events_ntile"] = """
+WITH t AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, quartile, COUNT(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM t GROUP BY event_type, quartile ORDER BY event_type, quartile"""
+
+    o["events_percent_rank"] = """
+WITH t AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL AND event_id < 400
+)
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value), 6) AS cume
+FROM t ORDER BY event_id"""
+
+    o["agg_empty"] = """
+SELECT COUNT(*) AS count, SUM(o_totalprice) AS sum_price
+FROM orders WHERE o_orderkey < 0"""
 
     o["events_lead_lag"] = """
 SELECT event_id, user_id,
