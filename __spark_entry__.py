@@ -2536,6 +2536,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = _graph_pagerank
 
+    # triangle counting (operators/graph.py triangles — headroom beyond
+    # the reference's traversal/pattern surface): per-node triangle
+    # counts over a deterministic sparse arithmetic graph on supplier
+    # keys (edge a<b iff (a*37 + b*101) % 1000 < 60, ~6% density — a
+    # co-occurrence graph over TPC-H's uniform keys goes near-complete
+    # at scale, which makes triangle counting degenerate; the formula
+    # graph keeps density scale-invariant AND lets DuckDB re-derive the
+    # exact edge set). Spark enumerates via the degree-oriented wedge
+    # join; the oracle uses the orientation-free a<b<c 3-way join —
+    # per-node counts are labeling-invariant, so a hash match proves
+    # the oriented enumeration found exactly the same triangles.
+    def _graph_triangles(s, d):
+        from velesdb_spark.operators.graph import triangle_counts
+
+        # node set capped at 1500: at fixed density, triangles grow as
+        # n³p³ with the scale factor — the gate proves enumeration
+        # correctness on a bounded slice (like media_png_decode's
+        # doc_id<200); the operator's own scale story is density-bound
+        # (degree orientation caps wedges at Σ C(out_deg≤√m, 2))
+        sup = (_t(s, d, "supplier").filter(F.col("s_suppkey") <= 1500)
+               .select(F.col("s_suppkey").alias("id")))
+        x = sup.select(F.col("id").alias("src"))
+        y = sup.select(F.col("id").alias("dst"))
+        pairs = (x.crossJoin(y)
+                 .filter((F.col("src") < F.col("dst"))
+                         & ((F.col("src") * 37 + F.col("dst") * 101)
+                            % 1000 < 60)))
+        return triangle_counts(pairs).orderBy("id")
+
+    q["graph_triangles"] = _graph_triangles
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -2663,7 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # the file source needs a directory; stage the fixture via symlink
         stage = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
 
         try:
             ev = read_events_stream(s, stage)
@@ -2702,8 +2733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                     streaming_dedup)
 
         stage = tempfile.mkdtemp(prefix="events_dup_")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events1.parquet")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events2.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events1.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events2.parquet")
         try:
             ev = read_events_stream(s, stage)
             dedup = streaming_dedup(ev, ["event_id"])
@@ -2735,7 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.streaming.temporal import stream_interval_join
 
         stage = tempfile.mkdtemp(prefix="events_sij_")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
         try:
             hour = 3600 * 1_000_000
             left = (read_events_stream(s, stage)
@@ -2778,7 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.streaming.temporal import stream_asof_join
 
         stage = tempfile.mkdtemp(prefix="events_sasof_")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
         try:
             ev = (read_events_stream(s, stage)
                   .filter(F.col("event_type").isin("click", "purchase")
@@ -2817,7 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.streaming.quota import stream_quota
 
         stage = tempfile.mkdtemp(prefix="docs_quota_")
-        os.symlink(f"{d}/documents.parquet", f"{stage}/documents.parquet")
+        os.symlink(os.path.abspath(f"{d}/documents.parquet"), f"{stage}/documents.parquet")
         try:
             from pyspark.sql.types import (LongType, StringType,
                                            StructField, StructType)
@@ -2859,7 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.streaming.funnel import stream_funnel
 
         stage = tempfile.mkdtemp(prefix="events_sfun_")
-        os.symlink(f"{d}/events.parquet", f"{stage}/events.parquet")
+        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
         try:
             ev = read_events_stream(s, stage)
             out = stream_funnel(ev, ["view", "click", "purchase"],
@@ -3381,6 +3412,7 @@ _GATE_ORDER = [
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
+    "graph_triangles",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -5209,6 +5241,27 @@ ORDER BY v.user_id"""
     JOIN outdeg d ON d.src = e.src
     GROUP BY e.dst) s ON s.id = n.id
 )""" for k in range(1, 6))
+    # triangles: orientation-free a<b<c 3-way join over the same
+    # deterministic arithmetic edge set, exploded to per-node counts
+    o["graph_triangles"] = """
+WITH s AS (
+  SELECT s_suppkey AS id FROM supplier WHERE s_suppkey <= 1500
+), e AS (
+  SELECT x.id AS a, y.id AS b
+  FROM s x, s y
+  WHERE x.id < y.id AND (x.id * 37 + y.id * 101) % 1000 < 60
+), tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT u AS id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT id, COUNT(*) AS n_tri FROM nodes GROUP BY id ORDER BY id"""
+
     o["graph_pagerank"] = f"""
 WITH pairs AS (
   SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst

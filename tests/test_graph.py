@@ -474,3 +474,35 @@ def test_pagerank_releases_caches(spark):
                  for r in pagerank(edf, iterations=3).collect()}
         assert again == first
     assert cm.isEmpty()
+
+
+def test_triangles_matches_bruteforce(spark):
+    """Degree-oriented wedge-join enumeration equals the O(n^3) brute
+    force on random graphs (duplicates/reversed/self-loop edges included
+    in the input to exercise canonicalization), and per-node counts are
+    labeling-invariant."""
+    import itertools
+    import random
+
+    from velesdb_spark.operators.graph import triangle_counts, triangles
+
+    rng = random.Random(17)
+    for trial, (n, p) in enumerate([(12, 0.4), (25, 0.2), (40, 0.12)]):
+        edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+                 if rng.random() < p]
+        noisy = edges + [(b, a) for a, b in edges[::3]] \
+            + [(a, a) for a in range(0, n, 7)] + edges[::5]
+        df = spark.createDataFrame(noisy, "src bigint, dst bigint")
+        got = {tuple(sorted((r.u, r.v, r.w)))
+               for r in triangles(df).collect()}
+        adj = set(edges)
+        want = {(a, b, c)
+                for a, b, c in itertools.combinations(range(n), 3)
+                if (a, b) in adj and (b, c) in adj and (a, c) in adj}
+        assert got == want, f"trial {trial}"
+        counts = {r.id: r.n_tri for r in triangle_counts(df).collect()}
+        brute = {}
+        for t in want:
+            for node in t:
+                brute[node] = brute.get(node, 0) + 1
+        assert counts == brute, f"trial {trial}"
