@@ -2567,6 +2567,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = _graph_triangles
 
+    # distributed Lloyd k-means (functions/clustering.py — the corpus
+    # stratification / IVF-coarse-quantizer training primitive): 3
+    # rounds, k=6, over integer-valued (n_chars, token_count) features.
+    # Centroids enter the plan as literals (assignment is a pure map,
+    # no join), the update is one combinable groupBy per round.
+    # Integer-valued doubles make every centroid mean ONE exact-sum IEEE
+    # division and every squared distance a fixed-order expression —
+    # bit-identical in both engines, so the gate needs no tolerance:
+    # DuckDB re-runs the same 3 rounds as unrolled CTEs.
+    def _kmeans_docs(s, d):
+        from velesdb_spark.functions.clustering import lloyd_kmeans
+        from velesdb_spark.functions.text_analysis import token_count
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("x"),
+            token_count(F.col("text")).cast("double").alias("y"))
+        _, summary = lloyd_kmeans(docs, ["x", "y"], k=6, iterations=3)
+        return (summary.select("cluster", "n",
+                               F.round("x", 6).alias("cx"),
+                               F.round("y", 6).alias("cy"))
+                .orderBy("cluster"))
+
+    q["kmeans_docs"] = _kmeans_docs
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3412,7 +3437,7 @@ _GATE_ORDER = [
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
-    "graph_triangles",
+    "graph_triangles", "kmeans_docs",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -5241,6 +5266,40 @@ ORDER BY v.user_id"""
     JOIN outdeg d ON d.src = e.src
     GROUP BY e.dst) s ON s.id = n.id
 )""" for k in range(1, 6))
+    # Lloyd k-means: the same 3 rounds unrolled as CTEs (the PageRank
+    # pattern) — assignment = row_number over (squared distance, cid),
+    # update = per-cluster avg with COALESCE carry for emptied clusters;
+    # distances spelled in the identical literal order as the Spark map
+    _km_words = _DK_WORDS.format(c="lower(text)")
+    _km_rounds = "".join(f""", a{t} AS (
+  SELECT doc_id, x, y, cid FROM (
+    SELECT p.doc_id, p.x, p.y, c.cid,
+           row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY ((p.x - c.x) * (p.x - c.x))
+                      + ((p.y - c.y) * (p.y - c.y)), c.cid) AS rn
+    FROM pts p CROSS JOIN c{t - 1} c) WHERE rn = 1
+), c{t} AS (
+  SELECT c.cid, COALESCE(m.x, c.x) AS x, COALESCE(m.y, c.y) AS y
+  FROM c{t - 1} c LEFT JOIN (
+    SELECT cid, avg(x) AS x, avg(y) AS y FROM a{t} GROUP BY cid) m
+  USING (cid)
+)""" for t in (1, 2, 3))
+    o["kmeans_docs"] = f"""
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len({_km_words}) AS DOUBLE) AS y
+  FROM documents
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS cid,
+         x, y
+  FROM (SELECT doc_id, x, y FROM pts ORDER BY doc_id LIMIT 6)
+){_km_rounds}
+SELECT c3.cid AS cluster, COALESCE(cnt.n, 0) AS n,
+       round(c3.x, 6) AS cx, round(c3.y, 6) AS cy
+FROM c3 LEFT JOIN (
+  SELECT cid, COUNT(*) AS n FROM a3 GROUP BY cid) cnt USING (cid)
+ORDER BY cluster"""
+
     # triangles: orientation-free a<b<c 3-way join over the same
     # deterministic arithmetic edge set, exploded to per-node counts
     o["graph_triangles"] = """

@@ -358,3 +358,50 @@ def test_top_tokens_exact_within_capacity(spark):
            for r in top_tokens(df, "text", 3, max_items=100).collect()}
     # exact counts: a=5, b=4, c=4 (d=1 falls outside top-3)
     assert got == {"a": 5, "b": 4, "c": 4}
+
+
+def test_lloyd_kmeans_matches_naive(spark):
+    """Distributed Lloyd rounds equal a naive driver-side implementation
+    on random integer points (same init, tie, and empty-cluster rules),
+    including the assignment map and final counts."""
+    import random
+
+    from velesdb_spark.functions.clustering import (assign_clusters,
+                                                    lloyd_kmeans)
+
+    rng = random.Random(23)
+    rows = [(i, float(rng.randrange(0, 500)), float(rng.randrange(0, 500)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double")
+    for k, iters in ((4, 1), (5, 3)):
+        cents, summary = lloyd_kmeans(df, ["x", "y"], k=k,
+                                      iterations=iters)
+        # naive reference
+        pts = sorted(rows)
+        c = [(i, [float(pts[i][1]), float(pts[i][2])]) for i in range(k)]
+        counts = {}
+        for _ in range(iters):
+            groups = {}
+            for _id, x, y in pts:
+                best = min(((x - cx) ** 2 + (y - cy) ** 2, cid)
+                           for cid, (cx, cy) in c)
+                groups.setdefault(best[1], []).append((x, y))
+            counts = {cid: len(groups.get(cid, [])) for cid, _ in c}
+            c = [(cid, [sum(p[0] for p in g) / len(g),
+                        sum(p[1] for p in g) / len(g)]
+                  if (g := groups.get(cid)) else coords)
+                 for cid, coords in c]
+        got = {r.cluster: (r.n, r.x, r.y) for r in summary.collect()}
+        want = {cid: (counts[cid], coords[0], coords[1])
+                for cid, coords in c}
+        assert got == want, f"k={k} iters={iters}"
+        # the assignment map is a pure map: no Exchange in its plan
+        plan = assign_clusters(df, cents, ["x", "y"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lloyd_kmeans(df, ["x", "y"], k=0)
+    with _pt.raises(ValueError):
+        lloyd_kmeans(df.limit(2), ["x", "y"], k=5)
