@@ -2592,6 +2592,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_docs"] = _kmeans_docs
 
+    # time-bucket gap filling (operators/gapfill.py — the hypertable
+    # time_bucket_gapfill staple, §2.11 headroom): 15-min rollups per
+    # event type DENSIFIED over each group's observed range — missing
+    # buckets appear zero-filled with LOCF-carried averages. The bucket
+    # spine is one |groups|-row aggregate fanned out JVM-side with
+    # sequence(); the LOCF window partitions by group. Float sums/avgs
+    # round(4) at the gate edge (established float-sum convention).
+    # The measure is carried as exact int64 cents (the tpch_q1
+    # convention): at sf1 a double SUM's merge-order drift landed a
+    # bucket's 4-decimal-rounded average exactly on a .00005 boundary —
+    # integer cents are associative, and the LOCF'd average is then ONE
+    # IEEE division, bit-identical cross-engine.
+    def _events_gapfill(s, d):
+        from velesdb_spark.operators.gapfill import bucket_gapfill
+
+        ev = _t(s, d, "events").withColumn(
+            "value_c",
+            F.round(F.col("value") * 100).cast("long").cast("double"))
+        out = bucket_gapfill(ev, "15 minutes", value_col="value_c")
+        return (out.select(
+            "event_type", "bucket_start", "n",
+            F.col("sum_value").cast("long").alias("sum_cents"),
+            F.round("locf_avg", 6).alias("locf_avg_cents"), "gap_filled")
+            .orderBy("event_type", "bucket_start"))
+
+    q["events_gapfill"] = _events_gapfill
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3437,7 +3464,7 @@ _GATE_ORDER = [
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
-    "graph_triangles", "kmeans_docs",
+    "graph_triangles", "kmeans_docs", "events_gapfill",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -5266,6 +5293,35 @@ ORDER BY v.user_id"""
     JOIN outdeg d ON d.src = e.src
     GROUP BY e.dst) s ON s.id = n.id
 )""" for k in range(1, 6))
+    # gapfill: generate_series spine + LEFT JOIN + IGNORE NULLS LOCF —
+    # time_bucket aligns with Spark's F.window at epoch boundaries
+    # (established in events_sliding)
+    o["events_gapfill"] = """
+WITH agg AS (
+  SELECT event_type AS g,
+         time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+         AVG(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE))
+           AS avg_cents
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), spine AS (
+  SELECT g, unnest(generate_series(min(bucket_start), max(bucket_start),
+                                   INTERVAL '15 minutes')) AS bucket_start
+  FROM agg GROUP BY g
+), filled AS (
+  SELECT s.g, s.bucket_start, COALESCE(a.n, 0) AS n,
+         COALESCE(a.sum_cents, 0) AS sum_cents, a.avg_cents
+  FROM spine s LEFT JOIN agg a USING (g, bucket_start)
+)
+SELECT g AS event_type, bucket_start, n, sum_cents,
+       round(last_value(avg_cents IGNORE NULLS)
+             OVER (PARTITION BY g ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS locf_avg_cents,
+       n = 0 AS gap_filled
+FROM filled ORDER BY event_type, bucket_start"""
+
     # Lloyd k-means: the same 3 rounds unrolled as CTEs (the PageRank
     # pattern) — assignment = row_number over (squared distance, cid),
     # update = per-cluster avg with COALESCE carry for emptied clusters;

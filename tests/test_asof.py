@@ -437,3 +437,36 @@ def test_temporal_operators_multiconfig_fuzz(spark):
             f"SELECT l.id, r.t FROM l JOIN r ON l.u = r.u "
             f"AND r.t BETWEEN l.t + ({lo}) AND l.t + ({hi})").fetchall())
         assert got == want, (lo, hi)
+
+
+def test_bucket_gapfill_semantics(spark):
+    """Dense per-group spine: missing buckets zero-filled with LOCF
+    averages; each group's range is its OWN [min, max] (group b must not
+    inherit group a's span); gap_filled flags exactly the empty ones."""
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.operators.gapfill import bucket_gapfill
+
+    rows = [
+        # group a: buckets 00:00, 01:00 empty, 02:00
+        (1, "2024-03-01 00:10:00", "a", 10.0),
+        (2, "2024-03-01 00:50:00", "a", 30.0),
+        (3, "2024-03-01 02:15:00", "a", 50.0),
+        # group b: single bucket at 05:00 (no gaps, no spine bleed)
+        (4, "2024-03-01 05:30:00", "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, event_type string, "
+              "value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value")
+    out = bucket_gapfill(df, "1 hour").collect()
+    got = {(r.event_type, r.bucket_start.hour):
+           (r.n, r.sum_value, r.locf_avg, r.gap_filled) for r in out}
+    assert got == {
+        ("a", 0): (2, 40.0, 20.0, False),
+        ("a", 1): (0, 0.0, 20.0, True),    # zero-filled, LOCF carries
+        ("a", 2): (1, 50.0, 50.0, False),
+        ("b", 5): (1, 7.0, 7.0, False),
+    }
+    assert len(out) == 4  # no spine bleed across groups
