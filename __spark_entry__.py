@@ -2619,6 +2619,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_gapfill"] = _events_gapfill
 
+    # MMR diverse re-ranking (functions/fusion.py mmr_rerank — the RAG
+    # diversity step): exact distributed top-40 relevance pool, then the
+    # greedy λ·rel − (1−λ)·max-sim-to-selected recurrence over the
+    # bounded pool. MMR scores quantize to 9 decimals before each argmax
+    # (ties → ascending id) so DuckDB's unrolled evaluation of the same
+    # recurrence — whose list_cosine_similarity sums differ from NumPy's
+    # in the last ulps — selects identically.
+    def _mmr_rerank(s, d):
+        from velesdb_spark.functions.fusion import mmr_rerank
+
+        out = mmr_rerank(_t(s, d, "embeddings"), QV1, k=5, pool=40)
+        return (out.select("rank", "vec_id",
+                           F.round("rel", 6).alias("rel"))
+                .orderBy("rank"))
+
+    q["mmr_rerank"] = _mmr_rerank
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3464,7 +3481,7 @@ _GATE_ORDER = [
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
-    "graph_triangles", "kmeans_docs", "events_gapfill",
+    "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4037,6 +4054,36 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
         f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {_sql_vec(QV3)}), 6) AS score "
         f"FROM embeddings ORDER BY list_dot_product(embedding::DOUBLE[], {_sql_vec(QV3)}) DESC, vec_id "
         f"LIMIT 10")
+
+    # MMR: the same greedy recurrence unrolled — each step scores every
+    # unselected pool row against the selected set and takes the
+    # (round(m, 9) DESC, vec_id) argmax, mirroring mmr_rerank's
+    # quantize-then-tiebreak contract
+    _mmr_parts = [f"""cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {cos(QV1)} AS rel
+  FROM embeddings ORDER BY {cos(QV1)} DESC, vec_id LIMIT 40
+)""", """s1 AS (
+  SELECT vec_id, e, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    _mmr_union = "SELECT vec_id, e, rel FROM s1"
+    for _t_ in range(2, 6):
+        _mmr_parts.append(f"""sel{_t_ - 1} AS ({_mmr_union})""")
+        _mmr_parts.append(f"""r{_t_} AS (
+  SELECT c.vec_id, c.rel,
+         round(0.7 * c.rel
+               - 0.3 * max(list_cosine_similarity(c.e, s.e)), 9) AS m
+  FROM cand c, sel{_t_ - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{_t_ - 1})
+  GROUP BY c.vec_id, c.rel)""")
+        _mmr_parts.append(f"""s{_t_} AS (
+  SELECT c.vec_id, c.e, c.rel FROM cand c
+  JOIN (SELECT vec_id FROM r{_t_} ORDER BY m DESC, vec_id LIMIT 1) b
+  USING (vec_id))""")
+        _mmr_union += f" UNION ALL SELECT vec_id, e, rel FROM s{_t_}"
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, round(rel, 6) AS rel FROM s{i}"
+        for i in range(1, 6))
+    o["mmr_rerank"] = ("WITH " + ",\n".join(_mmr_parts)
+                       + f"\nSELECT * FROM ({_mmr_final}) ORDER BY rank")
 
     o["near_velesql"] = (
         f"SELECT vec_id, label FROM embeddings "

@@ -349,3 +349,32 @@ def test_knn_batch_duplicate_qids_agree(spark):
     finally:
         tk.BATCH_LITERAL_BUDGET = old
     assert [(a, b) for a, b, _ in fast] == [(a, b) for a, b, _ in slow]
+
+
+def test_mmr_rerank_diversity_and_guards(spark):
+    """MMR: rank 1 is the global relevance argmax; a clique of
+    near-duplicate high-relevance vectors contributes ONE early pick
+    (plain top-k would take the whole clique); guards reject bad k/pool."""
+    import pytest
+
+    from velesdb_spark.functions.fusion import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    # top hit, then an exact-duplicate clique (rel 0.8, mutual sim 1.0),
+    # then a same-relevance vector pointing AWAY from the clique
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.8, 0.6, 0.0, 0.0]),
+            (2, [0.8, 0.6, 0.0, 0.0]),
+            (3, [0.8, 0.6, 0.0, 0.0]),
+            (10, [0.79, -0.6, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(emb, q, k=3, pool=5, lam=0.7)
+    got = [r.vec_id for r in out.orderBy("rank").collect()]
+    # plain top-3 by relevance would be [0, 1, 2]; MMR's third pick must
+    # escape the clique (sim 1.0 to the already-selected member) for the
+    # anti-correlated vector
+    assert got == [0, 1, 10], got
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, q, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, q, k=5, pool=3)

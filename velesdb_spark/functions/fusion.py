@@ -232,3 +232,65 @@ def fuse(strategy: str, results: DataFrame, params: dict | None = None,
             total_queries, qid_col, id_col, score_col,
         )
     raise ValueError(f"unknown fusion strategy: {strategy}")
+
+
+def mmr_rerank(emb: DataFrame, query_vec, k: int = 5, pool: int = 40,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98)
+    — the RAG diversity step: greedily select k results maximizing
+    ``lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s)``.
+
+    100 TB shape: the DISTRIBUTED stage is the exact top-``pool``
+    relevance scan (TakeOrderedAndProject over the JVM cosine
+    expression); the greedy loop then runs over the bounded pool on the
+    driver (pool = k·oversample rows — the same k-rows-of-driver-state
+    pattern as lloyd_kmeans centroids). Never quadratic in the corpus:
+    pairwise sims exist only within the pool.
+
+    Determinism contract: MMR scores quantize to 9 decimals before the
+    argmax and ties break on ascending id, so an external oracle
+    evaluating the same greedy recurrence (e.g. DuckDB with
+    list_cosine_similarity, whose last-ulp sums differ from NumPy's)
+    selects identically. Returns k rows (rank, <id_col>, rel).
+    """
+    import numpy as np
+
+    if k < 1 or pool < k:
+        raise ValueError("need k >= 1 and pool >= k")
+    from velesdb_spark.functions.distance import metric_score
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (emb.select(F.col(id_col), F.col(vec_col),
+                       metric_score(F.col(vec_col), qcol, "cosine")
+                       .alias("rel"))
+            .orderBy(F.desc("rel"), id_col).limit(pool).collect())
+    ids = [r[id_col] for r in cand]
+    rel = np.array([float(r["rel"]) for r in cand])
+    vecs = np.array([[float(x) for x in r[vec_col]] for r in cand],
+                    dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    selected: list[int] = []
+    max_sim = np.full(len(cand), -np.inf)
+    for _ in range(min(k, len(cand))):
+        if not selected:
+            score = rel
+        else:
+            score = np.round(lam * rel - (1.0 - lam) * max_sim, 9)
+        best, best_key = None, None
+        for i in range(len(cand)):
+            if i in selected:
+                continue
+            key = (-score[i], ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = i, key
+        selected.append(best)
+        sims = vecs @ vecs[best] / (norms * norms[best])
+        max_sim = np.maximum(max_sim, sims)
+    spark = emb.sparkSession
+    out = [(rank + 1, ids[i], float(rel[i]))
+           for rank, i in enumerate(selected)]
+    id_type = dict(emb.dtypes)[id_col]
+    return spark.createDataFrame(
+        out, f"rank long, {id_col} {id_type}, rel double")
