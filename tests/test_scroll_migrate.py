@@ -318,3 +318,88 @@ def test_transformer_and_stats(spark):
     assert rows[2].vector == [0.0, 0.0]     # zero vector left untouched
     assert st.points_migrated == 2 and st.batches == 2
     assert st.elapsed_s > 0 and st.throughput() > 0
+
+
+def test_csv_connector_behaviors(spark, tmp_path):
+    """CsvFileConnector parity (reference csv_file_tests.rs): JSON-array
+    vector column, spread dim_* columns, tab delimiter, headerless col_N
+    naming, missing-column error."""
+    import math
+
+    import pytest
+
+    from velesdb_spark.sources.migrate import read_csv_vectors
+
+    p1 = tmp_path / "v.csv"
+    p1.write_text('id,vector,title\n1,"[0.1, 0.2, 0.3]",Doc 1\n'
+                  '2,"[0.4, 0.5, 0.6]",Doc 2\n')
+    c = read_csv_vectors(spark, str(p1), name="csv_json")
+    rows = {r.id: r for r in c.df.collect()}
+    assert math.isclose(rows[1].vector[0], 0.1, rel_tol=1e-6)
+    assert rows[1].title == "Doc 1" and len(rows) == 2
+
+    p2 = tmp_path / "s.csv"
+    p2.write_text("id,dim_0,dim_1,dim_2,title\na,0.1,0.2,0.3,T\n"
+                  "b,0.4,0.5,0.6,T2\n")
+    c2 = read_csv_vectors(spark, str(p2), name="csv_spread",
+                          vector_spread=True)
+    got = sorted((len(r.vector) for r in c2.df.collect()))
+    assert got == [3, 3]
+
+    p3 = tmp_path / "t.tsv"
+    p3.write_text('id\tvector\ttitle\n1\t"[1.0, 2.0]"\tDoc\n')
+    c3 = read_csv_vectors(spark, str(p3), name="csv_tab", delimiter="\t")
+    r3 = c3.df.collect()[0]
+    assert r3.vector == [1.0, 2.0]
+
+    p4 = tmp_path / "nh.csv"
+    p4.write_text('1,"[0.1,0.2]",test\n2,"[0.3,0.4]",test2\n')
+    c4 = read_csv_vectors(spark, str(p4), name="csv_nohdr",
+                          id_column="col_0", vector_column="col_1",
+                          has_header=False)
+    assert sorted(r.id for r in c4.df.collect()) == [1, 2]
+
+    p5 = tmp_path / "m.csv"
+    p5.write_text("id,title\n1,Test\n")
+    with pytest.raises(ValueError, match="vector column"):
+        read_csv_vectors(spark, str(p5), name="csv_missing")
+
+
+def test_json_connector_behaviors(spark, tmp_path):
+    """JsonFileConnector parity (reference json_file_tests.rs): root
+    array, dotted array_path, row_N auto ids, payload selection,
+    invalid-JSON error."""
+    import pytest
+
+    from velesdb_spark.sources.migrate import read_json_vectors
+
+    p1 = tmp_path / "v.json"
+    p1.write_text('[{"id": "1", "vector": [0.1, 0.2, 0.3], "title": "D1"},'
+                  ' {"id": "2", "vector": [0.4, 0.5, 0.6], "title": "D2"}]')
+    c = read_json_vectors(spark, str(p1), name="json_root")
+    rows = {r.orig_id: r for r in c.df.collect()}
+    assert rows["1"].id == 1 and len(rows["1"].vector) == 3
+    assert '"title": "D1"' in rows["1"].payload
+
+    p2 = tmp_path / "n.json"
+    p2.write_text('{"data": {"vectors": [{"id": "a", "vector": [1.0, 2.0]}]}}')
+    c2 = read_json_vectors(spark, str(p2), name="json_nested",
+                           array_path="data.vectors")
+    r2 = c2.df.collect()[0]
+    assert r2.orig_id == "a" and r2.id > 0   # hashed surrogate
+
+    p3 = tmp_path / "a.json"
+    p3.write_text('[{"vector": [0.1, 0.2]}, {"vector": [0.3, 0.4]}]')
+    c3 = read_json_vectors(spark, str(p3), name="json_auto")
+    assert sorted(r.orig_id for r in c3.df.collect()) == \
+        ["row_0", "row_1"]
+
+    p4 = tmp_path / "bad.json"
+    p4.write_text("not valid json")
+    with pytest.raises(Exception):
+        read_json_vectors(spark, str(p4), name="json_bad")
+    p5 = tmp_path / "np.json"
+    p5.write_text('{"data": {}}')
+    with pytest.raises(ValueError, match="array_path"):
+        read_json_vectors(spark, str(p5), name="json_nopath",
+                          array_path="data.vectors")

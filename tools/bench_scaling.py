@@ -32,7 +32,12 @@ QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
            # completion-batch representatives: Q1 = scan-bound exact
            # integer aggregate, Q9 = 5-way join + 175-group agg, Q21 =
            # double-distinct per-order decorrelation
-           "tpch_q1", "tpch_q9", "tpch_q21"]
+           "tpch_q1", "tpch_q9", "tpch_q21",
+           # round-8 session-3 operators: gapfill = spine fan-out +
+           # group-partitioned LOCF window, kmeans = 3 literal-centroid
+           # map rounds + combinable k-group aggregates, mmr = exact
+           # top-pool scan + bounded driver greedy
+           "events_gapfill", "kmeans_docs", "mmr_rerank"]
 
 
 def main():
