@@ -294,3 +294,71 @@ def mmr_rerank(emb: DataFrame, query_vec, k: int = 5, pool: int = 40,
     id_type = dict(emb.dtypes)[id_col]
     return spark.createDataFrame(
         out, f"rank long, {id_col} {id_type}, rel double")
+
+
+class PathScorer:
+    """Graph-path relevance scoring for hybrid MATCH+NEAR results —
+    reference ``search/query/score_fusion.rs:666-780`` (PathScorer):
+    hop i (1-indexed) contributes ``decay^i * weight(rel_type_i)`` and
+    the path score is the product over hops; an empty path (direct
+    match) scores 1.0; ``score_length(n)`` is the pure distance factor
+    ``decay^n``.
+
+    ``rel_weight_col`` gives the distributed form: score an
+    ARRAY<STRING> column of relationship types per row with one
+    F.aggregate fold — JVM-side, no UDF — for scoring variable-length
+    MATCH paths at scale.
+    """
+
+    def __init__(self, decay: float = 0.8,
+                 rel_type_weights: dict | None = None,
+                 default_weight: float = 1.0):
+        self.distance_decay = min(max(float(decay), 0.0), 1.0)
+        self.rel_type_weights = dict(rel_type_weights or {})
+        self.default_weight = float(default_weight)
+
+    def with_decay(self, decay: float) -> "PathScorer":
+        self.distance_decay = min(max(float(decay), 0.0), 1.0)
+        return self
+
+    def with_rel_weight(self, rel_type: str, weight: float) -> "PathScorer":
+        self.rel_type_weights[rel_type] = float(weight)
+        return self
+
+    def with_default_weight(self, weight: float) -> "PathScorer":
+        self.default_weight = float(weight)
+        return self
+
+    def score_rel_types(self, rel_types) -> float:
+        score = 1.0
+        for i, rel in enumerate(rel_types, start=1):
+            w = self.rel_type_weights.get(rel, self.default_weight)
+            score *= (self.distance_decay ** i) * w
+        return score
+
+    def score_path(self, path) -> float:
+        """path = [(src, dst, rel_type), ...]; [] = direct match = 1.0."""
+        return self.score_rel_types([rel for _, _, rel in path])
+
+    def score_length(self, n_hops: int) -> float:
+        return self.distance_decay ** n_hops
+
+    def rel_weight_col(self, rel_types_col) -> "F.Column":
+        """Distributed score_rel_types over an ARRAY<STRING> column."""
+        wmap = F.create_map(*[F.lit(x) for kv in
+                              self.rel_type_weights.items() for x in kv]) \
+            if self.rel_type_weights else None
+        decay, dflt = self.distance_decay, self.default_weight
+
+        def step(acc, rel):
+            w = F.coalesce(wmap[rel], F.lit(dflt)) if wmap is not None \
+                else F.lit(dflt)
+            # acc = (score, hop_index): struct fold carries the 1-based
+            # hop exponent through the aggregate
+            return F.struct(
+                (acc["s"] * F.pow(F.lit(decay), acc["i"] + 1) * w)
+                .alias("s"), (acc["i"] + 1).alias("i"))
+
+        init = F.struct(F.lit(1.0).alias("s"), F.lit(0).cast("int")
+                        .alias("i"))
+        return F.aggregate(rel_types_col, init, step)["s"]
