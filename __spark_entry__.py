@@ -2636,6 +2636,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mmr_rerank"] = _mmr_rerank
 
+    # Bigram-LM perplexity (functions/lm.py — the CCNet/KenLM corpus
+    # quality filter): add-1-smoothed bigram model trained on the corpus
+    # itself, per-doc mean NLL + perplexity. Every per-token term is
+    # ln(int) − ln(int) (exact counts), so cross-engine drift is the
+    # ~1e-12 sum-order tail — far inside the 4-decimal gate rounding.
+    def _lm_perplexity(s, d):
+        from velesdb_spark.functions.lm import perplexity_self
+
+        out = perplexity_self(_t(s, d, "documents"), "text", "doc_id")
+        return out.select("doc_id", "n_bigrams",
+                          F.round("avg_nll", 4).alias("avg_nll"),
+                          F.round("ppl", 4).alias("ppl"))
+
+    q["lm_perplexity"] = _lm_perplexity
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3482,6 +3497,7 @@ _GATE_ORDER = [
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
+    "lm_perplexity",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4460,6 +4476,34 @@ SELECT d.doc_id AS doc_id,
        CAST(coalesce(a.total, 0) AS INT) AS n_grams,
        round(coalesce(a.best * 1.0 / a.total, 0.0), 6) AS top_frac,
        round(coalesce(a.dup * 1.0 / a.total, 0.0), 6) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["lm_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {words_norm} AS t FROM documents
+), bg AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                         for i in range(1, len(t))]) AS g
+  FROM toks
+), bc AS (
+  SELECT g, count(*) AS c12 FROM bg GROUP BY 1
+), cc AS (
+  SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1 FROM bc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT x) AS vs FROM (SELECT unnest(t) AS x FROM toks)
+), scored AS (
+  SELECT bg.doc_id, ln(cc.c1 + v.vs) - ln(bc.c12 + 1) AS nll
+  FROM bg
+  JOIN bc USING (g)
+  JOIN cc ON string_split(bg.g, ' ')[1] = cc.w1
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, count(*) AS n, avg(nll) AS anll FROM scored GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(a.n, 0) AS INT) AS n_bigrams,
+       round(coalesce(a.anll, 0.0), 4) AS avg_nll,
+       round(exp(coalesce(a.anll, 0.0)), 4) AS ppl
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     o["epoch_shuffle"] = """
