@@ -2218,6 +2218,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_video_frames"] = _media_video
 
+    # Perceptual image hashing (multimodal/imagehash.py): 64-bit dHash
+    # over the REAL PNG decode — integer-exact end to end (int64 BT.601
+    # luminance, integer cell sums, cross-multiplied mean comparison),
+    # so DuckDB re-derives the same 64 bits straight from the synth
+    # pixel formula with no float tolerance. seed = doc_id % 100 plants
+    # exact twins; the hash rides out as 4×16-bit bands (the banding
+    # layout dhash_near_dups joins on).
+    def _media_dhash_img(s, d):
+        from velesdb_spark.multimodal.media import synth_png_col
+
+        return (_t(s, d, "documents").filter(F.col("doc_id") < 200)
+                .select(F.col("doc_id").alias("id"),
+                        synth_png_col(F.col("doc_id") % 100)
+                        .alias("content")))
+
+    def _media_dhash(s, d):
+        from velesdb_spark.multimodal.imagehash import dhash_images
+
+        hs = dhash_images(_media_dhash_img(s, d))
+        return hs.select(
+            F.col("id").alias("doc_id"),
+            *[F.shiftrightunsigned("dhash", 16 * i)
+              .bitwiseAND(F.lit(0xFFFF)).cast("int").alias(f"b{i}")
+              for i in range(4)]).orderBy("doc_id")
+
+    q["media_dhash"] = _media_dhash
+
+    # dHash near-duplicate pairs: pigeonhole banding (4×16-bit bands →
+    # recall exactly 1.0 for hamming ≤ 3) + JVM bit_count(xor) verify —
+    # the image twin of simhash text dedup. Oracle brute-forces all
+    # pairs from the formula-derived hashes; the Spark side must find
+    # the identical pair set through the banded equi-join.
+    def _media_dhash_pairs(s, d):
+        from velesdb_spark.multimodal.imagehash import (dhash_images,
+                                                        dhash_near_dups)
+
+        hs = dhash_images(_media_dhash_img(s, d))
+        return (dhash_near_dups(hs, max_hamming=3, n_bands=4)
+                .orderBy("id_a", "id_b")
+                .select(F.col("id_a").alias("id_a"),
+                        F.col("id_b").alias("id_b"), "hamming"))
+
+    q["media_dhash_pairs"] = _media_dhash_pairs
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -3497,7 +3541,7 @@ _GATE_ORDER = [
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
     "events_ntile", "events_percent_rank", "agg_empty",
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
-    "lm_perplexity",
+    "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4660,6 +4704,61 @@ SELECT doc_id, f AS frame_idx, f * 40 AS ts_ms,
        CAST(min(y) AS BIGINT) AS y_min,
        CAST(max(y) AS BIGINT) AS y_max
 FROM pv GROUP BY doc_id, f ORDER BY doc_id, frame_idx"""
+
+    # dHash: integer-exact re-derivation of the 64-bit hash from the
+    # synth pixel formula p(i) = (i*31 + seed*7) % 251 over a 12×10 RGB
+    # raster — int64 luminance 299r+587g+114b, integer cell sums over
+    # the (y*8)//h × (x*9)//w pooling, cross-multiplied comparisons.
+    _DHASH_HX = """
+WITH seeds AS (
+  SELECT doc_id, doc_id % 100 AS seed FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT s.doc_id, i.range AS i,
+         CAST((i.range * 31 + s.seed * 7) % 251 AS BIGINT) AS p
+  FROM seeds s, range(0, 360) i
+), lum AS (
+  SELECT doc_id, i // 3 AS j,
+         SUM(CASE WHEN i % 3 = 0 THEN 299 * p
+                  WHEN i % 3 = 1 THEN 587 * p
+                  ELSE 114 * p END) AS l
+  FROM px GROUP BY doc_id, i // 3
+), cells AS (
+  SELECT doc_id,
+         ((j // 12) * 8) // 10 AS cr,
+         ((j % 12) * 9) // 12 AS ccol,
+         SUM(l) AS s, COUNT(*) AS n
+  FROM lum GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.doc_id, a.cr * 8 + a.ccol AS pos,
+         CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.cr = b.cr AND b.ccol = a.ccol + 1
+), bands AS (
+  SELECT doc_id, CAST(pos // 16 AS INT) AS k,
+         SUM(bit * (CAST(1 AS BIGINT) << CAST(pos % 16 AS INT))) AS v
+  FROM bits GROUP BY 1, 2
+), hx AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k=0 THEN v END) AS b0,
+         MAX(CASE WHEN k=1 THEN v END) AS b1,
+         MAX(CASE WHEN k=2 THEN v END) AS b2,
+         MAX(CASE WHEN k=3 THEN v END) AS b3
+  FROM bands GROUP BY doc_id
+)"""
+
+    o["media_dhash"] = _DHASH_HX + """
+SELECT doc_id, CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+       CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
+FROM hx ORDER BY doc_id"""
+
+    o["media_dhash_pairs"] = _DHASH_HX + """
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         AS hamming
+  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3 ORDER BY 1, 2"""
 
     words_raw = _DK_WORDS.format(c="lower(text)")
     o["chunk_docs"] = f"""

@@ -181,15 +181,12 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     return out
 
 
-def decode_png(content: bytes, meta: dict) -> list[float]:
-    """REAL stdlib PNG decode (zlib inflate + NumPy unfiltering):
-    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, same 16-dim
-    feature layout as decode_bmp (w, h, bits, RGB means, lum std/min,
-    8-bin luminance histogram).
-
-    Reference treats images as opaque payloads (SURVEY §4 stub note);
-    this closes the round-5/6 'PNG is zlib-feasible' item — palette,
-    16-bit, and interlaced streams still raise for an external decoder."""
+def png_pixels(content: bytes):
+    """REAL stdlib PNG decode to the raw pixel raster: zlib inflate +
+    NumPy unfiltering of a non-interlaced 8-bit gray / gray+alpha /
+    RGB / RGBA stream. Returns a (h, w, channels) uint8 array. Shared
+    by decode_png (features) and imagehash.dhash_images (perceptual
+    hash); palette, 16-bit, and interlaced streams still raise."""
     import struct
     import zlib
 
@@ -222,8 +219,24 @@ def decode_png(content: bytes, meta: dict) -> list[float]:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
-    px = _png_unfilter(raw, h, stride, channels) \
-        .reshape(h, w, channels).astype(np.float64)
+    return _png_unfilter(raw, h, stride, channels) \
+        .reshape(h, w, channels)
+
+
+def decode_png(content: bytes, meta: dict) -> list[float]:
+    """REAL stdlib PNG decode (zlib inflate + NumPy unfiltering):
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, same 16-dim
+    feature layout as decode_bmp (w, h, bits, RGB means, lum std/min,
+    8-bin luminance histogram).
+
+    Reference treats images as opaque payloads (SURVEY §4 stub note);
+    this closes the round-5/6 'PNG is zlib-feasible' item — palette,
+    16-bit, and interlaced streams still raise for an external decoder."""
+    import numpy as np
+
+    px = png_pixels(content).astype(np.float64)
+    h, w, channels = px.shape
+    depth = 8
     if channels >= 3:                                    # RGB / RGBA
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
     else:                                                # gray / gray+A
