@@ -571,6 +571,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ORDER BY label LIMIT 100 OFFSET 1 WITH (ef_search = 300)",
         {"v": QV1})
 
+    # complex_parser_tests.rs:395-427 (case-insensitive keywords) — the
+    # reference parse-asserts that keyword casing never matters; here a
+    # fully lower-cased GROUP BY + HAVING + ORDER BY query EXECUTES
+    # (pytest additionally pins that three casings of the same query
+    # translate to identical results).
+    q["case_insensitive_exec"] = lambda s, d: _vql(
+        s, d,
+        "select lang, count(*) from documents "
+        "group by lang having count(*) > 5 order by lang").select(
+            "lang", F.col("count").alias("n"))
+
+    # complex_parser_tests.rs:462-466 (special characters in string
+    # literals) + the LIKE-escape family: commas, bangs, and a doubled
+    # single quote inside literals must survive tokenization; the first
+    # OR branch matches real rows so the gate is non-trivial.
+    q["special_chars_literal"] = lambda s, d: _vql(
+        s, d,
+        "SELECT doc_id, source FROM documents "
+        "WHERE source = 'src3' OR source = 'no, match!' "
+        "OR source = 'it''s absent' ORDER BY doc_id LIMIT 100")
+
     # complex_parser_tests.rs:311-331 — RAG-style semantic search with
     # metadata filters: NEAR + IN-list prefilter + ORDER BY similarity
     q["semantic_metadata_filter"] = lambda s, d: _vql(
@@ -3542,6 +3563,7 @@ _GATE_ORDER = [
     "events_ntile", "events_percent_rank", "agg_empty",
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
+    "case_insensitive_exec", "special_chars_literal",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4152,6 +4174,15 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     o["semantic_metadata_filter"] = (
         f"SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3) "
         f"ORDER BY {cos(QV1)} DESC, vec_id LIMIT 10")
+
+    o["case_insensitive_exec"] = (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents "
+        "GROUP BY lang HAVING count(*) > 5 ORDER BY lang")
+
+    o["special_chars_literal"] = (
+        "SELECT doc_id, source FROM documents "
+        "WHERE source = 'src3' OR source = 'no, match!' "
+        "OR source = 'it''s absent' ORDER BY doc_id LIMIT 100")
 
     o["similarity_threshold"] = (
         f"SELECT vec_id FROM embeddings WHERE {cos(QV2)} > 0.2 "

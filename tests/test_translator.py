@@ -557,3 +557,34 @@ def test_aggregate_params_resolved(spark):
         "GROUP BY category", cat, {"min": 60.0})
     got = {r["category"]: r["avg_price"] for r in out2.collect()}
     assert got == {"electronics": 150.0}
+
+
+def test_case_insensitive_keywords_execute_identically(catalog):
+    """complex_parser_tests.rs:395-427 — keyword casing never changes
+    the translated result."""
+    variants = [
+        "SELECT lang, COUNT(*) FROM documents "
+        "GROUP BY lang HAVING COUNT(*) > 5 ORDER BY lang",
+        "select lang, count(*) from documents "
+        "group by lang having count(*) > 5 order by lang",
+        "Select lang, Count(*) From documents "
+        "Group By lang Having Count(*) > 5 Order By lang",
+    ]
+    results = [tuple(map(tuple, translate(v, catalog).collect()))
+               for v in variants]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_special_characters_in_string_literals(catalog):
+    """complex_parser_tests.rs:462-466 — commas/bangs and doubled-quote
+    escapes inside literals survive tokenization and compare correctly."""
+    sdf = translate(
+        "SELECT doc_id FROM documents WHERE source = 'no, match!' "
+        "OR source = 'it''s absent' LIMIT 10", catalog)
+    assert sdf.count() == 0
+    sdf2 = translate(
+        "SELECT doc_id, source FROM documents WHERE source = 'src3' "
+        "OR source = 'no, match!' ORDER BY doc_id LIMIT 10", catalog)
+    rows = sdf2.collect()
+    assert rows and all(r["source"] == "src3" for r in rows)
