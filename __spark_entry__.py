@@ -2716,6 +2716,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity"] = _lm_perplexity
 
+    # DSIR importance log-ratio (functions/lm.py dsir_log_ratio): score
+    # every doc by log P_target − log P_raw under two add-1 bigram
+    # models (target = the English slice) — the Xie et al. 2023 data-
+    # selection estimator. Same exactness contract as lm_perplexity.
+    def _dsir_logratio(s, d):
+        from velesdb_spark.functions.lm import dsir_log_ratio
+
+        docs = _t(s, d, "documents")
+        out = dsir_log_ratio(docs, docs.filter(F.col("lang") == "en"),
+                             "text", "doc_id")
+        return out.select("doc_id", "n_bigrams",
+                          F.round("log_ratio", 4).alias("log_ratio"))
+
+    q["dsir_logratio"] = _dsir_logratio
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3563,7 +3578,7 @@ _GATE_ORDER = [
     "events_ntile", "events_percent_rank", "agg_empty",
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
-    "case_insensitive_exec", "special_chars_literal",
+    "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4579,6 +4594,47 @@ SELECT d.doc_id AS doc_id,
        CAST(coalesce(a.n, 0) AS INT) AS n_bigrams,
        round(coalesce(a.anll, 0.0), 4) AS avg_nll,
        round(exp(coalesce(a.anll, 0.0)), 4) AS ppl
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["dsir_logratio"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {words_norm} AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang, unnest([array_to_string(t[i:i+1], ' ')
+                               for i in range(1, len(t))]) AS g
+  FROM toks
+), bc_r AS (
+  SELECT g, count(*) AS c12 FROM bg GROUP BY 1
+), cc_r AS (
+  SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1
+  FROM bc_r GROUP BY 1
+), v_r AS (
+  SELECT count(DISTINCT x) AS vs FROM (SELECT unnest(t) AS x FROM toks)
+), bc_t AS (
+  SELECT g, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1
+), cc_t AS (
+  SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1
+  FROM bc_t GROUP BY 1
+), v_t AS (
+  SELECT count(DISTINCT x) AS vs
+  FROM (SELECT unnest(t) AS x FROM toks WHERE lang = 'en')
+), scored AS (
+  SELECT bg.doc_id,
+         (ln(ccr.c1 + vr.vs) - ln(bcr.c12 + 1))
+       - (ln(coalesce(cct.c1, 0) + vt.vs)
+          - ln(coalesce(bct.c12, 0) + 1)) AS dterm
+  FROM bg
+  JOIN bc_r bcr USING (g)
+  JOIN cc_r ccr ON string_split(bg.g, ' ')[1] = ccr.w1
+  LEFT JOIN bc_t bct ON bg.g = bct.g
+  LEFT JOIN cc_t cct ON string_split(bg.g, ' ')[1] = cct.w1
+  CROSS JOIN v_r vr CROSS JOIN v_t vt
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(dterm) AS s FROM scored GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(a.n, 0) AS INT) AS n_bigrams,
+       round(coalesce(a.s, 0.0), 4) AS log_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     o["epoch_shuffle"] = """

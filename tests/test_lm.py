@@ -100,3 +100,71 @@ def test_smaller_k_sharpens(spark, docs_df):
     p01 = {r["doc_id"]: r["ppl"]
            for r in perplexity_self(docs_df, k=0.01).collect()}
     assert p01[0] < p1[0]
+
+
+def _naive_lr(raw_rows, target_texts, k=1.0):
+    def model(texts):
+        bc, cc, vocab = Counter(), Counter(), set()
+        for s in texts:
+            t = _tok(s)
+            vocab.update(t)
+            for a, b in zip(t, t[1:]):
+                bc[(a, b)] += 1
+                cc[a] += 1
+        return bc, cc, len(vocab)
+
+    bt, ct, vt = model(target_texts)
+    br, cr, vr = model([s for _, s in raw_rows])
+    out = {}
+    for i, s in raw_rows:
+        pairs = list(zip(_tok(s), _tok(s)[1:]))
+        if not pairs:
+            out[i] = 0.0
+            continue
+        nll_r = sum(math.log(cr.get(a, 0) + k * vr) -
+                    math.log(br.get((a, b), 0) + k) for a, b in pairs)
+        nll_t = sum(math.log(ct.get(a, 0) + k * vt) -
+                    math.log(bt.get((a, b), 0) + k) for a, b in pairs)
+        out[i] = nll_r - nll_t
+    return out
+
+
+def test_dsir_log_ratio_matches_naive(spark, docs_df):
+    from velesdb_spark.functions.lm import dsir_log_ratio
+
+    target = docs_df.filter("doc_id IN (0, 1, 5)")  # the 'the X sat' docs
+    got = {r["doc_id"]: r["log_ratio"]
+           for r in dsir_log_ratio(docs_df, target).collect()}
+    want = _naive_lr(DOCS, [DOCS[i][1] for i in (0, 1, 5)])
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+    # target-style docs score above the off-style doc
+    assert got[0] > got[2]
+
+
+def test_dsir_resample_prefers_target_like(spark):
+    from velesdb_spark.functions.lm import dsir_resample
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "the cat sat on the mat and the dog sat too"))
+    for i in range(40, 80):
+        rows.append((i, "uno dos tres cuatro cinco seis siete ocho nueve"))
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = raw.filter("doc_id < 5")
+    got = dsir_resample(raw, target, 20, lo=-5.0, hi=5.0)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == 20
+    n_target_like = sum(1 for i in ids if i < 40)
+    assert n_target_like >= 15  # weights strongly favor the target style
+    # deterministic across invocations
+    ids2 = [r["doc_id"] for r in dsir_resample(
+        raw, target, 20, lo=-5.0, hi=5.0).collect()]
+    assert ids == ids2
+
+
+def test_dsir_resample_lo_hi_guard(spark, docs_df):
+    from velesdb_spark.functions.lm import dsir_resample
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        dsir_resample(docs_df, docs_df, 3, lo=1.0, hi=1.0)

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text_analysis import word_tokens
 
-__all__ = ["train_bigram_lm", "perplexity", "perplexity_self"]
+__all__ = ["train_bigram_lm", "perplexity", "perplexity_self",
+           "dsir_log_ratio", "dsir_resample"]
 
 _BIGRAMS = "_lm_bigrams"
 
@@ -129,3 +130,65 @@ def perplexity_self(corpus: DataFrame, text_col: str = "text",
     repetitiveness measure; low ppl = formulaic/boilerplate-heavy)."""
     bc, cc, v = train_bigram_lm(corpus, text_col)
     return perplexity(corpus, bc, cc, v, text_col, id_col, k)
+
+
+def dsir_log_ratio(raw: DataFrame, target: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   k: float = 1.0) -> DataFrame:
+    """DSIR importance log-ratio (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    log P_target(doc) − log P_raw(doc) under two add-k bigram models —
+    positive = target-like. The DSIR paper uses hashed n-gram features;
+    the bigram LM here is the same estimator family with an exact
+    vocabulary.
+
+    Returns (id_col, n_bigrams INT, log_ratio DOUBLE) for every raw
+    doc; docs with <2 tokens get log_ratio 0.0. Scale shape = two
+    model trainings (corpus-scan aggregates into vocab-bounded tables),
+    two scoring passes, one id-equi join — everything JVM-side.
+    """
+    bc_t, cc_t, v_t = train_bigram_lm(target, text_col)
+    bc_r, cc_r, v_r = train_bigram_lm(raw, text_col)
+    under_t = (perplexity(raw, bc_t, cc_t, v_t, text_col, id_col, k)
+               .select(id_col, "n_bigrams",
+                       F.col("avg_nll").alias("_nll_t")))
+    under_r = (perplexity(raw, bc_r, cc_r, v_r, text_col, id_col, k)
+               .select(id_col, F.col("avg_nll").alias("_nll_r")))
+    return (under_t.join(under_r, [id_col])
+            .select(id_col, "n_bigrams",
+                    (F.col("n_bigrams")
+                     * (F.col("_nll_r") - F.col("_nll_t")))
+                    .alias("log_ratio")))
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame, n: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: float = 1.0, lo: float = -50.0, hi: float = 50.0,
+                  cap: int = 64, seed: str = "dsir") -> DataFrame:
+    """DSIR selection: resample ``n`` raw docs with probability
+    increasing in the importance log-ratio.
+
+    The continuous exp(log_ratio) weight is quantized to an integer
+    1..cap over the fixed clip range [lo, hi] (round(…,6) first, so the
+    ~1e-12 cross-engine drift of the ratio can never flip a bucket),
+    then drawn through sampling.weighted_key — the pow-free
+    Efraimidis–Spirakis max-of-w-hashes key that any md5-capable engine
+    reproduces bit-for-bit. Returns the sampled rows with their
+    log_ratio, weight, and ranking key.
+    """
+    from .sampling import weighted_sample_topk
+
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    lr = dsir_log_ratio(raw, target, text_col, id_col, k)
+    clipped = F.least(F.lit(float(hi)),
+                      F.greatest(F.lit(float(lo)),
+                                 F.round(F.col("log_ratio"), 6)))
+    weight = (F.lit(1)
+              + F.floor((clipped - F.lit(float(lo)))
+                        / F.lit(float(hi - lo)) * F.lit(cap - 1))
+              ).cast("long")
+    weighted = (raw.join(lr, [id_col])
+                .withColumn("_w", F.least(F.lit(int(cap)), weight)))
+    return weighted_sample_topk(weighted, n, "_w", id_col=id_col,
+                                seed=seed, cap=cap)
