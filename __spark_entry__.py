@@ -716,6 +716,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d,
         "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier")
 
+    # velesql_v2_integration_tests.rs:239-249 — UNION whose branches
+    # carry their own WHERE clauses (reference parse-asserts; executed
+    # here with UNION's distinct semantics over the merged branches)
+    q["union_where"] = lambda s, d: _vql(
+        s, d,
+        "SELECT doc_id FROM documents WHERE lang = 'en' "
+        "UNION SELECT doc_id FROM documents WHERE n_chars > 400")
+
     q["set_intersect"] = lambda s, d: _vql(
         s, d,
         "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier")
@@ -2731,6 +2739,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_logratio"] = _dsir_logratio
 
+    # Single-pass sufficient-statistics OLS (functions/stats.py): per-
+    # language regression of token_count on n_chars. ONE combinable
+    # aggregate collects exact-int64 moment sums; slope/intercept/r/R²
+    # derive through a fixed double expression tree both engines write
+    # identically, so round(…,6) is drift-proof by construction.
+    def _linreg_docs(s, d):
+        from velesdb_spark.functions.stats import linreg
+
+        docs = _t(s, d, "documents").select(
+            "lang",
+            F.col("n_chars").cast("long").alias("x"),
+            ta.token_count(F.col("text")).cast("long").alias("y"))
+        out = linreg(docs, "x", "y", ["lang"])
+        return out.select(
+            "lang", F.col("n").cast("long").alias("n"),
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            F.round("r", 6).alias("r"),
+            F.round("r2", 6).alias("r2")).orderBy("lang")
+
+    q["linreg_docs"] = _linreg_docs
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3579,6 +3609,7 @@ _GATE_ORDER = [
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
+    "union_where", "linreg_docs",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4115,6 +4146,10 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
 
     o["set_union"] = ("SELECT c_nationkey FROM customer "
                       "UNION SELECT s_nationkey FROM supplier")
+    o["union_where"] = (
+        "SELECT doc_id FROM documents WHERE lang = 'en' "
+        "UNION SELECT doc_id FROM documents WHERE n_chars > 400")
+
     o["set_intersect"] = ("SELECT c_nationkey FROM customer "
                           "INTERSECT SELECT s_nationkey FROM supplier")
     o["set_except"] = ("SELECT c_nationkey FROM customer "
@@ -4636,6 +4671,29 @@ SELECT d.doc_id AS doc_id,
        CAST(coalesce(a.n, 0) AS INT) AS n_bigrams,
        round(coalesce(a.s, 0.0), 4) AS log_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["linreg_docs"] = f"""
+WITH t AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(len({words_norm}) AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx,
+         CAST(sum(y*y) AS DOUBLE) AS syy
+  FROM t GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept,
+       round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)),
+             6) AS r,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy) / (n*sxx - sx*sx))
+             / (n*syy - sy*sy), 6) AS r2
+FROM s ORDER BY lang"""
 
     o["epoch_shuffle"] = """
 SELECT doc_id,

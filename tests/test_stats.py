@@ -1,0 +1,84 @@
+"""Sufficient-statistics OLS / Pearson (functions/stats.py) vs NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from velesdb_spark.functions.stats import linreg, moment_sums, pearson_corr
+
+ROWS = [
+    ("a", 10, 25), ("a", 20, 41), ("a", 30, 62), ("a", 40, 79),
+    ("a", 50, 103),
+    ("b", 5, 5), ("b", 6, 5), ("b", 7, 5), ("b", 8, 5),   # constant y
+    ("c", 3, 9), ("c", 3, 11), ("c", 3, 13),              # constant x
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, ["g", "x", "y"])
+
+
+def test_linreg_matches_numpy(spark, df):
+    got = {r["g"]: r for r in linreg(df, "x", "y", ["g"]).collect()}
+    xs = np.array([x for g, x, _ in ROWS if g == "a"], dtype=float)
+    ys = np.array([y for g, x, y in ROWS if g == "a"], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    a = got["a"]
+    assert a["n"] == 5
+    assert a["slope"] == pytest.approx(slope, abs=1e-9)
+    assert a["intercept"] == pytest.approx(intercept, abs=1e-9)
+    assert a["r"] == pytest.approx(r, abs=1e-12)
+    assert a["r2"] == pytest.approx(r * r, abs=1e-12)
+
+
+def test_degenerate_groups_null(spark, df):
+    got = {r["g"]: r for r in linreg(df, "x", "y", ["g"]).collect()}
+    b, c = got["b"], got["c"]
+    # constant y: slope/intercept defined (slope 0), r/r2 NULL
+    assert b["slope"] == pytest.approx(0.0)
+    assert b["r"] is None and b["r2"] is None
+    # constant x: everything NULL
+    assert c["slope"] is None and c["intercept"] is None
+    assert c["r"] is None
+
+
+def test_moment_sums_combinable(spark, df):
+    """Sums over any row partition merge by addition — fit(whole) ==
+    fit(sums(half1) + sums(half2))."""
+    h1 = df.filter("x <= 20")
+    h2 = df.filter("x > 20")
+    whole = {tuple(r)[:1]: tuple(r)[1:]
+             for r in moment_sums(df, "x", "y", ["g"]).collect()}
+    parts = {}
+    for h in (h1, h2):
+        for r in moment_sums(h, "x", "y", ["g"]).collect():
+            key, vals = (r["g"],), (r["n"], r["sx"], r["sy"], r["sxy"],
+                                    r["sxx"], r["syy"])
+            parts[key] = tuple(
+                a + b for a, b in zip(parts.get(key, (0,) * 6), vals))
+    assert whole == parts
+
+
+def test_global_fit_no_groups(spark, df):
+    one = linreg(df.filter("g = 'a'"), "x", "y").collect()
+    assert len(one) == 1 and one[0]["n"] == 5
+
+
+def test_pearson_only(spark, df):
+    got = {r["g"]: r["r"] for r in pearson_corr(df, "x", "y",
+                                                ["g"]).collect()}
+    xs = np.array([x for g, x, _ in ROWS if g == "a"], dtype=float)
+    ys = np.array([y for g, x, y in ROWS if g == "a"], dtype=float)
+    assert got["a"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-12)
+
+
+def test_single_aggregate_plan(spark, df):
+    """Plan contract: one shuffle (the groupBy), no window, no second
+    scan-side exchange."""
+    plan = linreg(df, "x", "y", ["g"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Window" not in plan

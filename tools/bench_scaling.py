@@ -37,7 +37,12 @@ QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
            # group-partitioned LOCF window, kmeans = 3 literal-centroid
            # map rounds + combinable k-group aggregates, mmr = exact
            # top-pool scan + bounded driver greedy
-           "events_gapfill", "kmeans_docs", "mmr_rerank"]
+           "events_gapfill", "kmeans_docs", "mmr_rerank",
+           # round-8 session-4 operators: lm = two corpus scans into
+           # vocab-bounded count tables + equi-join scoring, dsir = lm
+           # twice + id join, dhash pairs = mapInPandas decode + banded
+           # equi-join on 16-bit keys
+           "lm_perplexity", "dsir_logratio", "media_dhash_pairs"]
 
 
 def main():
@@ -146,11 +151,13 @@ def main():
             fn, action = CUSTOM[name]
             t_small = best_of(fn, ds, action=action)
             t_big = best_of(fn, db, action=action)
-        elif name == "correlated_subquery":
-            # the tagged-union result SCALES with the data (1.8M rows at
-            # sf1, 18M at sf10): collect() would measure driver
-            # serialization, not the decorrelated joins — count() runs
-            # the same plan without shipping the rows
+        elif name in ("correlated_subquery", "lm_perplexity",
+                      "dsir_logratio"):
+            # these results SCALE with the data (correlated_subquery:
+            # 1.8M rows at sf1, 18M at sf10; the lm scores: one row per
+            # document): collect() would measure driver serialization,
+            # not the joins/aggregates — count() runs the same plan
+            # without shipping the rows
             t_small = best_of(qs[name], ds, action="count")
             t_big = best_of(qs[name], db, action="count")
         else:
