@@ -2761,6 +2761,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linreg_docs"] = _linreg_docs
 
+    # Table profiler (functions/stats.py profile — the reference's
+    # CollectionStats/ColumnStats ANALYZE surface, stats/mod.rs): one
+    # scan computes every column's (n, nulls, distinct, min, max), then
+    # the single row unpivots JVM-side. Exact distinct here (gate
+    # determinism); approx_distinct=True is the 100 TB spelling.
+    def _table_profile(s, d):
+        from velesdb_spark.functions.stats import profile
+
+        return profile(_t(s, d, "documents")).select(
+            "col_name", F.col("n").cast("long").alias("n"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val", "max_val")
+
+    q["table_profile"] = _table_profile
+
     # sequence packing (training-batch assembly): closed-form offset
     # bucketing — pack = floor(exclusive_cumsum / budget) inside md5 hash
     # shards, one window per shard, no sequential pass (packing.py)
@@ -3609,7 +3625,7 @@ _GATE_ORDER = [
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
-    "union_where", "linreg_docs",
+    "union_where", "linreg_docs", "table_profile",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4694,6 +4710,43 @@ SELECT lang, CAST(n AS BIGINT) AS n,
        round(((n*sxy - sx*sy) * (n*sxy - sx*sy) / (n*sxx - sx*sx))
              / (n*syy - sy*sy), 6) AS r2
 FROM s ORDER BY lang"""
+
+    o["table_profile"] = """
+WITH s AS (
+  SELECT 'doc_id' AS col_name, count(*) AS n,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_val,
+         CAST(max(doc_id) AS VARCHAR) AS max_val
+  FROM documents
+  UNION ALL
+  SELECT 'text', count(*),
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT text),
+         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*),
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT lang),
+         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*),
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT source),
+         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*),
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT n_chars),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents
+)
+SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+FROM s ORDER BY col_name"""
 
     o["epoch_shuffle"] = """
 SELECT doc_id,

@@ -82,3 +82,40 @@ def test_single_aggregate_plan(spark, df):
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Window" not in plan
+
+
+def test_profile_matches_manual(spark):
+    from velesdb_spark.functions.stats import profile
+
+    rows = [(1, "a", None), (2, "b", 5.0), (2, None, 5.0), (4, "c", 7.0)]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    k = got["k"]
+    assert (k["n"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_val"], k["max_val"]) == ("1", "4")
+    s = got["s"]
+    assert (s["n_null"], s["n_distinct"]) == (1, 3)
+    assert (s["min_val"], s["max_val"]) == ("a", "c")
+    v = got["v"]
+    assert (v["n_null"], v["n_distinct"]) == (1, 2)
+    assert v["min_val"] == "5.0"
+
+
+def test_profile_column_subset_and_approx(spark):
+    from velesdb_spark.functions.stats import profile
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)],
+                               ["a", "b"])
+    got = profile(df, columns=["b"], approx_distinct=True).collect()
+    assert len(got) == 1 and got[0]["col_name"] == "b"
+    # HLL at this cardinality is exact
+    assert got[0]["n_distinct"] == 7
+
+
+def test_profile_single_scan_plan(spark):
+    from velesdb_spark.functions.stats import profile
+
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1

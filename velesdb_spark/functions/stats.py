@@ -28,7 +28,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["moment_sums", "linreg", "pearson_corr"]
+__all__ = ["moment_sums", "linreg", "pearson_corr", "profile"]
 
 
 def moment_sums(df: DataFrame, x_col: str, y_col: str,
@@ -90,3 +90,44 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
     sums = moment_sums(df, x_col, y_col, group_cols)
     _, _, r, _ = _fit_cols()
     return sums.select(*(group_cols or []), "n", r.alias("r"))
+
+
+def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
+            approx_distinct: bool = False) -> DataFrame:
+    """Table profile — the ANALYZE/StatsCollector staple (reference
+    collection/stats/mod.rs CollectionStats + ColumnStats): one row per
+    column with (col_name, n, n_null, n_distinct, min_val, max_val).
+
+    ONE aggregate pass computes every column's stats simultaneously
+    (4·|cols|+1 agg expressions), then the single result row unpivots
+    JVM-side into per-column rows — the table is scanned once no matter
+    how many columns. min/max are cast to string AFTER aggregating in
+    the native type (so numeric columns order numerically).
+
+    ``approx_distinct=True`` swaps count_distinct for the HLL sketch —
+    the 100 TB spelling (exact distinct of a high-cardinality column
+    shuffles the value set; the sketch is constant-size per column).
+    """
+    cols = list(columns or df.columns)
+    distinct_fn = (F.approx_count_distinct if approx_distinct
+                   else F.count_distinct)
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_null_{c}"),
+            distinct_fn(col).alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("_n").alias("n"),
+                 F.col(f"_null_{c}").alias("n_null"),
+                 F.col(f"_dist_{c}").alias("n_distinct"),
+                 F.col(f"_min_{c}").alias("min_val"),
+                 F.col(f"_max_{c}").alias("max_val"))
+        for c in cols])
+    return (row.select(F.explode(per_col).alias("p")).select("p.*")
+            .orderBy("col_name"))
