@@ -2291,6 +2291,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_dhash_pairs"] = _media_dhash_pairs
 
+    # REAL Structured Streaming image near-dup ingest (streaming/
+    # mediadedup.py): the synth-PNG set split into two micro-batches
+    # (doc_id parity) drains through foreachBatch into a
+    # StreamingDHashStore — each batch keeps only intra-batch
+    # Hamming-cluster representatives (CC over exact ≤3 pairs), rejects
+    # images within Hamming 3 of a previously-ACCEPTED one (band-join
+    # candidates + exact popcount verify), and appends one immutable
+    # band segment. The oracle replays the same sequential semantics
+    # from the formula-derived hashes (recursive-CTE components per
+    # batch, cross-parity pair rejection).
+    def _stream_dhash_ingest(s, d):
+        import os
+        import tempfile
+
+        from velesdb_spark.multimodal.media import synth_png_col
+        from velesdb_spark.streaming.mediadedup import (
+            StreamingDHashStore, stream_images_into_dhash)
+
+        imgs = (_t(s, d, "documents").filter(F.col("doc_id") < 200)
+                .select("doc_id",
+                        synth_png_col(F.col("doc_id") % 100)
+                        .alias("content")))
+        root = tempfile.mkdtemp(prefix="dhash_stream_")
+        stage = f"{root}/stage"
+        os.makedirs(stage)
+        for i in (0, 1):
+            part = f"{root}/b{i}"
+            imgs.filter(F.col("doc_id") % 2 == i).coalesce(1) \
+                .write.parquet(part)
+            for fn in os.listdir(part):
+                if fn.endswith(".parquet"):
+                    os.rename(f"{part}/{fn}", f"{stage}/b{i}.parquet")
+        store = StreamingDHashStore(s, f"{root}/store", id_col="doc_id")
+        stream = (s.readStream.schema("doc_id LONG, content BINARY")
+                  .option("maxFilesPerTrigger", 1).parquet(stage))
+        stream_images_into_dhash(stream, store, f"{root}/ckpt")
+        return (store.accepted()
+                .select("doc_id",
+                        *[F.shiftrightunsigned("dhash", 16 * i)
+                          .bitwiseAND(F.lit(0xFFFF)).cast("int")
+                          .alias(f"b{i}") for i in range(4)])
+                .orderBy("doc_id"))
+
+    q["stream_dhash_ingest"] = _stream_dhash_ingest
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -3625,7 +3670,7 @@ _GATE_ORDER = [
     "graph_triangles", "kmeans_docs", "events_gapfill", "mmr_rerank",
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
-    "union_where", "linreg_docs", "table_profile",
+    "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4948,6 +4993,54 @@ WITH seeds AS (
 SELECT doc_id, CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
        CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
 FROM hx ORDER BY doc_id"""
+
+    o["stream_dhash_ingest"] = (
+        _DHASH_HX.replace("\nWITH seeds", "\nWITH RECURSIVE seeds")
+        + """,
+pd AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+), e0 AS (
+  SELECT ia AS a, ib AS b FROM pd WHERE ia % 2 = 0 AND ib % 2 = 0
+  UNION
+  SELECT ib, ia FROM pd WHERE ia % 2 = 0 AND ib % 2 = 0
+), n0 AS (SELECT DISTINCT a AS id FROM e0),
+r0(id, r) AS (
+  SELECT id, id FROM n0
+  UNION
+  SELECT e.a, rc.r FROM r0 rc JOIN e0 e ON e.b = rc.id
+), c0 AS (SELECT id, min(r) AS cid FROM r0 GROUP BY id),
+acc0 AS (
+  SELECT doc_id FROM hx WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT id FROM c0 WHERE cid <> id)
+), e1 AS (
+  SELECT ia AS a, ib AS b FROM pd WHERE ia % 2 = 1 AND ib % 2 = 1
+  UNION
+  SELECT ib, ia FROM pd WHERE ia % 2 = 1 AND ib % 2 = 1
+), n1 AS (SELECT DISTINCT a AS id FROM e1),
+r1(id, r) AS (
+  SELECT id, id FROM n1
+  UNION
+  SELECT e.a, rc.r FROM r1 rc JOIN e1 e ON e.b = rc.id
+), c1 AS (SELECT id, min(r) AS cid FROM r1 GROUP BY id),
+surv1 AS (
+  SELECT doc_id FROM hx WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT id FROM c1 WHERE cid <> id)
+), hits1 AS (
+  SELECT DISTINCT s.doc_id FROM surv1 s JOIN pd p
+    ON (p.ia = s.doc_id AND p.ib IN (SELECT doc_id FROM acc0))
+    OR (p.ib = s.doc_id AND p.ia IN (SELECT doc_id FROM acc0))
+), acc AS (
+  SELECT doc_id FROM acc0
+  UNION ALL
+  SELECT doc_id FROM surv1
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits1)
+)
+SELECT h.doc_id, CAST(h.b0 AS INT) AS b0, CAST(h.b1 AS INT) AS b1,
+       CAST(h.b2 AS INT) AS b2, CAST(h.b3 AS INT) AS b3
+FROM hx h JOIN acc USING (doc_id) ORDER BY h.doc_id""")
 
     o["media_dhash_pairs"] = _DHASH_HX + """
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
