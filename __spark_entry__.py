@@ -2336,6 +2336,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dhash_ingest"] = _stream_dhash_ingest
 
+    # Cohort retention (operators/retention.py): first-activity weekly
+    # cohorts × offset cells off ONE distinct (user, bucket) projection
+    # — exact integer counts, one IEEE division for the share.
+    def _events_retention(s, d):
+        from velesdb_spark.operators.retention import cohort_retention
+
+        out = cohort_retention(_t(s, d, "events"))
+        return (out.select("cohort_bucket", "k", "n_users", "n_active",
+                           F.round("retention", 6).alias("retention"))
+                .orderBy("cohort_bucket", "k"))
+
+    q["events_retention"] = _events_retention
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -3671,6 +3684,7 @@ _GATE_ORDER = [
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
+    "events_retention",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4004,6 +4018,27 @@ SELECT event_id, user_id,
          AS seq
 FROM events WHERE user_id < 50
 ORDER BY user_id, seq"""
+
+    o["events_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 604800000000 AS b
+  FROM events
+), coh AS (
+  SELECT u, min(b) AS cohort FROM act GROUP BY u
+), cells AS (
+  SELECT c.cohort, a.b - c.cohort AS k,
+         count(DISTINCT a.u) AS n_active
+  FROM act a JOIN coh c USING (u) GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, count(*) AS n_users FROM coh GROUP BY 1
+)
+SELECT c.cohort AS cohort_bucket, CAST(c.k AS BIGINT) AS k,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       round(c.n_active * 1.0 / s.n_users, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+ORDER BY cohort_bucket, k"""
 
     o["events_ntile"] = """
 WITH t AS (

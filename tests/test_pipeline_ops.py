@@ -405,3 +405,40 @@ def test_lloyd_kmeans_matches_naive(spark):
         lloyd_kmeans(df, ["x", "y"], k=0)
     with _pt.raises(ValueError):
         lloyd_kmeans(df.limit(2), ["x", "y"], k=5)
+
+
+def test_cohort_retention_manual(spark):
+    """Hand-built activity: two cohorts, known retention cells."""
+    from datetime import datetime
+
+    from velesdb_spark.operators.retention import WEEK_US, cohort_retention
+
+    def t(day):
+        return datetime(2024, 1, 1 + day)
+
+    rows = [
+        # users 1,2 start week 0; user 1 returns week 1; user 2 never
+        (1, t(0)), (1, t(2)), (1, t(8)),
+        (2, t(1)),
+        # user 3 starts week 1, returns week 2
+        (3, t(7)), (3, t(14)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_bucket, r.k): (r.n_users, r.n_active, r.retention)
+           for r in cohort_retention(df).collect()}
+    base = next(b for (b, k) in got if k == 0 and got[(b, k)][0] == 2)
+    assert got[(base, 0)] == (2, 2, 1.0)
+    assert got[(base, 1)] == (2, 1, 0.5)
+    assert (base + 1, 0) in got and got[(base + 1, 0)] == (1, 1, 1.0)
+    assert got[(base + 1, 1)] == (1, 1, 1.0)
+    assert (base, 2) not in got  # nobody from cohort 0 active week 2
+
+
+def test_cohort_retention_guard(spark):
+    from velesdb_spark.operators.retention import cohort_retention
+
+    df = spark.createDataFrame([(1,)], "user_id long") \
+        .selectExpr("user_id", "current_timestamp() as ts")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        cohort_retention(df, bucket_us=0)
