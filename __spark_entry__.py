@@ -2698,6 +2698,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = _graph_triangles
 
+    # weighted SSSP (operators/graph.py shortest_paths — frontier
+    # Bellman-Ford, the weighted twin of BFS): deterministic sparse
+    # arithmetic digraph on supplier keys (≤1000 nodes, ~2% density,
+    # weights 1..9), distances exact int64 so the oracle's bounded
+    # recursive-CTE relaxation fixpoint matches bit-for-bit.
+    def _graph_sssp(s, d):
+        from velesdb_spark.operators.graph import shortest_paths
+
+        sup = (_t(s, d, "supplier").filter(F.col("s_suppkey") <= 1000)
+               .select(F.col("s_suppkey").alias("id")))
+        x = sup.select(F.col("id").alias("src"))
+        y = sup.select(F.col("id").alias("dst"))
+        e = (x.crossJoin(y)
+             .filter((F.col("src") != F.col("dst"))
+                     & ((F.col("src") * 37 + F.col("dst") * 101)
+                        % 1000 < 20))
+             .withColumn("w", (F.col("src") * 7 + F.col("dst") * 13)
+                         % 9 + 1))
+        return shortest_paths(e, [1]).orderBy("id")
+
+    q["graph_sssp"] = _graph_sssp
+
     # distributed Lloyd k-means (functions/clustering.py — the corpus
     # stratification / IVF-coarse-quantizer training primitive): 3
     # rounds, k=6, over integer-valued (n_chars, token_count) features.
@@ -3684,7 +3706,7 @@ _GATE_ORDER = [
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
-    "events_retention",
+    "events_retention", "graph_sssp",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4018,6 +4040,27 @@ SELECT event_id, user_id,
          AS seq
 FROM events WHERE user_id < 50
 ORDER BY user_id, seq"""
+
+    # bound 100: true max shortest dist on this formula graph is 41 at
+    # 100 nodes / 17 at 1000 (Dijkstra-verified); positive weights mean
+    # no shortest path exceeds it, and the bound caps the recursion at
+    # |nodes|×100 (id, dist) pairs so the CTE terminates fast
+    o["graph_sssp"] = """
+WITH RECURSIVE n AS (
+  SELECT s_suppkey AS id FROM supplier WHERE s_suppkey <= 1000
+), e AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.id * 7 + b.id * 13) % 9 + 1 AS w
+  FROM n a, n b
+  WHERE a.id <> b.id AND (a.id * 37 + b.id * 101) % 1000 < 20
+), walk(id, dist) AS (
+  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst, walk.dist + e.w
+  FROM walk JOIN e ON e.src = walk.id
+  WHERE walk.dist + e.w < 100
+)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id ORDER BY id"""
 
     o["events_retention"] = """
 WITH act AS (

@@ -506,3 +506,51 @@ def test_triangles_matches_bruteforce(spark):
             for node in t:
                 brute[node] = brute.get(node, 0) + 1
         assert counts == brute, f"trial {trial}"
+
+
+def test_shortest_paths_vs_dijkstra(spark):
+    """Frontier Bellman-Ford == driver Dijkstra on a random digraph."""
+    import heapq
+    import random
+
+    from velesdb_spark.operators.graph import shortest_paths
+
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.add((a, b))
+    rows = [(a, b, 1 + (a * 3 + b * 5) % 7) for a, b in sorted(edges)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.id: r.dist for r in shortest_paths(e, [0, 7]).collect()}
+
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, []).append((b, w))
+    want = {0: 0, 7: 0}
+    pq = [(0, 0), (0, 7)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > want.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < want.get(v, 1 << 60):
+                want[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == want
+
+
+def test_shortest_paths_unreachable_absent_and_negative_rejected(spark):
+    from velesdb_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame([(1, 2, 3), (4, 5, 1)],
+                              "src long, dst long, w long")
+    got = {r.id: r.dist for r in shortest_paths(e, [1]).collect()}
+    assert got == {1: 0, 2: 3}  # 4,5 unreachable → absent
+
+    bad = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    import pytest as _pt
+    with _pt.raises(Exception, match="negative edge weight"):
+        shortest_paths(bad, [1]).collect()

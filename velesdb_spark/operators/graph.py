@@ -565,3 +565,58 @@ def _match_where(cond, resolve, tr) -> Column:
                              F.array(*[F.lit(float(x)) for x in vec]), "cosine")
         return similarity_passes(score, cond.op, cond.threshold, "cosine")
     raise ValueError(f"unsupported MATCH WHERE condition: {cond!r}")
+
+
+def shortest_paths(edges: DataFrame, start_ids: Sequence[int],
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "w", max_iter: int = 50) -> DataFrame:
+    """Weighted single/multi-source shortest-path distances → (id, dist)
+    via frontier Bellman-Ford: each round relaxes only edges leaving
+    nodes whose distance IMPROVED last round (the delta-frontier form),
+    so work tracks the wavefront, not |E|·rounds. Headroom beyond the
+    reference's unweighted BFS (streaming.rs BfsIterator): the weighted
+    twin for dependency/link graphs.
+
+    Per round: one equi-join of the (shrinking) frontier with the edge
+    list on src, one map-combinable min per dst, one join against the
+    settled table to keep strict improvements. Distances over integer
+    weights are exact int64 — any engine re-deriving the relaxation
+    fixpoint (e.g. a bounded recursive CTE) matches bit-for-bit.
+    Negative weights are rejected (termination contract); localCheckpoint
+    every 4th round cuts the growing lineage like bfs/pagerank. Sources
+    are emitted at dist 0; unreachable nodes are absent.
+    """
+    spark = edges.sparkSession
+    w_checked = F.when(
+        F.col(weight).cast("long") < 0,
+        F.raise_error(F.lit("shortest_paths: negative edge weight"))
+    ).otherwise(F.col(weight).cast("long"))
+    e = (edges.select(F.col(src).cast("long").alias("_s"),
+                      F.col(dst).cast("long").alias("_d"),
+                      w_checked.alias("_w"))
+         .filter(F.col("_s") != F.col("_d")))
+    dist = spark.createDataFrame(
+        [(int(i), 0) for i in start_ids], "id bigint, dist bigint")
+    frontier = dist
+    for rnd in range(max_iter):
+        cand = (frontier.join(e, frontier["id"] == e["_s"])
+                .groupBy(F.col("_d").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("_w")).alias("_nd")))
+        improved = (cand.join(dist, "id", "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("_nd") < F.col("dist")))
+                    .select("id", F.col("_nd").alias("dist")))
+        if improved.limit(1).count() == 0:
+            break
+        dist = (dist.join(improved.select(F.col("id").alias("_iid")),
+                          F.col("id") == F.col("_iid"), "left_anti")
+                .unionByName(improved))
+        frontier = improved
+        if rnd % 4 == 3:
+            dist = dist.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    else:
+        raise ValueError(
+            f"shortest_paths did not settle within max_iter={max_iter} "
+            "rounds — negative cycle, or raise max_iter")
+    return dist
