@@ -2349,6 +2349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_retention"] = _events_retention
 
+    # Zipf-law fit (text_analysis.zipf_slope composing stats.linreg):
+    # OLS of ln(freq) on ln(rank) over the top-200 token table — the
+    # corpus naturalness diagnostic. ln of exact counts, ≤200-point
+    # moment sums → round(…,6) far above the drift floor.
+    def _zipf_slope(s, d):
+        from velesdb_spark.functions.text_analysis import zipf_slope
+
+        out = zipf_slope(_t(s, d, "documents"), "text", top_n=200)
+        return out.select(
+            F.col("n").cast("long").alias("n"),
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            F.round("r2", 6).alias("r2"))
+
+    q["zipf_slope"] = _zipf_slope
+
     # top-k-per-group selection (window headroom, SURVEY §2.5): best 3 docs
     # per language by quality score — the curation primitive for keeping
     # only the best documents per stratum
@@ -3706,7 +3722,7 @@ _GATE_ORDER = [
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
-    "events_retention", "graph_sssp",
+    "events_retention", "graph_sssp", "zipf_slope",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4741,6 +4757,28 @@ SELECT d.doc_id AS doc_id,
        round(coalesce(a.best * 1.0 / a.total, 0.0), 6) AS top_frac,
        round(coalesce(a.dup * 1.0 / a.total, 0.0), 6) AS dup_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    o["zipf_slope"] = f"""
+WITH freq AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest({words_norm}) AS token FROM documents)
+  GROUP BY token ORDER BY cnt DESC, token LIMIT 200
+), ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY cnt DESC, token)) AS x,
+         ln(cnt) AS y
+  FROM freq
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy) / (n*sxx - sx*sx))
+             / (n*syy - sy*sy), 6) AS r2
+FROM s"""
 
     o["lm_perplexity"] = f"""
 WITH toks AS (

@@ -119,3 +119,37 @@ def test_profile_single_scan_plan(spark):
     df = spark.createDataFrame([(1, "x")], ["a", "b"])
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_zipf_slope_shapes(spark):
+    """A geometric frequency ladder has an exactly-computable slope;
+    a uniform corpus fits slope ~0."""
+    import math
+
+    from velesdb_spark.functions.text_analysis import zipf_slope
+
+    # freq(token_r) = 2^(10-r): ln f = ln(2^10) - r ln 2 over ln rank —
+    # not linear in ln(rank), but monotone negative; check against a
+    # NumPy fit of the same points instead of an analytic form
+    import numpy as np
+
+    rows = []
+    doc = []
+    for r in range(1, 9):
+        doc.extend([f"tok{r}"] * (2 ** (9 - r)))
+    rows.append((0, " ".join(doc)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = zipf_slope(df, top_n=8).collect()[0]
+    xs = np.log(np.arange(1, 9))
+    ys = np.log(np.array([2 ** (9 - r) for r in range(1, 9)], dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert got["n"] == 8
+    assert got["slope"] == pytest.approx(slope, abs=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, abs=1e-9)
+
+    uniform = spark.createDataFrame(
+        [(0, " ".join(f"u{i}" for i in range(50)))], ["doc_id", "text"])
+    flat = zipf_slope(uniform, top_n=50).collect()[0]
+    # all counts equal → ln(freq) constant → slope exactly 0, r2 NULL
+    assert flat["slope"] == pytest.approx(0.0, abs=1e-12)
+    assert flat["r2"] is None

@@ -290,3 +290,35 @@ def top_tokens(df, text_col: str = "text", k: int = 20,
     return (est.select(F.explode("tk").alias("e"))
             .select(F.col("e.item").alias("token"),
                     F.col("e.count").alias("cnt")))
+
+
+def zipf_slope(df, text_col: str = "text", top_n: int = 200):
+    """Zipf-law fit over the corpus frequency table: OLS of ln(freq) on
+    ln(rank) for the ``top_n`` most frequent word tokens — the corpus
+    naturalness/diversity diagnostic (natural language ≈ slope −1;
+    templated or deduplicated-to-death corpora flatten).
+
+    Scale shape: token counts are one map-combinable groupBy; the top-n
+    cut is TakeOrderedAndProject (no full sort); the rank row_number
+    window runs over the ALREADY top_n-bounded rows (the documented
+    bounded-window pattern — never over the open vocabulary); the fit
+    is stats.linreg's single moment-sum aggregate. Returns one row
+    (n, slope, intercept, r, r2).
+
+    Ranking ties break by token text ascending, so rank assignment —
+    and therefore the fit — is engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from .stats import linreg
+
+    freq = (df.select(F.explode(word_tokens(F.col(text_col)))
+                      .alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(int(top_n)))
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))))
+    pts = ranked.select(F.log("rank").alias("x"),
+                        F.log("cnt").alias("y"))
+    return linreg(pts, "x", "y")
