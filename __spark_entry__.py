@@ -2716,9 +2716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # weighted SSSP (operators/graph.py shortest_paths — frontier
     # Bellman-Ford, the weighted twin of BFS): deterministic sparse
-    # arithmetic digraph on supplier keys (≤1000 nodes, ~2% density,
-    # weights 1..9), distances exact int64 so the oracle's bounded
-    # recursive-CTE relaxation fixpoint matches bit-for-bit.
+    # arithmetic digraph on supplier keys (≤1000 nodes, 4% density,
+    # weights 1..9; Dijkstra-verified max 5 shortest-path hops, so the
+    # driver loop settles in ~6 rounds), distances exact int64 so the
+    # oracle's bounded recursive-CTE relaxation fixpoint matches
+    # bit-for-bit.
     def _graph_sssp(s, d):
         from velesdb_spark.operators.graph import shortest_paths
 
@@ -2729,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = (x.crossJoin(y)
              .filter((F.col("src") != F.col("dst"))
                      & ((F.col("src") * 37 + F.col("dst") * 101)
-                        % 1000 < 20))
+                        % 1000 < 40))
              .withColumn("w", (F.col("src") * 7 + F.col("dst") * 13)
                          % 9 + 1))
         return shortest_paths(e, [1]).orderBy("id")
@@ -4057,8 +4059,8 @@ SELECT event_id, user_id,
 FROM events WHERE user_id < 50
 ORDER BY user_id, seq"""
 
-    # bound 100: true max shortest dist on this formula graph is 41 at
-    # 100 nodes / 17 at 1000 (Dijkstra-verified); positive weights mean
+    # bound 100: true max shortest dist on this formula graph is 23 at
+    # 100 nodes / 14 at 1000 (Dijkstra-verified); positive weights mean
     # no shortest path exceeds it, and the bound caps the recursion at
     # |nodes|×100 (id, dist) pairs so the CTE terminates fast
     o["graph_sssp"] = """
@@ -4068,7 +4070,7 @@ WITH RECURSIVE n AS (
   SELECT a.id AS src, b.id AS dst,
          (a.id * 7 + b.id * 13) % 9 + 1 AS w
   FROM n a, n b
-  WHERE a.id <> b.id AND (a.id * 37 + b.id * 101) % 1000 < 20
+  WHERE a.id <> b.id AND (a.id * 37 + b.id * 101) % 1000 < 40
 ), walk(id, dist) AS (
   SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
   UNION

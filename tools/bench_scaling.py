@@ -42,7 +42,9 @@ QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
            # vocab-bounded count tables + equi-join scoring, dsir = lm
            # twice + id join, dhash pairs = mapInPandas decode + banded
            # equi-join on 16-bit keys
-           "lm_perplexity", "dsir_logratio", "media_dhash_pairs"]
+           "lm_perplexity", "dsir_logratio", "media_dhash_pairs",
+           "events_retention", "graph_sssp", "zipf_slope",
+           "table_profile"]
 
 
 def main():
@@ -116,9 +118,27 @@ def main():
         docs = s.read.parquet(f"{d}/documents.parquet")
         return _rs(docs, "text", "doc_id")
 
+    def lm_force(s, d):
+        # a bare count() of the left-joined score output lets Catalyst
+        # ELIMINATE the whole scoring plan (join elimination: counting a
+        # left join needs only the left side) — aggregate the score
+        # columns so the models actually compute
+        from pyspark.sql import functions as _F
+
+        return qs["lm_perplexity"](s, d).agg(_F.sum("avg_nll"),
+                                             _F.sum("n_bigrams"))
+
+    def dsir_force(s, d):
+        from pyspark.sql import functions as _F
+
+        return qs["dsir_logratio"](s, d).agg(_F.sum("log_ratio"),
+                                             _F.sum("n_bigrams"))
+
     CUSTOM = {"decontam_fixed_eval": (decontam_fixed_eval, "count"),
               "epoch_shuffle": (epoch_shuffle_q, "count"),
-              "repetition_stats": (repetition_q, "count")}
+              "repetition_stats": (repetition_q, "count"),
+              "lm_perplexity": (lm_force, "collect"),
+              "dsir_logratio": (dsir_force, "collect")}
 
     def ngram_zipf(s, d):
         # the dedup regime (t=0.6) on the open-vocab corpus, NOT the
@@ -151,13 +171,12 @@ def main():
             fn, action = CUSTOM[name]
             t_small = best_of(fn, ds, action=action)
             t_big = best_of(fn, db, action=action)
-        elif name in ("correlated_subquery", "lm_perplexity",
-                      "dsir_logratio"):
-            # these results SCALE with the data (correlated_subquery:
-            # 1.8M rows at sf1, 18M at sf10; the lm scores: one row per
-            # document): collect() would measure driver serialization,
-            # not the joins/aggregates — count() runs the same plan
-            # without shipping the rows
+        elif name == "correlated_subquery":
+            # the tagged-union result SCALES with the data (1.8M rows at
+            # sf1, 18M at sf10): collect() would measure driver
+            # serialization, not the decorrelated joins — count() runs
+            # the same plan (the union's inner/semi joins are
+            # cardinality-bearing, so count cannot eliminate them)
             t_small = best_of(qs[name], ds, action="count")
             t_big = best_of(qs[name], db, action="count")
         else:
