@@ -168,3 +168,35 @@ def test_dsir_resample_lo_hi_guard(spark, docs_df):
 
     with pytest.raises(ValueError, match="lo < hi"):
         dsir_resample(docs_df, docs_df, 3, lo=1.0, hi=1.0)
+
+
+def test_counts_merge_to_full_model(spark, docs_df):
+    """The count table is a mergeable sketch: disjoint halves merged ==
+    training on the whole corpus — through to identical perplexities."""
+    from velesdb_spark.functions.lm import (merge_bigram_counts,
+                                            model_from_counts,
+                                            perplexity,
+                                            train_bigram_counts)
+
+    h1 = docs_df.filter("doc_id < 3")
+    h2 = docs_df.filter("doc_id >= 3")
+    merged = merge_bigram_counts(train_bigram_counts(h1),
+                                 train_bigram_counts(h2))
+    full = train_bigram_counts(docs_df)
+    key = lambda r: (r[0], r[1] or "", r[2])  # noqa: E731 — NULL-safe sort
+    assert (sorted(map(tuple, merged.collect()), key=key)
+            == sorted(map(tuple, full.collect()), key=key))
+    got_m = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+             for r in perplexity(docs_df,
+                                 *model_from_counts(merged)).collect()}
+    got_f = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+             for r in perplexity(docs_df,
+                                 *model_from_counts(full)).collect()}
+    assert got_m == got_f
+
+
+def test_merge_guard():
+    from velesdb_spark.functions.lm import merge_bigram_counts
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_bigram_counts()

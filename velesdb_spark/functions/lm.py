@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text_analysis import word_tokens
 
-__all__ = ["train_bigram_lm", "perplexity", "perplexity_self",
-           "dsir_log_ratio", "dsir_resample"]
+__all__ = ["train_bigram_counts", "merge_bigram_counts",
+           "model_from_counts", "train_bigram_lm", "perplexity",
+           "perplexity_self", "dsir_log_ratio", "dsir_resample"]
 
 _BIGRAMS = "_lm_bigrams"
 
@@ -49,6 +50,66 @@ def _with_bigrams(df: DataFrame, text_col: str) -> DataFrame:
                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return df.withColumn(_BIGRAMS, pairs)
+
+
+def train_bigram_counts(corpus: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """The LM model as ONE mergeable count table: (w1, w2, c12) rows
+    where w2 IS NULL rows are unigram-presence markers (c12 = unigram
+    count) and w2 NOT NULL rows are bigram counts.
+
+    ONE tokenize+explode pass produces both: unigrams ride along as
+    (w1, NULL) markers through the same groupBy, so bigram counts /
+    context counts / vocabulary all hang off ONE exchange that AQE's
+    stage reuse dedupes inside the scoring plan — the corpus is scanned
+    and regex-tokenized once for training, not three times (measured
+    49s → ~33s at 500k docs).
+
+    The table is a MERGEABLE SKETCH: counts from disjoint corpus slices
+    union+sum to exactly the full-corpus model (unigram markers make
+    the vocabulary mergeable too — a distinct count would not be), so
+    incremental ingest appends a per-batch count table and compacts by
+    merge_bigram_counts — the IncrementalBm25Index discipline.
+    """
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    unis = F.transform(
+        toks, lambda t: F.struct(t.alias("w1"),
+                                 F.lit(None).cast("string").alias("w2")))
+    bigs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (corpus
+            .select(F.explode(F.concat(unis, bigs)).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+
+
+def merge_bigram_counts(*count_tables: DataFrame) -> DataFrame:
+    """Merge count tables from disjoint corpus slices (associative and
+    commutative — counts are additive, vocabulary markers union)."""
+    if not count_tables:
+        raise ValueError("need at least one count table")
+    merged = count_tables[0]
+    for t in count_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
+
+
+def model_from_counts(counts: DataFrame,
+                      ) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, context_counts, vocab) views over one count
+    table — all vocab-bounded, all hanging off the table's single
+    aggregation exchange."""
+    bigram_counts = counts.filter(F.col("w2").isNotNull())
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"))
+    # distinct unigrams = the (w1, NULL) marker groups
+    vocab = (counts.filter(F.col("w2").isNull())
+             .agg(F.count("*").alias("v")))
+    return bigram_counts, context_counts, vocab
 
 
 def train_bigram_lm(corpus: DataFrame, text_col: str = "text",
@@ -67,33 +128,7 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text",
     times each token appears, so the model stays broadcastable long
     after the corpus stops fitting anywhere.
     """
-    # ONE tokenize+explode pass for bigrams AND vocabulary: unigrams
-    # ride along as (w1, NULL) markers through the same groupBy, so
-    # bigram_counts / context_counts / vocab all hang off ONE exchange
-    # that Catalyst's ReuseExchange dedupes inside the scoring plan —
-    # the corpus is scanned and regex-tokenized once for training, not
-    # three times (measured 49s → ~33s at 500k docs).
-    toks = word_tokens(F.col(text_col))
-    n = F.size(toks)
-    unis = F.transform(
-        toks, lambda t: F.struct(t.alias("w1"),
-                                 F.lit(None).cast("string").alias("w2")))
-    bigs = F.when(
-        n >= 2,
-        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    counts = (corpus
-              .select(F.explode(F.concat(unis, bigs)).alias("p"))
-              .select("p.w1", "p.w2")
-              .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
-    bigram_counts = counts.filter(F.col("w2").isNotNull())
-    context_counts = bigram_counts.groupBy("w1").agg(
-        F.sum("c12").alias("c1"))
-    # distinct unigrams = the (w1, NULL) groups of the same count table
-    vocab = (counts.filter(F.col("w2").isNull())
-             .agg(F.count("*").alias("v")))
-    return bigram_counts, context_counts, vocab
+    return model_from_counts(train_bigram_counts(corpus, text_col))
 
 
 def perplexity(score_df: DataFrame, bigram_counts: DataFrame,
