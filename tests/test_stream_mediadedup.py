@@ -111,3 +111,24 @@ def test_guards(spark, tmp_path):
         _mk(spark, tmp_path, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="divide 64"):
         _mk(spark, tmp_path, n_bands=5)
+
+
+def test_compact_preserves_accept_state(spark, tmp_path):
+    import os
+
+    store = _mk(spark, tmp_path)
+    far = _find_far_seed(3)
+    store.process_batch(_img_df(spark, [(1, 3)]), 0)
+    store.process_batch(_img_df(spark, [(2, far)]), 1)
+    before = sorted((r.doc_id, r.dhash) for r in store.accepted().collect())
+    n_files_before = len([f for f in os.listdir(f"{store.root}/bands")
+                          if f.endswith(".parquet")])
+    store.compact()
+    after = sorted((r.doc_id, r.dhash) for r in store.accepted().collect())
+    n_files_after = len([f for f in os.listdir(f"{store.root}/bands")
+                         if f.endswith(".parquet")])
+    assert before == after
+    assert n_files_after <= n_files_before
+    # rejection still works against the compacted store
+    out = store.process_batch(_img_df(spark, [(10, 3)]), 2)
+    assert out.count() == 0

@@ -125,6 +125,25 @@ class StreamingDHashStore:
                             F.col("_h").alias("dhash")).distinct())
 
 
+    def compact(self) -> "StreamingDHashStore":
+        """Fold the per-batch band segments into one consolidated
+        segment — file-count hygiene for long-running streams (the
+        StreamingNearDupStore.compact discipline: single-writer, call
+        between drains; the swap is two local renames, an object-store
+        deployment would commit via manifest)."""
+        import shutil
+
+        path = f"{self.root}/bands"
+        df = self.band_store()
+        tmp = path + ".compacting"
+        df.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return self
+
+
 def stream_images_into_dhash(media_stream: DataFrame,
                              store: StreamingDHashStore,
                              checkpoint: str, timeout_s: int = 600):
