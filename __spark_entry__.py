@@ -2837,6 +2837,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_logratio"] = _dsir_logratio
 
+    # DSIR importance RESAMPLE, end-to-end gated: the same two-model
+    # log-ratio quantized (round(…,6) first — drift can't flip a
+    # bucket) into 1..64 integer weights over the fixed [-50,50] clip,
+    # drawn through the md5 max-of-w-hashes Efraimidis–Spirakis key —
+    # the selected SET and ORDER reproduce bit-for-bit cross-engine.
+    def _dsir_resample(s, d):
+        from velesdb_spark.functions.lm import dsir_resample
+
+        docs = _t(s, d, "documents")
+        out = dsir_resample(docs, docs.filter(F.col("lang") == "en"),
+                            25, lo=-50.0, hi=50.0)
+        return out.select("doc_id", F.col("_w").alias("w"),
+                          F.col("_wkey").alias("wkey"))
+
+    q["dsir_resample"] = _dsir_resample
+
     # Single-pass sufficient-statistics OLS (functions/stats.py): per-
     # language regression of token_count on n_chars. ONE combinable
     # aggregate collects exact-int64 moment sums; slope/intercept/r/R²
@@ -3724,7 +3740,7 @@ _GATE_ORDER = [
     "lm_perplexity", "media_dhash", "media_dhash_pairs",
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
-    "events_retention", "graph_sssp", "zipf_slope",
+    "events_retention", "graph_sssp", "zipf_slope", "dsir_resample",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4850,6 +4866,29 @@ SELECT d.doc_id AS doc_id,
        CAST(coalesce(a.n, 0) AS INT) AS n_bigrams,
        round(coalesce(a.s, 0.0), 4) AS log_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # dsir_resample = the same two-model log-ratio, round(…,6)-quantized
+    # into 1..64 integer weights over the fixed [-50, 50] clip, drawn
+    # through the weighted_sample max-of-w-hashes key (seed 'dsir')
+    _dsir_head = o["dsir_logratio"].rsplit(
+        "SELECT d.doc_id AS doc_id", 1)[0].rstrip()
+    o["dsir_resample"] = _dsir_head + """, lr AS (
+  SELECT d.doc_id, round(coalesce(a.s, 0.0), 6) AS lr6
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), wq AS (
+  SELECT doc_id,
+         least(64, 1 + CAST(floor(
+           (least(50.0, greatest(-50.0, lr6)) - (-50.0)) / 100.0 * 63)
+           AS BIGINT)) AS w
+  FROM lr
+), keyed AS (
+  SELECT doc_id, w,
+         list_max([md5('dsir:' || doc_id || ':' || j)
+                   for j in range(1, CAST(w AS INT) + 1)]) AS wkey
+  FROM wq
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, wkey FROM keyed
+ORDER BY wkey DESC, doc_id LIMIT 25"""
 
     o["linreg_docs"] = f"""
 WITH t AS (
