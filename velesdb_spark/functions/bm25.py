@@ -646,15 +646,20 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
     )
     terms = list(counts)
 
-    # tf via size − size(array_remove): ArrayRemove is a plain codegen
-    # expression vs a HigherOrderFunction filter whose lambda evaluates
-    # interpreted per element — ~33% faster on the isolated tf pass at
-    # sf0.1; the full two-pass query is dominated by tokenize+stats so
-    # end-to-end it is within host noise (interleaved A/B, 10 rounds)
+    # tf as a HOF filter count. An ArrayRemove spelling (size −
+    # size(array_remove)) was measured ~33% faster on the ISOLATED tf
+    # pass at sf0.1 but end-to-end the two-pass query is tokenize/
+    # stats-dominated and the interleaved A/B was a wash (mins favored
+    # array_remove, medians-under-load the HOF) — keeping the
+    # allocation-free original.
+    def _eq(term):
+        # single-arg lambda only: a 2-arg lambda would make F.filter
+        # pass the array index as the second argument
+        return lambda x: x == F.lit(term)
+
     for i, t in enumerate(terms):
         base = base.withColumn(
-            f"_tf{i}",
-            F.size("_toks") - F.size(F.array_remove("_toks", t)))
+            f"_tf{i}", F.size(F.filter(F.col("_toks"), _eq(t))))
     base = base.drop("_toks")
 
     stats = base.agg(
