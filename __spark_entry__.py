@@ -2349,6 +2349,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_retention"] = _events_retention
 
+    # Robust outliers (operators/anomaly.py): median/MAD z-scores per
+    # event type. The gate feeds integer CENTS (the tpch_q1 convention)
+    # so every percentile interpolation lands on exact binary fractions
+    # (.5/.25) in BOTH engines and the score is one identical IEEE
+    # division — no tolerance, no boundary risk at the > threshold cut.
+    def _events_anomaly(s, d):
+        from velesdb_spark.operators.anomaly import robust_outliers
+
+        ev = _t(s, d, "events").select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"))
+        out = robust_outliers(ev, "vc", "event_type", threshold=2.5)
+        return (out.select("event_id", "event_type", "vc",
+                           F.round("score", 6).alias("score"))
+                .orderBy("event_id"))
+
+    q["events_anomaly"] = _events_anomaly
+
     # Zipf-law fit (text_analysis.zipf_slope composing stats.linreg):
     # OLS of ln(freq) on ln(rank) over the top-200 token table — the
     # corpus naturalness diagnostic. ln of exact counts, ≤200-point
@@ -3741,6 +3759,7 @@ _GATE_ORDER = [
     "case_insensitive_exec", "special_chars_literal", "dsir_logratio",
     "union_where", "linreg_docs", "table_profile", "stream_dhash_ingest",
     "events_retention", "graph_sssp", "zipf_slope", "dsir_resample",
+    "events_anomaly",
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
@@ -4095,6 +4114,26 @@ WITH RECURSIVE n AS (
   WHERE walk.dist + e.w < 100
 )
 SELECT id, min(dist) AS dist FROM walk GROUP BY id ORDER BY id"""
+
+    o["events_anomaly"] = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med FROM ev GROUP BY 1
+), ad AS (
+  SELECT e.event_id, e.event_type, e.vc, abs(e.vc - m.med) AS ad
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM ad GROUP BY 1
+)
+SELECT a.event_id, a.event_type, a.vc,
+       CASE WHEN m.mad > 0 THEN round(a.ad / m.mad, 6)
+            ELSE CAST('inf' AS DOUBLE) END AS score
+FROM ad a JOIN mad m USING (event_type)
+WHERE CASE WHEN m.mad > 0 THEN a.ad / m.mad > 2.5 ELSE a.ad > 0 END
+ORDER BY a.event_id"""
 
     o["events_retention"] = """
 WITH act AS (

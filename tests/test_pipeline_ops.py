@@ -442,3 +442,37 @@ def test_cohort_retention_guard(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive"):
         cohort_retention(df, bucket_us=0)
+
+
+def test_robust_outliers_manual(spark):
+    from velesdb_spark.operators.anomaly import robust_outliers
+
+    rows = ([("a", i, float(10 + (i % 3))) for i in range(9)]
+            + [("a", 99, 50.0),           # obvious outlier
+               ("b", 200, 5.0), ("b", 201, 5.0), ("b", 202, 5.0)])
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r.id: r.score
+           for r in robust_outliers(df, "v", "g", threshold=3.0)
+           .collect()}
+    assert 99 in got and got[99] > 3.0
+    assert all(i not in got for i in range(9))
+    # constant group: no anomalies
+    assert all(i not in got for i in (200, 201, 202))
+
+
+def test_robust_outliers_mad_zero_flags_any_deviation(spark):
+    from velesdb_spark.operators.anomaly import robust_outliers
+
+    rows = [("c", i, 7.0) for i in range(5)] + [("c", 9, 7.5)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = [r.id for r in robust_outliers(df, "v", "g").collect()]
+    assert got == [9]  # MAD 0, one deviating value → flagged (inf score)
+
+
+def test_robust_outliers_guard(spark):
+    from velesdb_spark.operators.anomaly import robust_outliers
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id long, v double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        robust_outliers(df, "v", "g", threshold=0)
