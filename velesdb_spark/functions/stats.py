@@ -105,8 +105,11 @@ def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
     the native type (so numeric columns order numerically).
 
     ``approx_distinct=True`` swaps count_distinct for the HLL sketch —
-    the 100 TB spelling (exact distinct of a high-cardinality column
-    shuffles the value set; the sketch is constant-size per column).
+    the 100 TB spelling twice over: exact distinct of a high-cardinality
+    column shuffles the value set, AND multiple count_distinct in one
+    aggregate compile to an Expand that multiplies scan rows by the
+    number of profiled columns; the HLL sketches are constant-size and
+    Expand-free.
     """
     cols = list(columns or df.columns)
     distinct_fn = (F.approx_count_distinct if approx_distinct

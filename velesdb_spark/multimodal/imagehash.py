@@ -126,7 +126,7 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3,
     ).select(id_col, hash_col, "bv.band", "bv.val")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (a.join(b, [F.col(f"a.band") == F.col("b.band"),
+    pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
                         F.col("a.val") == F.col("b.val"),
                         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
              .select(F.col(f"a.{id_col}").alias("id_a"),
