@@ -124,3 +124,27 @@ def test_near_dups_no_image_bytes_in_shuffle(spark):
     exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert any("band" in ln and "val" in ln for ln in exch)
     assert all("content" not in ln for ln in exch)
+
+
+def test_near_dups_pigeonhole_at_other_band_widths(spark):
+    """8×8-bit bands must give exact recall for hamming ≤ 7; 2×32-bit
+    for hamming ≤ 1 — brute-force differential at each config."""
+    rng = random.Random(21)
+    hashes = {i: rng.getrandbits(64) for i in range(40)}
+    for j, d in [(40, 7), (41, 5), (42, 1)]:
+        v = hashes[j - 40]
+        for b in rng.sample(range(64), d):
+            v ^= 1 << b
+        hashes[j] = v
+    rows = [(i, v - (1 << 64) if v >= 1 << 63 else v)
+            for i, v in hashes.items()]
+    df = spark.createDataFrame(rows, "id long, dhash long")
+    for n_bands, max_h in ((8, 7), (2, 1)):
+        got = sorted((r["id_a"], r["id_b"], r["hamming"])
+                     for r in dhash_near_dups(
+                         df, max_hamming=max_h, n_bands=n_bands).collect())
+        want = sorted(
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a, b in itertools.combinations(sorted(hashes), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= max_h)
+        assert got == want, (n_bands, max_h)
