@@ -200,3 +200,27 @@ def test_merge_guard():
 
     with pytest.raises(ValueError, match="at least one"):
         merge_bigram_counts()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["the", "cat", "dog", "sat", "ran", "mat", "sun", "big"]
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+                min_size=1, max_size=6),
+       st.sampled_from([1.0, 0.5, 2.0]))
+def test_perplexity_property_vs_naive(spark, corpora, k):
+    """Randomized corpora: distributed scores == the pure-Python model
+    for every doc, any k — the hypothesis twin of the fixed cases."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+           for r in perplexity_self(df, k=k).collect()}
+    want = _naive([t for _, t in rows], rows, k=k)
+    for i, (n, nll, _) in want.items():
+        assert got[i][0] == n, (i, corpora)
+        assert got[i][1] == pytest.approx(nll, abs=1e-9), (i, corpora)
