@@ -4021,8 +4021,8 @@ ORDER BY nation, o_year DESC"""
     o["tpch_q11"] = """
 WITH per_part AS (
   SELECT l_partkey,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(l_quantity AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -4215,10 +4215,10 @@ ORDER BY supp_region, cust_region, yr"""
 
     o["tpch_q12"] = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -5978,7 +5978,8 @@ WITH agg AS (
   SELECT event_type AS g,
          time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
          COUNT(*) AS n,
-         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
          AVG(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE))
            AS avg_cents
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
@@ -6115,7 +6116,8 @@ WITH n AS (
   WHERE CAST(('0x' || substr(md5('tokmix:' || d.doc_id), 1, 6)) AS BIGINT)
         % 10000 < r.bp
 )
-SELECT lang, count(*) AS n_kept, SUM(n_chars) AS chars_kept
+SELECT lang, count(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM kept GROUP BY lang ORDER BY lang"""
 
     # the two-phase salted cap must equal the textbook single window

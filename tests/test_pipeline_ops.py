@@ -476,3 +476,17 @@ def test_robust_outliers_guard(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive"):
         robust_outliers(df, "v", "g", threshold=0)
+
+def test_make_mixture_weighted_all_null_stratum(spark):
+    """A targeted stratum whose weights are all NULL must raise the
+    intended 'no servable weight' error, not TypeError on None."""
+    import pytest
+
+    from velesdb_spark.functions.mixture import make_mixture_weighted
+
+    df = spark.createDataFrame(
+        [("en", 1, 100), ("en", 2, 300), ("fr", 3, None), ("fr", 4, None)],
+        "lang string, doc_id long, n_chars long")
+    with pytest.raises(ValueError):
+        make_mixture_weighted(df, "lang", {"en": 0.5, "fr": 0.5},
+                              "n_chars", id_col="doc_id")

@@ -153,3 +153,16 @@ def test_zipf_slope_shapes(spark):
     # all counts equal → ln(freq) constant → slope exactly 0, r2 NULL
     assert flat["slope"] == pytest.approx(0.0, abs=1e-12)
     assert flat["r2"] is None
+
+def test_profile_dotted_column_name(spark):
+    """A legal top-level column name containing a dot must profile
+    correctly (backtick-quoted read-back, not struct re-parse)."""
+    from velesdb_spark.functions.stats import profile
+
+    df = spark.createDataFrame([(1, "x"), (2, None), (2, "y")]) \
+        .toDF("a.b", "c")
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert got["a.b"]["n"] == 3
+    assert got["a.b"]["n_null"] == 0
+    assert got["a.b"]["n_distinct"] == 2
+    assert got["c"]["n_null"] == 1

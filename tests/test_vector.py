@@ -416,3 +416,39 @@ def test_path_scorer_reference_semantics(spark):
             3: ab.score_rel_types(["A", "X", "B"])}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+def test_path_scorer_clamps_to_unit_interval(spark):
+    """Reference score_fusion.rs clamps every final score to [0, 1]:
+    weights > 1.0 must not push score_rel_types/score_length (or the
+    distributed rel_weight_col form) past 1.0."""
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.functions.fusion import PathScorer
+
+    hot = PathScorer(decay=1.0).with_rel_weight("BOOST", 5.0)
+    assert hot.score_rel_types(["BOOST"]) == 1.0
+    assert hot.score_path([(1, 2, "BOOST"), (2, 3, "BOOST")]) == 1.0
+    dflt = PathScorer(decay=1.0).with_default_weight(3.0)
+    assert dflt.score_rel_types(["ANY"]) == 1.0
+    assert PathScorer(decay=1.0).score_length(0) == 1.0
+    df = spark.createDataFrame([(1, ["BOOST", "BOOST"]), (2, [])],
+                               "id long, rels array<string>")
+    got = {r.id: r.s for r in df.select(
+        "id", hot.rel_weight_col(F.col("rels")).alias("s")).collect()}
+    assert got == {1: 1.0, 2: 1.0}, got
+
+
+def test_mmr_first_pick_quantized(spark):
+    """The 9-decimal determinism quantization applies to iteration 1
+    too: two candidates whose relevance differs only past the 9th
+    decimal tie, and the ascending-id break picks the lower id."""
+    from velesdb_spark.functions.fusion import mmr_rerank
+
+    q = [1.0, 0.0]
+    # id 5 is a last-ulp hair MORE relevant than id 2; after round(., 9)
+    # they tie, so id 2 must win rank 1
+    rows = [(5, [1.0, 1e-10]), (2, [1.0, 0.0]), (9, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(emb, q, k=2, pool=3, lam=0.7)
+    got = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert got[0] == 2, got

@@ -275,7 +275,10 @@ def mmr_rerank(emb: DataFrame, query_vec, k: int = 5, pool: int = 40,
     max_sim = np.full(len(cand), -np.inf)
     for _ in range(min(k, len(cand))):
         if not selected:
-            score = rel
+            # quantize the pure-relevance first pick too: the determinism
+            # contract must hold for iteration 1, where a last-ulp rel
+            # difference would otherwise flip the whole greedy sequence
+            score = np.round(rel, 9)
         else:
             score = np.round(lam * rel - (1.0 - lam) * max_sim, 9)
         best, best_key = None, None
@@ -334,14 +337,16 @@ class PathScorer:
         for i, rel in enumerate(rel_types, start=1):
             w = self.rel_type_weights.get(rel, self.default_weight)
             score *= (self.distance_decay ** i) * w
-        return score
+        # reference clamps every final score (score_fusion.rs applies
+        # clamp(0.0, 1.0)); weights > 1.0 would otherwise overshoot
+        return min(max(score, 0.0), 1.0)
 
     def score_path(self, path) -> float:
         """path = [(src, dst, rel_type), ...]; [] = direct match = 1.0."""
         return self.score_rel_types([rel for _, _, rel in path])
 
     def score_length(self, n_hops: int) -> float:
-        return self.distance_decay ** n_hops
+        return min(max(self.distance_decay ** n_hops, 0.0), 1.0)
 
     def rel_weight_col(self, rel_types_col) -> "F.Column":
         """Distributed score_rel_types over an ARRAY<STRING> column."""
@@ -361,4 +366,6 @@ class PathScorer:
 
         init = F.struct(F.lit(1.0).alias("s"), F.lit(0).cast("int")
                         .alias("i"))
-        return F.aggregate(rel_types_col, init, step)["s"]
+        raw = F.aggregate(rel_types_col, init, step)["s"]
+        # same clamp(0.0, 1.0) as the scalar forms / score_fusion.rs
+        return F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))

@@ -87,9 +87,13 @@ def make_mixture_weighted(df: DataFrame, stratum_col: str,
     be non-negative integers (int64 sums are exact cross-engine;
     float weight sums would make the basis-point rates
     addition-order-dependent)."""
+    # coalesce: a stratum whose weights are all NULL sums to NULL, which
+    # must read as "no servable weight" (0) so mixture_rates raises the
+    # intended targeted-stratum-empty error instead of a TypeError
     weights = {r[0]: r[1] for r in
                df.groupBy(stratum_col)
-               .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+               .agg(F.coalesce(F.sum(F.col(weight_col).cast("long")),
+                               F.lit(0)).alias("w"))
                .collect()}
     rates = mixture_rates(weights, targets)
     return _apply_rates(df, stratum_col, rates, id_col, seed)

@@ -121,8 +121,15 @@ class StreamingDHashStore:
         keep = bands.join(hits, "_id", "left_anti") \
             .withColumn("batch_id", F.lit(int(batch_id)))
         keep.write.mode("append").parquet(f"{self.root}/bands")
-        return (keep.select(F.col("_id").alias(self.id_col),
-                            F.col("_h").alias("dhash")).distinct())
+        # materialize before returning: the lazy plan would re-run the
+        # full decode+join pipeline on every later action AND pin the
+        # pre-append parquet file-index snapshot — after compact()
+        # renames the bands dir, actions on it would throw
+        # FileNotFoundException. localCheckpoint severs both hazards.
+        out = (keep.select(F.col("_id").alias(self.id_col),
+                           F.col("_h").alias("dhash")).distinct()
+               .localCheckpoint(eager=True))
+        return out
 
 
     def compact(self) -> "StreamingDHashStore":
