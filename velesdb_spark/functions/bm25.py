@@ -660,7 +660,16 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
     for i, t in enumerate(terms):
         base = base.withColumn(
             f"_tf{i}", F.size(F.filter(F.col("_toks"), _eq(t))))
-    base = base.drop("_toks")
+    # Persist the post-tokenize tf projection: BOTH the corpus-stats
+    # aggregate (broadcast side) and the scoring pass consume it, and
+    # unpersisted the regexp tokenize — the dominant cost — runs twice.
+    # The cached frame is (_doc_id, _dl, _tf*) ints only (text and token
+    # arrays already dropped): ~16+4·|terms| bytes/doc, so at 1B docs it
+    # is tens of GB cluster-wide, comfortably MEMORY_AND_DISK. Registered
+    # with the shared staging registry for harness release.
+    from velesdb_spark.functions.staging import stage
+
+    base = stage(base.drop("_toks"))
 
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl"),

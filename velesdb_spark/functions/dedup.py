@@ -178,15 +178,10 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
 
 
-_STAGED_HANDLES: list[DataFrame] = []
-
-
-def release_staged() -> None:
-    """Unpersist every shingle cache registered by ngram_jaccard_pairs calls
-    that did not take the handle themselves (bench loops / long sessions call
-    this between iterations)."""
-    while _STAGED_HANDLES:
-        _STAGED_HANDLES.pop().unpersist()
+# shared registry (staging.py): bm25's tf projection stages here too, so
+# one release_staged() call frees everything between harness queries
+from velesdb_spark.functions.staging import _HANDLES as _STAGED_HANDLES  # noqa: E402
+from velesdb_spark.functions.staging import release_staged  # noqa: E402,F401
 
 
 AUTO_PREFIX_DF_CUTOFF = 2
