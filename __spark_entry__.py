@@ -2013,16 +2013,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # near-dup CLUSTERING: pair list → connected components (min-label
     # propagation, iterative joins) → (doc, cluster representative); the
-    # keep/drop layer a 100 TB dedup actually needs
+    # keep/drop layer a 100 TB dedup actually needs. Round 9: the gate
+    # runs the REALISTIC curation regime — threshold 0.6 over the full
+    # corpus with planted near-identical copies (suffix-append on the
+    # doc_id<500 subset) so components provably exist; the old 0.2
+    # all-pairs configuration was Σdf²-quadratic on the closed-vocab
+    # corpus (36 min of the sf1 sweep) and is now a pytest-only case
+    # (test_dedup_text.py low-threshold components test).
+    def _cluster_corpus(s, d):
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") < 500).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" cluster dup probe"))
+            .alias("text"))
+        return docs.unionByName(dup)
+
     q["dedup_clusters"] = lambda s, d: dd.connected_components(
-        dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id")) \
+        dd.ngram_jaccard_pairs(_cluster_corpus(s, d), 0.6, "text",
+                               "doc_id")) \
         .select(F.col("id").alias("doc_id"), "cluster_id")
 
     # keep/drop decision layer over the pair generator: every near-dup
     # except its component's min-id representative is dropped (left_anti)
     q["dedup_keep_reps"] = lambda s, d: dd.dedup_keep_representatives(
-        _t(s, d, "documents").select("doc_id"),
-        dd.ngram_jaccard_pairs(_t(s, d, "documents"), 0.2, "text", "doc_id"),
+        _cluster_corpus(s, d).select("doc_id"),
+        dd.ngram_jaccard_pairs(_cluster_corpus(s, d), 0.6, "text",
+                               "doc_id"),
         "doc_id").orderBy("doc_id")
 
     # keep-BEST representatives (round 7): the curation policy real
@@ -2478,7 +2494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted exact-direction duplicates (0.5·v — float-exact scaling,
         # so every sign bit matches and LSH recall is provably 1.0; the
         # DuckDB oracle is the O(N²) brute join on the same augmentation)
-        emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+        # vec_id < 5000: caps the DuckDB brute-force oracle at ~5·10^7
+        # cosines at sf1 (it was 372 s of the full sf1 sweep unbounded);
+        # the LSH side's full-corpus scaling is measured Spark-only in
+        # tools/bench_scaling.py where no quadratic oracle is needed
+        emb = _t(s, d, "embeddings").filter(F.col("vec_id") < 5000) \
+            .select("vec_id", "embedding")
         dup = emb.select(
             (F.col("vec_id") + 100000).alias("vec_id"),
             F.transform("embedding",
@@ -5328,8 +5349,13 @@ SELECT doc_id, md5(
 FROM documents"""
 
     o["dedup_clusters"] = f"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, {words_norm} AS t FROM documents
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' cluster dup probe'
+  FROM documents WHERE doc_id < 500
+), toks AS (
+  SELECT doc_id, {words_norm} AS t FROM aug
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(t) > 0 THEN list_distinct(
@@ -5348,7 +5374,7 @@ pr AS (
   SELECT p.id_a, p.id_b
   FROM cand p JOIN sizes sa ON sa.doc_id = p.id_a
   JOIN sizes sb ON sb.doc_id = p.id_b
-  WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.2
+  WHERE p.inter * 1.0 / (sa.sz + sb.sz - p.inter) >= 0.6
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pr
   UNION SELECT id_b, id_a FROM pr
@@ -5361,7 +5387,12 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 
     o["dedup_keep_reps"] = f"""
-SELECT doc_id FROM documents
+WITH aug_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id < 500
+)
+SELECT doc_id FROM aug_ids
 WHERE doc_id NOT IN (
   SELECT doc_id FROM ({o['dedup_clusters']}) WHERE cluster_id <> doc_id)
 ORDER BY doc_id"""
@@ -5586,11 +5617,11 @@ ORDER BY doc_id"""
 
     o["embedding_near_dups_lsh"] = """
 WITH aug AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5000
   UNION ALL
   SELECT vec_id + 100000,
          list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 5000
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -299,3 +299,86 @@ def test_stream_funnel_tie_semantics(spark, tmp_path):
                                  strict_increase=False), "sfl_")
     assert spark.table(strict).count() == 0
     assert [r.user_id for r in spark.table(loose).collect()] == [7]
+
+def test_stream_asof_buffered_out_of_order_batches(spark, event_rows,
+                                                   tmp_path):
+    """Round-9 verdict #6: SHUFFLED micro-batch arrival. The afternoon
+    file arrives BEFORE the morning file, so eager emission would match
+    afternoon clicks against an empty purchase history; buffered mode
+    holds every left until the watermark (delay covering the full
+    disorder) passes it, and a trailing far-future flush right advances
+    the watermark so the drain still equals the batch as-of join."""
+    from velesdb_spark.operators.asof import asof_join
+
+    left = event_rows.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    right = event_rows.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+
+    tagged = (left.withColumn("_side", F.lit(1))
+              .withColumn("value", F.lit(None).cast("double"))
+              .unionByName(right.withColumn("_side", F.lit(0))))
+    d = str(tmp_path / "tagged_ooo")
+    os.makedirs(d)
+    cutoff = "2024-01-01 12:00:00"
+    # b0 = AFTERNOON, b1 = MORNING: lexicographic file order inverts
+    # event-time order across the two micro-batches
+    for i, part in enumerate((tagged.filter(F.col("ts") >= cutoff),
+                              tagged.filter(F.col("ts") < cutoff))):
+        _stage_single_file(part, tmp_path / f"wo{i}", f"{d}/b{i}.parquet")
+    # flush sentinel: one far-future right on an unused key pushes the
+    # global watermark past every real left (heartbeat pattern)
+    # sentinel ts minus the 25h delay must clear the max real event
+    # time (2024-01-01 23:59) or trailing lefts stay pending
+    sent = spark.createDataFrame(
+        [(999_999, "2024-01-05 00:00:00", 10**6, None, 0)],
+        "event_id bigint, ts_s string, user_id bigint, value double, "
+        "_side int").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "value", "_side")
+    _stage_single_file(sent, tmp_path / "wo_s", f"{d}/b2_flush.parquet")
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "value double, _side int")
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    # watermark must cover the disorder: the morning file arrives a
+    # full day of event time behind the afternoon max
+    out = stream_asof_join(stream, watermark="25 hours")
+    name = _drain(out, "sasof_ooo_")
+    got = {r.l_id: (r.u_key, r.l_ts_us, r.r_ts_us, r.r_val)
+           for r in spark.table(name).collect()}
+    want_df = asof_join(left, right.select("user_id", "ts", "value"),
+                        on="ts", by="user_id")
+    want = {r.event_id: (r.user_id, _us(r.ts), _us(r.ts_right),
+                         r.value_right)
+            for r in want_df.collect()}
+    assert got == want and len(got) == left.count()
+
+
+def test_stream_asof_eager_mode_still_available(spark, event_rows,
+                                                tmp_path):
+    """mode='eager' keeps the round-8 time-ordered contract."""
+    from velesdb_spark.operators.asof import asof_join
+
+    left = event_rows.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    right = event_rows.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+    tagged = (left.withColumn("_side", F.lit(1))
+              .withColumn("value", F.lit(None).cast("double"))
+              .unionByName(right.withColumn("_side", F.lit(0))))
+    d = str(tmp_path / "tagged_eager")
+    os.makedirs(d)
+    _stage_single_file(tagged, tmp_path / "we0", f"{d}/b0.parquet")
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "value double, _side int")
+    stream = spark.readStream.schema(sch).parquet(d)
+    out = stream_asof_join(stream, mode="eager")
+    name = _drain(out, "sasof_eager_")
+    got = {r.l_id: (r.r_ts_us, r.r_val)
+           for r in spark.table(name).collect()}
+    want_df = asof_join(left, right.select("user_id", "ts", "value"),
+                        on="ts", by="user_id")
+    want = {r.event_id: (_us(r.ts_right), r.value_right)
+            for r in want_df.collect()}
+    assert got == want

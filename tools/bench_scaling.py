@@ -44,13 +44,28 @@ QUERIES = ["correlated_subquery", "bm25_topk", "hybrid_rrf",
            # equi-join on 16-bit keys
            "lm_perplexity", "dsir_logratio", "media_dhash_pairs",
            "events_retention", "graph_sssp", "zipf_slope",
-           "table_profile"]
+           "table_profile",
+           # round-9: the heavy dedup/text family in the realistic
+           # curation regime (verdict r8 task 4) — cluster/keep-reps at
+           # threshold 0.6 with planted dups, full-corpus banded LSH
+           # embedding near-dup (Spark-only; the gate caps its corpus
+           # for the quadratic DuckDB oracle, not for Spark), trigram
+           # fuzzy ranked search, and the two-micro-batch streaming
+           # near-dup ingest over the full corpus
+           "dedup_clusters", "dedup_keep_reps",
+           "embedding_near_dups_lsh_full", "fuzzy_trigram",
+           "stream_neardup_full"]
 
 
 def main():
     args = sys.argv[1:]
     out_json, runs = None, 3
     zsmall = zbig = None
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
     for flag in ("--json", "--runs", "--zipf-small", "--zipf-big"):
         if flag in args:
             i = args.index(flag)
@@ -134,11 +149,78 @@ def main():
         return qs["dsir_logratio"](s, d).agg(_F.sum("log_ratio"),
                                              _F.sum("n_bigrams"))
 
+    def clusters_q(s, d):
+        out = qs["dedup_clusters"](s, d)
+        from velesdb_spark.functions import dedup as _dd
+
+        _dd.release_staged()
+        return out
+
+    def keep_reps_q(s, d):
+        out = qs["dedup_keep_reps"](s, d)
+        from velesdb_spark.functions import dedup as _dd
+
+        _dd.release_staged()
+        return out
+
+    def emb_lsh_full(s, d):
+        # FULL corpus (the entry gate caps vec_id < 5000 only to bound
+        # its O(N^2) DuckDB oracle); planted half-scale duplicates as in
+        # the gate, banded hyperplane LSH end to end
+        from pyspark.sql import functions as _F
+
+        from velesdb_spark.functions import dedup as _dd
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        dup = emb.select(
+            (_F.col("vec_id") + 10_000_000).alias("vec_id"),
+            _F.transform("embedding",
+                         lambda x: (x * _F.lit(0.5)).cast("float"))
+            .alias("embedding"))
+        return _dd.embedding_near_dups(
+            emb.unionByName(dup), 0.999, "embedding", "vec_id",
+            method="lsh", dim=64)
+
+    def stream_neardup_full(s, d):
+        # full corpus in two parity micro-batches (the entry gate slices
+        # doc_id < 2000 because per-batch cost, not corpus size, is the
+        # design property — this variant measures the whole drain)
+        import os as _os
+        import tempfile as _tf
+
+        from pyspark.sql import functions as _F
+
+        from velesdb_spark.streaming.events import read_docs_stream
+        from velesdb_spark.streaming.neardup import (
+            StreamingNearDupStore, stream_docs_into_neardup)
+
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+        root = _tf.mkdtemp(prefix="neardup_scale_")
+        stage = f"{root}/stage"
+        _os.makedirs(stage)
+        for i in (0, 1):
+            part = f"{root}/b{i}"
+            docs.filter(_F.col("doc_id") % 2 == i).coalesce(4) \
+                .write.parquet(part)
+            for j, fn in enumerate(sorted(_os.listdir(part))):
+                if fn.endswith(".parquet"):
+                    _os.rename(f"{part}/{fn}", f"{stage}/b{i}_{j}.parquet")
+        store = StreamingNearDupStore(s, f"{root}/store", id_col="doc_id")
+        stream_docs_into_neardup(read_docs_stream(s, stage), store,
+                                 f"{root}/ckpt")
+        return store.accepted()
+
     CUSTOM = {"decontam_fixed_eval": (decontam_fixed_eval, "count"),
               "epoch_shuffle": (epoch_shuffle_q, "count"),
               "repetition_stats": (repetition_q, "count"),
               "lm_perplexity": (lm_force, "collect"),
-              "dsir_logratio": (dsir_force, "collect")}
+              "dsir_logratio": (dsir_force, "collect"),
+              "dedup_clusters": (clusters_q, "count"),
+              "dedup_keep_reps": (keep_reps_q, "count"),
+              "embedding_near_dups_lsh_full": (emb_lsh_full, "count"),
+              "stream_neardup_full": (stream_neardup_full, "count")}
 
     def ngram_zipf(s, d):
         # the dedup regime (t=0.6) on the open-vocab corpus, NOT the
@@ -163,6 +245,8 @@ def main():
            "queries": {}}
     superlinear = []
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         ds, db = dirs_for(name)
         if name == "ngram_jaccard" and zsmall and zbig:
             t_small = best_of(ngram_zipf, ds, action="count")

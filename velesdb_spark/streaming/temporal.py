@@ -8,16 +8,31 @@ forms of point-in-time alignment and windowed event correlation.
   state is bounded by (watermark + window) × arrival rate, not history.
 - ``stream_asof_join``: Spark has no streaming as-of; built on
   ``applyInPandasWithState`` over a union of the two tagged sides,
-  keyed by the grouping column. Per key the state carries the right
-  rows still matchable; each batch is processed in event-time order.
-  EXACTNESS CONTRACT: equals the batch as-of join when arrival is
-  time-ordered across micro-batches (chronological file drops, or any
-  source whose batches don't interleave event time); a right row
-  arriving after a later left row was already emitted cannot
-  retroactively re-match it — the same trade every streaming join makes
-  once results are emitted. State is pruned to the single newest right
-  at-or-before the highest left time seen (it may still be the match
-  for future lefts) plus everything newer.
+  keyed by the grouping column.
+
+  Two modes (round-9 verdict #6 upgraded the default):
+
+  * ``mode="buffered"`` (default): lefts are HELD in state until the
+    event-time watermark passes their timestamp, then matched and
+    emitted — so any right row arriving out of order but within the
+    watermark delay is seen before the left finalizes. EXACTNESS
+    CONTRACT: equals the batch as-of join whenever every row arrives
+    no later than ``watermark`` behind the max event time seen — the
+    same guarantee Spark's own stream-stream outer joins offer.
+    Finalization rides EventTimeTimeout, so the trailing lefts flush
+    in the engine's no-data micro-batch once the watermark catches up
+    (with the default ``watermark="0 seconds"`` an availableNow drain
+    emits every left). Lefts at exactly the final watermark finalize
+    too — a later right with the identical boundary timestamp is the
+    one arrival this mode shares with Spark's own eviction boundary.
+  * ``mode="eager"``: the round-8 behavior — each batch processed in
+    event-time order, lefts emitted immediately. Exact only under
+    time-ordered arrival across micro-batches; lowest latency, no
+    left-side state.
+
+  In both modes right-buffer state is pruned to the single newest
+  right at-or-before the oldest still-relevant probe time plus
+  everything newer.
 """
 
 from __future__ import annotations
@@ -56,7 +71,9 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
 def stream_asof_join(tagged: DataFrame, on: str = "ts",
                      by: str = "user_id", value_col: str = "value",
                      id_col: str = "event_id",
-                     direction: str = "backward") -> DataFrame:
+                     direction: str = "backward",
+                     mode: str = "buffered",
+                     watermark: str = "0 seconds") -> DataFrame:
     """Streaming as-of over a UNIONED tagged stream: input columns
     (by, id_col, on, value_col, _side) with _side 0 = right (reference
     series) and 1 = left (probe). Emits one row per left event:
@@ -65,11 +82,15 @@ def stream_asof_join(tagged: DataFrame, on: str = "ts",
     point-in-time-correct feature-join shape).
 
     applyInPandasWithState, one state per key: parallel arrays of the
-    still-matchable right rows. Batches are sorted by (ts, side) in
-    pandas so same-timestamp rights are visible to lefts, matching the
-    batch operator's DuckDB-ASOF tie semantics."""
+    still-matchable right rows (plus, in buffered mode, the lefts
+    awaiting watermark finalization). Batches are sorted by (ts, side)
+    in pandas so same-timestamp rights are visible to lefts, matching
+    the batch operator's DuckDB-ASOF tie semantics. See the module
+    docstring for the mode/exactness contracts."""
     if direction != "backward":
         raise ValueError("streaming as-of supports backward only")
+    if mode not in ("buffered", "eager"):
+        raise ValueError("mode must be 'buffered' or 'eager'")
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # times emitted as epoch MICROS (long): timestamp round-trips through
@@ -83,6 +104,78 @@ def stream_asof_join(tagged: DataFrame, on: str = "ts",
         StructField("r_val", DoubleType()),
     ])
     state_schema = "rts array<long>, rval array<double>"
+    if mode == "buffered":
+        state_schema += ", lid array<long>, lts array<long>"
+
+    def update_buffered(key, pdfs, state):
+        import bisect
+
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            rts, rval = list(st[0]), list(st[1])
+            lid, lts = list(st[2]), list(st[3])
+        else:
+            rts, rval, lid, lts = [], [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts_us, side, rid, val in zip(
+                        pdf["_ts_us"], pdf["_side"], pdf["_id"],
+                        pdf["_val"]):
+                    ts_us = int(ts_us)
+                    if side == 0:
+                        i = bisect.bisect_right(rts, ts_us)
+                        rts.insert(i, ts_us)
+                        rval.insert(i, val)
+                    else:
+                        lid.append(int(rid))
+                        lts.append(ts_us)
+        # finalize every left the watermark has passed: no right at-or-
+        # before it can still be admitted (late input below the
+        # watermark is filtered by the engine before reaching us)
+        out, keep_id, keep_ts = [], [], []
+        for pid, pts in sorted(zip(lid, lts), key=lambda t: (t[1], t[0])):
+            if pts <= wm_us:
+                i = bisect.bisect_right(rts, pts)
+                if i > 0:
+                    out.append((key[0], pid, pts, rts[i - 1], rval[i - 1]))
+                else:
+                    out.append((key[0], pid, pts, None, None))
+            else:
+                keep_id.append(pid)
+                keep_ts.append(pts)
+        # prune rights below the oldest still-possible probe time:
+        # pending lefts are all > wm, and future admitted rows are
+        # >= wm, so the bound is wm itself (or the oldest pending left
+        # if that is somehow older — belt and braces)
+        bound = min([wm_us] + keep_ts)
+        i = bisect.bisect_right(rts, bound)
+        if i > 1:
+            del rts[:i - 1], rval[:i - 1]
+        if keep_id or rts:
+            state.update((rts, rval, keep_id, keep_ts))
+            if keep_ts:
+                # wake this key once the watermark reaches the oldest
+                # pending left. The engine fires a timeout only when
+                # watermark_ms > timestamp_ms (STRICT), so arm one ms
+                # below the finalization point C = ceil(l_ts_us/1000):
+                # firing then guarantees wm_ms >= C, i.e. wm_us >=
+                # l_ts_us. Clamped to the current watermark (equality
+                # is the earliest the engine accepts).
+                want_ms = -(-min(keep_ts) // 1000) - 1  # ceil us->ms, -1
+                state.setTimeoutTimestamp(
+                    max(want_ms, state.getCurrentWatermarkMs()))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {"u_key": [o[0] for o in out],
+                 "l_id": [o[1] for o in out],
+                 "l_ts_us": [o[2] for o in out],
+                 "r_ts_us": pd.array([o[3] for o in out], dtype="Int64"),
+                 "r_val": [o[4] for o in out]})
 
     def update(key, pdfs, state):
         import bisect
@@ -125,12 +218,23 @@ def stream_asof_join(tagged: DataFrame, on: str = "ts",
                                      dtype="Int64"),
                  "r_val": [o[4] for o in out]})
 
-    prepped = tagged.select(
+    src = tagged
+    if mode == "buffered":
+        src = src.withWatermark(on, watermark)
+    prepped = src.select(
         F.col(by).alias("_key"),
         F.col(id_col).alias("_id"),
         F.unix_micros(F.col(on).cast("timestamp")).alias("_ts_us"),
         F.col("_side"),
-        F.col(value_col).cast("double").alias("_val"))
+        F.col(value_col).cast("double").alias("_val"),
+        # the event-time column itself must survive the projection or
+        # the watermark (and EventTimeTimeout) detaches from the plan
+        *([F.col(on)] if mode == "buffered" else []))
+    if mode == "buffered":
+        return (prepped.groupBy("_key")
+                .applyInPandasWithState(
+                    update_buffered, out_schema, state_schema,
+                    "append", GroupStateTimeout.EventTimeTimeout))
     return (prepped.groupBy("_key")
             .applyInPandasWithState(
                 update, out_schema, state_schema,

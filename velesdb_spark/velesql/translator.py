@@ -378,8 +378,13 @@ class Translator:
                 .agg(*(aggs + having_extra + order_extra)) \
                 if aggs or having_extra or order_extra \
                 else base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_vql_cnt")).drop("_vql_cnt")
-            if s.with_options.get("max_groups"):
-                maxg = int(s.with_options["max_groups"])
+            # group_limit is the reference's alternative spelling of
+            # max_groups (with_options_tests.rs:57-81); max_groups wins
+            # when both are present
+            if s.with_options.get("max_groups") \
+                    or s.with_options.get("group_limit"):
+                maxg = int(s.with_options.get("max_groups")
+                           or s.with_options["group_limit"])
                 n = grouped.count()
                 if n > maxg:
                     raise TranslationError(
