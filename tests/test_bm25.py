@@ -370,3 +370,26 @@ def test_term_filter_reaches_postings_scan(spark, corpus, tmp_path):
     want_scores = [(r.id, round(r._bm25_score, 9))
                    for r in Bm25Index(df).search("rust programming", 5).collect()]
     assert got == want_scores
+
+
+def test_staging_registry_bounded(spark):
+    """The staging registry is LRU-capped at MAX_STAGED: a session
+    issuing many distinct scan-path queries evicts (unpersists) the
+    oldest staged frame instead of accumulating cache entries forever."""
+    from velesdb_spark.functions import staging
+
+    staging.release_staged()
+    frames = []
+    for i in range(staging.MAX_STAGED + 5):
+        # distinct row counts: identical plans canonicalize to ONE
+        # CacheManager entry, which would alias every frame's storageLevel
+        df = spark.range(3 + i)
+        frames.append(df)
+        staging.stage(df)
+    assert staging.staged_count() == staging.MAX_STAGED
+    # the 5 oldest were evicted AND unpersisted; the newest are cached
+    assert all(f.storageLevel.useMemory is False for f in frames[:5])
+    assert frames[-1].storageLevel.useMemory is True
+    staging.release_staged()
+    assert staging.staged_count() == 0
+    assert frames[-1].storageLevel.useMemory is False

@@ -166,3 +166,18 @@ def test_profile_dotted_column_name(spark):
     assert got["a.b"]["n_null"] == 0
     assert got["a.b"]["n_distinct"] == 2
     assert got["c"]["n_null"] == 1
+
+
+def test_profile_backtick_column_name(spark):
+    """A legal column name containing a backtick must profile correctly
+    (embedded backticks doubled in the quoted read-back — an unescaped
+    one terminates the quote and misparses)."""
+    from velesdb_spark.functions.stats import profile
+
+    df = spark.createDataFrame([(1, "x"), (3, "y"), (3, None)]) \
+        .toDF("a`b", "c`")
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert got["a`b"]["n"] == 3
+    assert got["a`b"]["n_distinct"] == 2
+    assert got["a`b"]["min_val"] == "1"
+    assert got["c`"]["n_null"] == 1

@@ -406,6 +406,27 @@ def test_max_groups_guard(catalog):
                   "WITH (max_groups=3)", catalog)
 
 
+def test_max_groups_first_declared_wins(catalog):
+    """extract_max_groups_limit (aggregation.rs:705-713) takes the FIRST
+    of max_groups/group_limit in WITH-option declaration order — here
+    group_limit=3 is declared first and must win over the permissive
+    max_groups=1000000 that follows."""
+    with pytest.raises(TranslationError, match="max_groups=3"):
+        translate("SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey "
+                  "WITH (group_limit=3, max_groups=1000000)", catalog)
+    # reversed declaration order: the permissive key comes first → no error
+    translate("SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey "
+              "WITH (max_groups=1000000, group_limit=3)", catalog)
+
+
+def test_max_groups_zero_clamps_to_one(catalog):
+    """aggregation.rs:710 clamps the parsed value with max(1) — so
+    WITH (max_groups=0) means 'at most 1 group', never 'guard off'."""
+    with pytest.raises(TranslationError, match="max_groups=1"):
+        translate("SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey "
+                  "WITH (max_groups=0)", catalog)
+
+
 def test_in_subquery(catalog, spark):
     """IN (SELECT ...) membership — flag-join translation composes with OR."""
     import duckdb

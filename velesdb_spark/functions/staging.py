@@ -10,20 +10,41 @@ The handles are module-global so a sweep harness (tools/check_entry.py)
 can free executor memory between queries with one release_staged() call;
 within a live session, leaving them cached is the desired behavior — the
 reference amortizes its index builds the same way.
+
+The registry is bounded (MAX_STAGED, default 32): a long-lived session
+issuing many *distinct* scan-path queries evicts (unpersists) the oldest
+handle instead of accumulating one MEMORY_AND_DISK cache entry per query
+string forever. FIFO order is the right LRU proxy here because a handle
+is staged exactly when its query runs; re-running the same query
+re-stages a fresh frame.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+MAX_STAGED = 32
+
 _HANDLES: list[DataFrame] = []
 
 
 def stage(df: DataFrame) -> DataFrame:
-    """Persist df (MEMORY_AND_DISK) and register it for release."""
+    """Persist df (MEMORY_AND_DISK) and register it for release.
+
+    Evicts (unpersists) the oldest staged frame once the registry
+    exceeds MAX_STAGED entries, so unbounded distinct-query workloads
+    cannot grow executor cache without bound.
+    """
     df.persist()
     _HANDLES.append(df)
+    while len(_HANDLES) > MAX_STAGED:
+        _HANDLES.pop(0).unpersist()
     return df
+
+
+def staged_count() -> int:
+    """Number of currently-registered staged frames (for tests/metrics)."""
+    return len(_HANDLES)
 
 
 def release_staged() -> None:

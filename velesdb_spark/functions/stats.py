@@ -115,10 +115,15 @@ def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
     distinct_fn = (F.approx_count_distinct if approx_distinct
                    else F.count_distinct)
     # df[c] / backtick-quoted read-backs: a legal top-level column name
-    # containing a dot must not be re-parsed as struct access
+    # containing a dot must not be re-parsed as struct access; an
+    # embedded backtick (also legal) must be doubled or it terminates
+    # the quote and the read-back misparses
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     aggs = [F.count("*").alias("_n")]
     for c in cols:
-        col = F.col(f"`{c}`")
+        col = F.col(bq(c))
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"_null_{c}"),
             distinct_fn(col).alias(f"_dist_{c}"),
@@ -129,10 +134,10 @@ def profile(df: DataFrame, columns: Optional[Sequence[str]] = None,
     per_col = F.array(*[
         F.struct(F.lit(c).alias("col_name"),
                  F.col("_n").alias("n"),
-                 F.col(f"`_null_{c}`").alias("n_null"),
-                 F.col(f"`_dist_{c}`").alias("n_distinct"),
-                 F.col(f"`_min_{c}`").alias("min_val"),
-                 F.col(f"`_max_{c}`").alias("max_val"))
+                 F.col(bq(f"_null_{c}")).alias("n_null"),
+                 F.col(bq(f"_dist_{c}")).alias("n_distinct"),
+                 F.col(bq(f"_min_{c}")).alias("min_val"),
+                 F.col(bq(f"_max_{c}")).alias("max_val"))
         for c in cols])
     return (row.select(F.explode(per_col).alias("p")).select("p.*")
             .orderBy("col_name"))

@@ -121,13 +121,21 @@ class StreamingDHashStore:
         keep = bands.join(hits, "_id", "left_anti") \
             .withColumn("batch_id", F.lit(int(batch_id)))
         keep.write.mode("append").parquet(f"{self.root}/bands")
-        # materialize before returning: the lazy plan would re-run the
-        # full decode+join pipeline on every later action AND pin the
-        # pre-append parquet file-index snapshot — after compact()
-        # renames the bands dir, actions on it would throw
-        # FileNotFoundException. localCheckpoint severs both hazards.
-        out = (keep.select(F.col("_id").alias(self.id_col),
-                           F.col("_h").alias("dhash")).distinct()
+        # Return the just-written batch_id slice read back from the
+        # store rather than re-evaluating keep: a second action on the
+        # lazy plan would re-run the full decode+hash+join pipeline
+        # (image decode dominates batch cost — every batch paid it
+        # twice) AND, worse, re-list the bands dir so the batch's own
+        # appended rows masquerade as previously-accepted and self-
+        # reject the whole batch. The read-back scans only the small
+        # new segment. localCheckpoint still severs the file-index pin:
+        # after compact() renames the bands dir, actions on a lazy
+        # read-back would throw FileNotFoundException.
+        out = (self.spark.read.schema(_STORE_SCHEMA)
+               .parquet(f"{self.root}/bands")
+               .filter(F.col("batch_id") == int(batch_id))
+               .select(F.col("_id").alias(self.id_col),
+                       F.col("_h").alias("dhash")).distinct()
                .localCheckpoint(eager=True))
         return out
 

@@ -379,12 +379,21 @@ class Translator:
                 if aggs or having_extra or order_extra \
                 else base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_vql_cnt")).drop("_vql_cnt")
             # group_limit is the reference's alternative spelling of
-            # max_groups (with_options_tests.rs:57-81); max_groups wins
-            # when both are present
-            if s.with_options.get("max_groups") \
-                    or s.with_options.get("group_limit"):
-                maxg = int(s.with_options.get("max_groups")
-                           or s.with_options["group_limit"])
+            # max_groups; extract_max_groups_limit (aggregation.rs:700-717)
+            # walks the WITH options in declaration order and takes the
+            # FIRST of max_groups/group_limit whose value parses as an
+            # integer, clamped to [1, 1_000_000] — so WITH (max_groups=0)
+            # clamps to 1 rather than disabling the guard, and
+            # WITH (group_limit=5, max_groups=9) picks 5.
+            maxg = None
+            for k, v in s.with_options.items():
+                if k in ("max_groups", "group_limit"):
+                    try:
+                        maxg = min(max(int(v), 1), 1_000_000)
+                    except (TypeError, ValueError):
+                        continue
+                    break
+            if maxg is not None:
                 n = grouped.count()
                 if n > maxg:
                     raise TranslationError(
