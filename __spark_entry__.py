@@ -1458,6 +1458,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3) "
         "ORDER BY similarity(vector, $v) DESC LIMIT 10", {"v": QV3})
 
+    # orderby_multi_tests.rs:95-108 test_orderby_similarity_with_column —
+    # the reference asserts the AST (Similarity first, Field second, per-
+    # key directions); this gate asserts the RESULT of the same shape
+    q["orderby_sim_tiebreak"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings "
+        "ORDER BY similarity(vector, $v) DESC, vec_id ASC LIMIT 15",
+        {"v": QV1})
+
+    # similarity in NON-first ORDER BY position: the low-cardinality
+    # label leading key makes the within-group similarity ordering
+    # load-bearing (orderby_multi_tests.rs multi-key direction shapes)
+    q["orderby_sim_second"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE label IN (1, 2) "
+        "ORDER BY label ASC, similarity(vector, $v) DESC, vec_id ASC "
+        "LIMIT 25", {"v": QV2})
+
+    # with_options_tests.rs:37-54 test_with_multiple_options — a WITH
+    # clause mixing a known key with an unknown one (timeout_ms) must
+    # parse, tolerate the unknown option, and not perturb results
+    q["with_options_passthrough"] = lambda s, d: _vql(
+        s, d,
+        "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25 "
+        "WITH (max_groups = 500, timeout_ms = 1000)")
+
+    # validation_parity_tests.rs:127-146 rejects similarity() OR
+    # similarity() (the reference engine would need a union of two ANN
+    # searches); here the disjunction is one exact distributed filter, so
+    # we EXECUTE it — documented divergence, semantics proven by oracle
+    q["similarity_or_similarity"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $a) > 0.25 "
+        "OR similarity(vector, $b) > 0.45 ORDER BY vec_id LIMIT 100000",
+        {"a": QV1, "b": QV2})
+
     def _knn_hamming(s, d):
         # binarized hamming: sign-bit vectors (quantization.rs binary mode)
         from velesdb_spark.functions.distance import hamming_distance
@@ -3770,7 +3806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-8 additions — first
+    # ---- round-10 additions — first (reference-suite rotation:
+    # orderby_multi / with_options / validation_parity shapes)
+    "orderby_sim_tiebreak", "orderby_sim_second",
+    "with_options_passthrough", "similarity_or_similarity",
+    # ---- round-8 additions
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21", "trend_analysis", "multi_agg_same_col",
     "similarity_nested_bool", "media_video_frames", "stream_funnel",
@@ -4535,6 +4575,21 @@ ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, vec_id LIMIT 12"""
     o["order_by_similarity"] = (
         f"SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3) "
         f"ORDER BY {cos(QV3)} DESC, vec_id LIMIT 10")
+
+    o["orderby_sim_tiebreak"] = (
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY {cos(QV1)} DESC, vec_id ASC LIMIT 15")
+
+    o["orderby_sim_second"] = (
+        f"SELECT vec_id FROM embeddings WHERE label IN (1, 2) "
+        f"ORDER BY label ASC, {cos(QV2)} DESC, vec_id ASC LIMIT 25")
+
+    o["with_options_passthrough"] = (
+        "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25")
+
+    o["similarity_or_similarity"] = (
+        f"SELECT vec_id FROM embeddings WHERE {cos(QV1)} > 0.25 "
+        f"OR {cos(QV2)} > 0.45 ORDER BY vec_id LIMIT 100000")
 
     qbits = [1 if x > 0 else 0 for x in QV2]
     ham_terms = " + ".join(

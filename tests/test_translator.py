@@ -609,3 +609,60 @@ def test_special_characters_in_string_literals(catalog):
         "OR source = 'no, match!' ORDER BY doc_id LIMIT 10", catalog)
     rows = sdf2.collect()
     assert rows and all(r["source"] == "src3" for r in rows)
+
+
+# ---- reference-suite rotation, round 10: validation_parity_tests.rs ----
+
+def _unit_vec(seed, dim=64):
+    import math
+    vals = [math.sin(seed * 131 + i * 17) for i in range(dim)]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+def test_vector_types_or_metadata_all_accepted(catalog):
+    """validation_parity_tests.rs:159-188 test_parity_all_vector_types
+    _counted: a SINGLE vector-search condition (similarity / NEAR /
+    NEAR_FUSED) OR a metadata comparison must pass validation for every
+    vector type."""
+    v = _unit_vec(7)
+    for where in (
+            "similarity(vector, $v) > 0.8 OR label = 3",
+            "vector NEAR $v OR label = 3",
+            "vector NEAR_FUSED [$v] USING FUSION 'average' OR label = 3"):
+        df = translate(f"SELECT vec_id FROM embeddings WHERE {where} "
+                       "LIMIT 5", catalog, {"v": v})
+        assert df.count() > 0, where
+
+
+def test_similarity_or_similarity_executes(catalog, duck):
+    """validation_parity_tests.rs:127-146 rejects similarity() OR
+    similarity() (the reference would need a union of two ANN searches).
+    DOCUMENTED DIVERGENCE: here the disjunction is a single exact
+    distributed filter, so it executes — and must match the SQL oracle."""
+    a, b = _unit_vec(7), _unit_vec(11)
+
+    def cos(v):
+        num = " + ".join(f"embedding[{i+1}] * ({x!r})"
+                         for i, x in enumerate(v))
+        sq = " + ".join(f"embedding[{i+1}] * embedding[{i+1}]"
+                        for i in range(len(v)))
+        return f"(({num}) / sqrt({sq}))"
+
+    sdf = translate(
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $a) > 0.3 "
+        "OR similarity(vector, $b) > 0.3 ORDER BY vec_id LIMIT 100000",
+        catalog, {"a": a, "b": b})
+    assert_matches_oracle(sdf, duck,
+        f"SELECT vec_id FROM embeddings WHERE {cos(a)} > 0.3 "
+        f"OR {cos(b)} > 0.3 ORDER BY vec_id LIMIT 100000")
+
+
+def test_multiple_similarity_with_and_allowed(catalog):
+    """validation_parity_tests.rs:105-125: similarity() AND similarity()
+    is allowed (cascade) — parity on the accept side."""
+    df = translate(
+        "SELECT vec_id FROM embeddings WHERE similarity(vector, $a) > -0.5 "
+        "AND similarity(vector, $b) > -0.5 LIMIT 5",
+        catalog, {"a": _unit_vec(7), "b": _unit_vec(11)})
+    assert df.count() > 0
