@@ -164,9 +164,10 @@ def test_plan_cache_and_query_optimizer():
 
 def test_calibration_rank_correlates_with_measured_bench():
     """The fitted Spark cost surface must RANK the 18 headline queries
-    like the measured quiet-host bench (round-7 verdict: tie the cost
-    model to measured reality). Spearman >= 0.7 and MAPE bounded —
-    4 physically-interpretable coefficients over 18 observations."""
+    like the measured driver bench (recalibrated round 10 against
+    BENCH_r09 after the BM25 plan change; shuffle/broadcast features now
+    plan-observed). Spearman >= 0.7 and MAPE bounded — 5 physically-
+    interpretable coefficients over 18 observations."""
     from velesdb_spark.plans.calibration import (CalibratedCostModel,
                                                  FEATURE_NAMES,
                                                  HEADLINE_FEATURES,
@@ -182,6 +183,8 @@ def test_calibration_rank_correlates_with_measured_bench():
     assert all(v >= 0 for v in w.values())
     assert w["codegen_krows"] < 0.001      # < 1 us per row
     assert 0.0 < w["n_jobs"] < 1.0         # job round-trip overhead
+    # a broadcast build is a small job: cheaper than an action round-trip
+    assert 0.0 <= w["n_broadcasts"] < w["n_jobs"]
     # deterministic: refit gives identical weights
     m2 = CalibratedCostModel.fit()
     assert (m.weights == m2.weights).all()
