@@ -1353,26 +1353,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # extraction reuses the same pruned projection; supplier join is
     # AQE-decided.
     def _tpch_q21(s, d):
+        # Single-pass decorrelation (round 10 — the r8 sf10 curve was
+        # 6.52× at 10× data): the old shape consumed the big
+        # lineitem⋈orders join TWICE (per-order double-countDistinct agg
+        # with its 2× Expand, plus a separate culprit distinct), so the
+        # dominant join+scan ran twice and the Expand doubled the agg
+        # shuffle. Now: join once → per-(order,supp) max(late) rollup
+        # (the partial agg combines map-side, and subsumes BOTH
+        # countDistincts: ns = rows per order, nl = sum of late flags) →
+        # one window over l_orderkey for the per-order counts → filter →
+        # tiny groupBy. One scan, no Expand, three data-sized shuffles.
+        from pyspark.sql import Window as W
+
         late = (F.col("l_shipdate")
                 > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
-        lo_ = (_t(s, d, "lineitem")
-               .select("l_orderkey", "l_suppkey", "l_shipdate")
-               .join(_t(s, d, "orders")
-                     .filter(F.col("o_orderstatus") == "F")
-                     .select("o_orderkey", "o_orderdate"),
-                     F.col("l_orderkey") == F.col("o_orderkey"))
-               .select("l_orderkey", "l_suppkey", late.alias("late")))
-        per_order = (lo_.groupBy(F.col("l_orderkey").alias("_ok"))
-                     .agg(F.countDistinct("l_suppkey").alias("ns"),
-                          F.countDistinct(
-                              F.when(F.col("late"),
-                                     F.col("l_suppkey"))).alias("nl"))
-                     .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
-                     .select("_ok"))
-        culprit = (lo_.filter(F.col("late"))
-                   .select("l_orderkey", "l_suppkey").distinct())
-        return (culprit
-                .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        ls = (_t(s, d, "lineitem")
+              .select("l_orderkey", "l_suppkey", "l_shipdate")
+              .join(_t(s, d, "orders")
+                    .filter(F.col("o_orderstatus") == "F")
+                    .select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(late).alias("late")))
+        w = W.partitionBy("l_orderkey")
+        return (ls
+                .withColumn("ns", F.count(F.lit(1)).over(w))
+                .withColumn("nl", F.sum(F.col("late").cast("int")).over(w))
+                .filter(F.col("late") & (F.col("ns") >= 2)
+                        & (F.col("nl") == 1))
                 .groupBy("l_suppkey")
                 .agg(F.count("*").alias("numwait"))
                 .join(_t(s, d, "supplier"),
