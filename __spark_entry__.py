@@ -2066,8 +2066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (test_dedup_text.py low-threshold components test).
     def _cluster_corpus(s, d):
         docs = _t(s, d, "documents").select("doc_id", "text")
+        # offset clear of EVERY fixture's id space (zipf10 reaches
+        # 500k real doc_ids; a colliding dup id would fuse two texts
+        # under one key and corrupt both gate and scaling semantics)
         dup = docs.filter(F.col("doc_id") < 500).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" cluster dup probe"))
             .alias("text"))
         return docs.unionByName(dup)
@@ -5415,7 +5418,7 @@ FROM documents"""
 WITH RECURSIVE aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000, text || ' cluster dup probe'
+  SELECT doc_id + 10000000, text || ' cluster dup probe'
   FROM documents WHERE doc_id < 500
 ), toks AS (
   SELECT doc_id, {words_norm} AS t FROM aug
@@ -5453,7 +5456,7 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 WITH aug_ids AS (
   SELECT doc_id FROM documents
   UNION ALL
-  SELECT doc_id + 200000 FROM documents WHERE doc_id < 500
+  SELECT doc_id + 10000000 FROM documents WHERE doc_id < 500
 )
 SELECT doc_id FROM aug_ids
 WHERE doc_id NOT IN (

@@ -103,11 +103,19 @@ def main():
         return small_dir, big_dir
 
     def best_of(fn, d, action="collect"):
+        from velesdb_spark.functions import staging as _staging
+
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()
             getattr(fn(spark, d), action)()
             best = min(best, time.time() - t0)
+            # release AFTER the action: unpersisting the staged shingle/tf
+            # frames before the run both re-pays the tokenize per consuming
+            # branch AND strips the size statistics Catalyst needs to keep
+            # the ngram join off the broadcast path (round-10 zipf10 run:
+            # an 8g-driver broadcast OOM with the persists released early)
+            _staging.release_staged()
         return round(best, 3)
 
     def decontam_fixed_eval(s, d):
@@ -159,18 +167,10 @@ def main():
                                              _F.sum("n_bigrams"))
 
     def clusters_q(s, d):
-        out = qs["dedup_clusters"](s, d)
-        from velesdb_spark.functions import dedup as _dd
-
-        _dd.release_staged()
-        return out
+        return qs["dedup_clusters"](s, d)
 
     def keep_reps_q(s, d):
-        out = qs["dedup_keep_reps"](s, d)
-        from velesdb_spark.functions import dedup as _dd
-
-        _dd.release_staged()
-        return out
+        return qs["dedup_keep_reps"](s, d)
 
     def emb_lsh_full(s, d):
         # FULL corpus (the entry gate caps vec_id < 5000 only to bound

@@ -639,8 +639,14 @@ def _cc_min_label(pairs: DataFrame, id_a: str, id_b: str,
               .withColumn("_lbl", F.col("_id"))
               .localCheckpoint())
     for _ in range(max_iter):
-        # neighbor labels: for each edge (src → dst), dst's label flows to src
-        nbr = (edges.join(labels.withColumnRenamed("_id", "_dst"), "_dst")
+        # neighbor labels: for each edge (src → dst), dst's label flows
+        # to src. hint("merge"): a localCheckpoint-ed labels frame has no
+        # size statistics, so Catalyst would BROADCAST it — at 500k-doc
+        # pair graphs the build blew an 8g driver (round-10 zipf10 run).
+        # Sort-merge scales unconditionally; per-round cost is one
+        # edge-list shuffle either way.
+        nbr = (edges.join(labels.withColumnRenamed("_id", "_dst")
+                          .hint("merge"), "_dst")
                .select(F.col("_src").alias("_id"), "_lbl"))
         # checkpoint BEFORE the convergence probe so each round materializes
         # the new labels exactly once (the probe and the next round both
@@ -649,7 +655,7 @@ def _cc_min_label(pairs: DataFrame, id_a: str, id_b: str,
                       .groupBy("_id").agg(F.min("_lbl").alias("_lbl"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "_id")
+                   .join(labels.alias("o").hint("merge"), "_id")
                    .filter(F.col("n._lbl") != F.col("o._lbl"))
                    .limit(1).count())
         labels = new_labels
@@ -712,14 +718,14 @@ def _cc_alternating_star(pairs: DataFrame, id_a: str, id_b: str,
         mins = _mins(sym)
         # large-star: (v, m(u)) for v > u
         large = (sym.filter(F.col("_v") > F.col("_u"))
-                 .join(mins, "_u")
+                 .join(mins.hint("merge"), "_u")
                  .select(F.col("_v").alias("_x"), F.col("_m").alias("_y")))
         canon = _canon(large).localCheckpoint()
         sym = _sym(canon)
         mins = _mins(sym)
         # small-star: (v, m(u)) for v < u, plus (u, m(u))
         small = (sym.filter(F.col("_v") < F.col("_u"))
-                 .join(mins, "_u")
+                 .join(mins.hint("merge"), "_u")
                  .select(F.col("_v").alias("_x"), F.col("_m").alias("_y"))
                  .union(mins.select(F.col("_u").alias("_x"),
                                     F.col("_m").alias("_y"))))
@@ -734,7 +740,7 @@ def _cc_alternating_star(pairs: DataFrame, id_a: str, id_b: str,
     # yields one (deterministic) label per node.
     member = (canon.groupBy("_b").agg(F.min("_a").alias("_lbl"))
               .select(F.col("_b").alias("_id"), "_lbl"))
-    labels = (all_nodes.join(member, "_id", "left")
+    labels = (all_nodes.join(member.hint("merge"), "_id", "left")
               .select("_id", F.coalesce("_lbl", F.col("_id")).alias("_lbl")))
     return labels.select(F.col("_id").alias("id"),
                          F.col("_lbl").alias("cluster_id"))
