@@ -371,11 +371,17 @@ def _prefix_candidates(ex: DataFrame, t: float) -> DataFrame:
     rank (ascending df, ties by hash) ≤ |X| − ceil(t·|X|) + 1."""
     from pyspark.sql import Window
 
+    # hint("merge") on every join in this path: the inputs are derived
+    # frames (aggregates / persisted-unmaterialized projections) whose
+    # size Catalyst under-estimates, and a "small"-looking side here is
+    # hundreds of MB deserialized at 500k docs — the round-10 zipf10 run
+    # OOM'd an 8g driver broadcasting one. Both join sides share the _s
+    # shuffle key, so sort-merge reuses the partitioning anyway.
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     # per-doc global-order rank; epsilon guards float artifacts in
     # ceil(t·sz) (an artifact HIGH ceil would shorten the prefix and
     # break exactness; the epsilon only ever lengthens it)
-    ranked = (ex.join(dfreq, "_s")
+    ranked = (ex.join(dfreq.hint("merge"), "_s")
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("_id").orderBy("_df", "_s")))
               .withColumn("_plen",
@@ -385,7 +391,8 @@ def _prefix_candidates(ex: DataFrame, t: float) -> DataFrame:
               .filter(F.col("_rn") <= F.col("_plen"))
               .select("_id", "_s"))
     return (ranked.select(F.col("_id").alias("id_a"), "_s")
-            .join(ranked.select(F.col("_id").alias("id_b"), "_s"), "_s")
+            .join(ranked.select(F.col("_id").alias("id_b"), "_s")
+                  .hint("merge"), "_s")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
@@ -410,7 +417,8 @@ def _ngram_prefix_join(base: DataFrame, ex: DataFrame,
     va = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (cand.join(va.hint("merge"), "id_a")
+            .join(vb.hint("merge"), "id_b")
             .withColumn("_i", inter)
             .withColumn("jaccard",
                         F.col("_i").cast("double")
