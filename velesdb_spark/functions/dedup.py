@@ -103,9 +103,22 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                           id_col: str = "id",
                           num_hashes: int = DEFAULT_MINHASHES,
                           n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(_id, _sig) with staged tokenization/shingling (fast path)."""
+    """(_id, _sig) postings-style (see minhash_band_rows for why): one
+    explode + num_hashes tiny md5 columns + one map-side-combinable
+    min-aggregate, reassembled into the signature array. Zero-shingle
+    docs keep their row (explode_outer) with all-NULL mins — identical
+    to the expression form's array_min over an empty transform."""
     sh = staged_shingles(df, text_col, id_col, n)
-    return sh.select("_id", minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig"))
+    ex = sh.select("_id", F.explode_outer("_sh").alias("_s"))
+    mins = [
+        F.min(F.when(F.col("_s").isNotNull(),
+                     F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))))
+        .alias(f"_m{i}")
+        for i in range(num_hashes)]
+    return (ex.groupBy("_id").agg(*mins)
+            .select("_id", F.array(*[F.col(f"_m{i}")
+                                     for i in range(num_hashes)])
+                    .alias("_sig")))
 
 
 def minhash_band_rows(df: DataFrame, text_col: str = "text",
