@@ -103,12 +103,22 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                           id_col: str = "id",
                           num_hashes: int = DEFAULT_MINHASHES,
                           n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(_id, _sig) postings-style (see minhash_band_rows for why): one
-    explode + num_hashes tiny md5 columns + one map-side-combinable
-    min-aggregate, reassembled into the signature array. Zero-shingle
-    docs keep their row (explode_outer) with all-NULL mins — identical
-    to the expression form's array_min over an empty transform."""
+    """(_id, _sig): expression form for narrow signatures, postings form
+    for wide ones (see minhash_band_rows for the wide-width hazard).
+
+    A narrow signature (≤ 4 hashes) stays one whole-stage-codegen
+    expression — shuffle-free, ~0.3 s for 5k docs. A wide one would
+    collapse into a mega-expression that falls out of codegen, so it is
+    computed postings-style instead: one explode + num_hashes tiny md5
+    columns + one map-side-combinable min-aggregate, reassembled into
+    the signature array. Zero-shingle docs keep their row in both forms
+    (explode_outer → all-NULL mins ≡ array_min over an empty
+    transform) — results are bit-identical."""
     sh = staged_shingles(df, text_col, id_col, n)
+    if num_hashes <= 4:
+        return sh.select(
+            "_id", minhash_from_shingles(F.col("_sh"), num_hashes)
+            .alias("_sig"))
     ex = sh.select("_id", F.explode_outer("_sh").alias("_s"))
     mins = [
         F.min(F.when(F.col("_s").isNotNull(),
