@@ -60,11 +60,28 @@ def search_like_ranked(df: DataFrame, query: str, k: int = 10,
                        min_similarity: float = 0.0) -> DataFrame:
     """Fuzzy ranked search (trigram/index.rs search_like_ranked): rank rows
     by Jaccard(trigrams(text), trigrams(query)) descending → (id, score)."""
+    from velesdb_spark.functions.util import spread
+
     q = _py_trigrams(query)
     qarr = F.array(*[F.lit(g) for g in q]) if q else F.array().cast("array<string>")
-    scored = df.select(
-        F.col(id_col),
-        trigram_jaccard(trigram_set(F.col(text_col)), qarr,
-                        distinct_inputs=True).alias("score"),
+    # Two plan fences matter here (round 10, measured 76 s → ~3 s at sf1):
+    # - spread(): trigram extraction is the expensive per-row stage; a
+    #   single-file input would otherwise run it on the file's 1-2
+    #   splits while 30 cores idle.
+    # - + rand()*0.0: bit-exact no-op that marks the score expression
+    #   nondeterministic, which (a) stops the filter from being pushed
+    #   BELOW the repartition exchange with a full inlined copy of the
+    #   score expression — that copy ran on the pre-shuffle 1-2
+    #   partitions and serialized the whole query — and (b) stops
+    #   CollapseProject/alias substitution from duplicating the
+    #   expression into the filter and sort, where fresh lambda-variable
+    #   ids defeat common-subexpression elimination (HOF expressions are
+    #   never CSE-equal across copies). One evaluation per row, after
+    #   the shuffle, filter and top-k read the materialized attribute.
+    score = (trigram_jaccard(trigram_set(F.col(text_col)), qarr,
+                             distinct_inputs=True)
+             + F.rand() * F.lit(0.0))
+    scored = spread(df).select(
+        F.col(id_col), score.alias("score"),
     ).filter(F.col("score") > min_similarity)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
