@@ -3207,9 +3207,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL streaming as-of join (round 8, streaming twin of
         # events_asof): per-key applyInPandasWithState carries the
         # still-matchable purchase history; each click emits the most
-        # recent purchase at-or-before it. One staged file = one
-        # micro-batch (sorted in-batch), so the drain is exactly the
-        # batch semantics — gated against DuckDB's NATIVE ASOF JOIN.
+        # recent purchase at-or-before it — gated against DuckDB's
+        # NATIVE ASOF JOIN. A terminal FLUSH RIGHT (far-future purchase
+        # on a real key; no clicks follow it, so it can never join) is
+        # staged after the events file: Spark's watermark tracks max
+        # event time in MILLISECONDS, so without it a click at the
+        # corpus's maximal (sub-ms) timestamp is never passed by the
+        # watermark once input ends — availableNow emits no terminal
+        # watermark (found by the round-10 sf1 strict sweep: 541/542
+        # rows). The heartbeat is buffered mode's documented
+        # end-of-stream contract (streaming/temporal.py).
         import os
         import shutil
         import tempfile
@@ -3220,6 +3227,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         stage = tempfile.mkdtemp(prefix="events_sasof_")
         os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
+        ev_schema = s.read.parquet(f"{d}/events.parquet").schema
+        max_ts = s.read.parquet(f"{d}/events.parquet") \
+            .agg(F.max("ts")).collect()[0][0]
+        vals = {"event_id": 10**12, "ts": max_ts, "user_id": 0,
+                "event_type": "purchase", "value": 0.0}
+        flush = s.createDataFrame(
+            [tuple(vals.get(f.name) for f in ev_schema.fields)],
+            ev_schema) \
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        flush.coalesce(1).write.parquet(f"{stage}_flush")
+        part = next(p for p in os.listdir(f"{stage}_flush")
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{stage}_flush/{part}", f"{stage}/zz_flush.parquet")
         try:
             ev = (read_events_stream(s, stage)
                   .filter(F.col("event_type").isin("click", "purchase")
@@ -3236,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 raise TimeoutError("stream_asof drain exceeded 180s")
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(f"{stage}_flush", ignore_errors=True)
         return (s.table(name)
                 .select("u_key", "l_id", "l_ts_us", "r_ts_us",
                         F.round("r_val", 6).alias("r_val"))

@@ -20,11 +20,21 @@ forms of point-in-time alignment and windowed event correlation.
     no later than ``watermark`` behind the max event time seen — the
     same guarantee Spark's own stream-stream outer joins offer.
     Finalization rides EventTimeTimeout, so the trailing lefts flush
-    in the engine's no-data micro-batch once the watermark catches up
-    (with the default ``watermark="0 seconds"`` an availableNow drain
-    emits every left). Lefts at exactly the final watermark finalize
-    too — a later right with the identical boundary timestamp is the
-    one arrival this mode shares with Spark's own eviction boundary.
+    in the engine's no-data micro-batch once the watermark catches up.
+    Lefts at exactly the final watermark finalize too — a later right
+    with the identical boundary timestamp is the one arrival this mode
+    shares with Spark's own eviction boundary.
+
+    END-OF-STREAM CAVEAT (found by the round-10 sf1 sweep): Spark's
+    watermark tracks max event time in MILLISECONDS, so a left at the
+    stream's maximal timestamp with a sub-millisecond component is
+    never strictly passed by the watermark once input ends —
+    availableNow emits no terminal watermark (unlike Flink's
+    end-of-input MAX_WATERMARK). A bounded drain that must emit EVERY
+    left should append a terminal heartbeat right (any key, event time
+    past max + delay) as its last file — the pattern the gate and the
+    out-of-order tests use. Unbounded pipelines don't care: the next
+    arrival advances the watermark.
   * ``mode="eager"``: the round-8 behavior — each batch processed in
     event-time order, lefts emitted immediately. Exact only under
     time-ordered arrival across micro-batches; lowest latency, no
