@@ -471,3 +471,34 @@ def test_multiple_joins_mixed_types():
               "ON o_custkey = c_custkey RIGHT JOIN nation "
               "ON c_nationkey = n_nationkey")
     assert [j.how for j in q.joins] == ["left", "right"]
+
+
+def test_using_fusion_clause_shapes():
+    """fusion_clause_tests.rs: the standalone trailing USING FUSION
+    clause — bare form defaults to rrf; the key=value spelling names
+    the strategy as a parameter and must set the strategy FIELD;
+    k/weights survive as params; WHERE coexists with the clause."""
+    from velesdb_spark.velesql.parser import parse
+
+    def sel(sql):
+        q = parse(sql)
+        return q.select if hasattr(q, "select") else q
+
+    s = sel("SELECT * FROM docs USING FUSION")
+    assert s.fusion.strategy == "rrf"
+
+    s = sel("SELECT * FROM docs USING FUSION(strategy = 'maximum')")
+    assert s.fusion.strategy == "maximum"
+
+    s = sel("SELECT * FROM docs USING FUSION(strategy = 'rrf', k = 30)")
+    assert s.fusion.strategy == "rrf" and s.fusion.params["k"] == 30
+
+    s = sel("SELECT * FROM docs USING FUSION(strategy = 'weighted', "
+            "vector_weight = 0.7, graph_weight = 0.3)")
+    assert s.fusion.strategy == "weighted"
+    assert abs(s.fusion.params["vector_weight"] - 0.7) < 0.01
+    assert abs(s.fusion.params["graph_weight"] - 0.3) < 0.01
+
+    s = sel("SELECT * FROM docs WHERE category = 'tech' "
+            "USING FUSION(strategy = 'rrf', k = 60)")
+    assert s.where is not None and s.fusion.strategy == "rrf"

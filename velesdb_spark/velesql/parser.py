@@ -384,6 +384,11 @@ class _Parser:
                 if not self.accept_punct(","):
                     break
             self.expect_punct(")")
+        # the key=value spelling may name the strategy as a parameter
+        # (fusion_clause_tests.rs:54-97: USING FUSION(strategy =
+        # 'maximum') must set the strategy FIELD, not leave the default)
+        if isinstance(params.get("strategy"), str):
+            strategy = params["strategy"].lower()
         return ast.FusionSpec(strategy, params)
 
     # ---- conditions ----------------------------------------------------
