@@ -502,3 +502,41 @@ def test_using_fusion_clause_shapes():
     s = sel("SELECT * FROM docs WHERE category = 'tech' "
             "USING FUSION(strategy = 'rrf', k = 60)")
     assert s.where is not None and s.fusion.strategy == "rrf"
+
+
+def test_error_code_surface():
+    """error_tests.rs:36-43 parity: the typed error-code table and the
+    kind/code attributes applications catch by. Syntax failures are
+    E001; unknown collection E003; missing parameter E005."""
+    import pytest
+
+    from velesdb_spark.velesql import errors as E
+    from velesdb_spark.velesql.lexer import VelesQLSyntaxError
+    from velesdb_spark.velesql.parser import parse
+
+    assert E.CODES == {
+        E.SYNTAX_ERROR: "E001", E.UNKNOWN_COLUMN: "E002",
+        E.COLLECTION_NOT_FOUND: "E003", E.DIMENSION_MISMATCH: "E004",
+        E.MISSING_PARAMETER: "E005", E.TYPE_MISMATCH: "E006",
+    }
+
+    with pytest.raises(VelesQLSyntaxError) as ei:
+        parse("SELECT * FORM docs")
+    assert ei.value.code == "E001" and "E001" in str(ei.value)
+
+
+def test_error_codes_translator(catalog):
+    import pytest
+
+    from velesdb_spark.velesql.translator import (TranslationError,
+                                                  translate)
+
+    with pytest.raises(TranslationError) as ei:
+        translate("SELECT * FROM no_such_collection", catalog)
+    assert ei.value.code == "E003"
+    assert ei.value.fragment == "no_such_collection"
+
+    with pytest.raises(TranslationError) as ei:
+        translate("SELECT vec_id FROM embeddings "
+                  "WHERE vector NEAR $missing LIMIT 5", catalog)
+    assert ei.value.code == "E005" and ei.value.fragment == "missing"

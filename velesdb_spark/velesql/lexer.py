@@ -10,9 +10,18 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from velesdb_spark.velesql.errors import SYNTAX_ERROR, VelesQLErrorMixin
 
-class VelesQLSyntaxError(ValueError):
-    pass
+
+class VelesQLSyntaxError(VelesQLErrorMixin, ValueError):
+    """Parse/lex failure; carries the E001 SyntaxError code
+    (error.rs ParseErrorKind) plus optional position/fragment."""
+
+    kind = SYNTAX_ERROR
+
+    def __init__(self, message, kind=None, position=None, fragment=None):
+        super().__init__(self._init_error(message, kind, position,
+                                          fragment))
 
 
 @dataclass(frozen=True)

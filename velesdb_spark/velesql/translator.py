@@ -29,11 +29,20 @@ from velesdb_spark.functions.distance import (
     similarity_passes,
 )
 from velesdb_spark.velesql import ast
+from velesdb_spark.velesql.errors import (COLLECTION_NOT_FOUND,
+                                          MISSING_PARAMETER,
+                                          VelesQLErrorMixin)
 from velesdb_spark.velesql.parser import DEFAULT_LIMIT, MAX_LIMIT, parse
 
 
-class TranslationError(ValueError):
-    pass
+class TranslationError(VelesQLErrorMixin, ValueError):
+    """Semantic translation failure; unambiguous sites carry an
+    error.rs ParseErrorKind code (E002 UnknownColumn, E003
+    CollectionNotFound, E005 MissingParameter, E006 TypeMismatch)."""
+
+    def __init__(self, message, kind=None, position=None, fragment=None):
+        super().__init__(self._init_error(message, kind, position,
+                                          fragment))
 
 
 class TemporalEpoch(int):
@@ -72,7 +81,9 @@ class Catalog:
 
     def resolve(self, name: str) -> TableInfo:
         if name not in self.tables:
-            raise TranslationError(f"unknown table: {name}")
+            raise TranslationError(f"unknown table: {name}",
+                       kind=COLLECTION_NOT_FOUND,
+                       fragment=name)
         return self.tables[name]
 
 
@@ -112,7 +123,9 @@ class Translator:
     def value(self, v):
         if isinstance(v, ast.Param):
             if v.name not in self.params:
-                raise TranslationError(f"missing parameter: ${v.name}")
+                raise TranslationError(f"missing parameter: ${v.name}",
+                       kind=MISSING_PARAMETER,
+                       fragment=v.name)
             return self.params[v.name]
         if isinstance(v, ast.Now):
             return TemporalEpoch(
