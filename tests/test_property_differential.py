@@ -354,3 +354,37 @@ def test_correlated_subquery_differential(data, catalog, oracle_con2):
     got = [r[0] for r in translate(sql, catalog).collect()]
     want = [r[0] for r in oracle_con2.execute(oracle).fetchall()]
     assert got == want, f"sql: {sql}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_parser_fuzz_total(data):
+    """Twin of the reference's fuzz_velesql_parser target: ANY input —
+    byte soup, token soup, or a mutilated valid query — must either
+    parse or raise VelesQLSyntaxError. Every other exception class is a
+    parser crash."""
+    from velesdb_spark.velesql.lexer import VelesQLSyntaxError
+    from velesdb_spark.velesql.parser import parse
+
+    mode = data.draw(st.sampled_from(["bytes", "tokens", "mutated"]))
+    if mode == "bytes":
+        sql = data.draw(st.text(max_size=80))
+    elif mode == "tokens":
+        toks = data.draw(st.lists(st.sampled_from(
+            ["SELECT", "*", "FROM", "docs", "WHERE", "AND", "OR", "NOT",
+             "(", ")", ",", "=", ">", "<", "'x'", "1", "1.5", "$p",
+             "NEAR", "[", "]", "GROUP", "BY", "ORDER", "LIMIT", "MATCH",
+             "USING", "FUSION", "UNION", "JOIN", "ON", "HAVING", "--c",
+             "BETWEEN", "IN", "LIKE", "IS", "NULL", "a.b", "`q id`"]),
+            max_size=25))
+        sql = " ".join(toks)
+    else:
+        base = "SELECT a, COUNT(*) FROM docs WHERE x > 1 AND y LIKE '%z%' " \
+               "GROUP BY a HAVING COUNT(*) > 2 ORDER BY a LIMIT 5"
+        i = data.draw(st.integers(0, len(base) - 1))
+        j = data.draw(st.integers(i, len(base)))
+        sql = base[:i] + data.draw(st.text(max_size=8)) + base[j:]
+    try:
+        parse(sql)
+    except VelesQLSyntaxError:
+        pass
