@@ -666,3 +666,26 @@ def test_multiple_similarity_with_and_allowed(catalog):
         "AND similarity(vector, $b) > -0.5 LIMIT 5",
         catalog, {"a": _unit_vec(7), "b": _unit_vec(11)})
     assert df.count() > 0
+
+
+def test_dimension_mismatch_rejected_eagerly(catalog):
+    """E004 DimensionMismatch parity (error.rs): a query vector whose
+    length differs from the collection's declared dim is rejected at
+    translation — zip_with would otherwise score it silently wrong."""
+    import pytest
+
+    for sql in (
+            "SELECT vec_id FROM embeddings WHERE vector NEAR $v LIMIT 5",
+            "SELECT vec_id FROM embeddings "
+            "WHERE similarity(vector, $v) > 0.1 LIMIT 5",
+            "SELECT vec_id FROM embeddings "
+            "ORDER BY similarity(vector, $v) DESC LIMIT 5",
+            "SELECT vec_id FROM embeddings WHERE vector NEAR_FUSED [$v] "
+            "USING FUSION 'average' LIMIT 5"):
+        with pytest.raises(TranslationError) as ei:
+            translate(sql, catalog, {"v": [1.0, 2.0, 3.0]})
+        assert ei.value.code == "E004", sql
+    # the declared dim passes
+    assert translate(
+        "SELECT vec_id FROM embeddings WHERE vector NEAR $v LIMIT 5",
+        catalog, {"v": [0.1] * 64}).count() == 5

@@ -26,7 +26,7 @@ _TS_COLS = {
 
 # Catalog config for the non-relational tables
 _TABLE_CFG = {
-    "embeddings": dict(vector_col="embedding", id_col="vec_id"),
+    "embeddings": dict(vector_col="embedding", id_col="vec_id", dim=64),
     "documents": dict(id_col="doc_id", text_col="text"),
 }
 

@@ -30,6 +30,7 @@ from velesdb_spark.functions.distance import (
 )
 from velesdb_spark.velesql import ast
 from velesdb_spark.velesql.errors import (COLLECTION_NOT_FOUND,
+                                          DIMENSION_MISMATCH,
                                           MISSING_PARAMETER,
                                           VelesQLErrorMixin)
 from velesdb_spark.velesql.parser import DEFAULT_LIMIT, MAX_LIMIT, parse
@@ -62,6 +63,11 @@ class TableInfo:
     vector_col: str = "vector"
     id_col: str = "id"
     text_col: Optional[str] = None  # BM25 target; None → first string column
+    # declared vector dimensionality (collection/types.rs fixes dim at
+    # creation); when set, query vectors are validated eagerly — a
+    # mismatched literal would otherwise flow into zip_with/aggregate
+    # and score SILENTLY wrong (E004 DimensionMismatch, error.rs)
+    dim: Optional[int] = None
     # query-side vector prep (binary storage mode binarizes the query so
     # NEAR/similarity literals match the stored representation)
     query_vec_transform: Optional[object] = None
@@ -108,6 +114,15 @@ def _flat(name: str) -> Column:
 
 def _never_null(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
+
+
+def _check_dim(info: "TableInfo", vec) -> None:
+    """E004 parity: reject a query vector whose length differs from the
+    collection's declared dim BEFORE it reaches the score expression."""
+    if info.dim is not None and hasattr(vec, "__len__")             and len(vec) != info.dim:
+        raise TranslationError(
+            f"query vector has {len(vec)} dimensions, collection "
+            f"expects {info.dim}", kind=DIMENSION_MISMATCH)
 
 
 class Translator:
@@ -311,6 +326,7 @@ class Translator:
         for item in order_by:
             if isinstance(item.expr, ast.OrderBySimilarity):
                 vec = self.value(item.expr.vector)
+                _check_dim(st.info, vec)
                 score = metric_score(
                     _col(st.info.vector_col if item.expr.field_name == "vector"
                          else item.expr.field_name),
@@ -799,6 +815,7 @@ class _SearchState:
             return base, c.isNotNull() if cond.negated else c.isNull()
         if isinstance(cond, ast.Similarity):
             vec = tr.value(cond.vector)
+            _check_dim(self.info, vec)
             if self.info.query_vec_transform is not None:
                 vec = self.info.query_vec_transform(vec)
             name = self._next("sim")
@@ -820,6 +837,7 @@ class _SearchState:
                                            self.info.metric)
         if isinstance(cond, ast.VectorSearch):
             vec = tr.value(cond.vector)
+            _check_dim(self.info, vec)
             if self.info.query_vec_transform is not None:
                 vec = self.info.query_vec_transform(vec)
             name = self._next("near")
@@ -1004,6 +1022,7 @@ class _SearchState:
         names = []
         for v in cond.vectors:
             vec = tr.value(v)
+            _check_dim(info, vec)
             name = self._next("fv")
             base = base.withColumn(
                 name,
