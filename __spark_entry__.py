@@ -2699,8 +2699,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.functions.sampling import percentile_prune
         from velesdb_spark.functions.text_analysis import quality_score
 
-        docs = _t(s, d, "documents") \
-            .withColumn("q", quality_score(F.col("text")))
+        from velesdb_spark.functions.util import spread
+
+        # spread BEFORE the quality projection (attached to the scan it
+        # would run on the file's 1-2 splits), and the rand()*0 fence so
+        # the inferred isnotnull(q) constraint is not pushed back below
+        # the exchange with a full copy of the expression (round-10
+        # lessons; bit-exact no-op)
+        docs = spread(_t(s, d, "documents")) \
+            .withColumn("q", quality_score(F.col("text"))
+                        + F.rand() * F.lit(0.0))
         kept = percentile_prune(docs, "q", "lang", 0.75, id_col="doc_id")
         frac = (docs.groupBy("lang").agg(F.count("*").alias("n_all"))
                 .join(kept.groupBy("lang")

@@ -125,7 +125,11 @@ def dedup_spans(df: DataFrame, mode: str = "token_block",
     else:
         raise ValueError(f"unknown dedup_spans mode: {mode!r}")
 
-    spans = df.select(
+    from velesdb_spark.functions.util import spread
+
+    # spread(): span tokenization+explode is the expensive per-row stage;
+    # a single-file input would otherwise run it on the file's 1-2 splits
+    spans = spread(df).select(
         F.col(id_col).alias("_did"),
         F.posexplode_outer(spans_arr).alias("_pos", "_span"))
     # keeper per span text: min-struct aggregate (map-side combinable; a

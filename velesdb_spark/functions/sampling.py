@@ -168,6 +168,11 @@ def percentile_prune(df: DataFrame, score_col: str, stratum_col: str,
     jitter = (F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
         1, 6), 16, 10).cast("double") / F.lit(1e12))
+    # NB (round 10): if score_col is a derived text-quality expression,
+    # compute it AFTER a spread()/repartition at the call site — a
+    # projection attached to a single-file scan runs on the file's 1-2
+    # splits, below any exchange this operator could add (quality_prune
+    # gate: 15.6 s → 2 s at sf1 from spreading before withColumn)
     keyed = df.withColumn("_pkey",
                           F.col(score_col).cast("double") + jitter)
     thr = (keyed.groupBy(stratum_col)

@@ -21,6 +21,18 @@ def get_spark(app_name: str = "velesdb-spark", cpus: int | None = None) -> Spark
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromGenerate synthesizes size(e)>0 from every
+        # explode(e) and pushes it toward the scan — when e is an
+        # expensive derived array (tokenize→shingle pipelines: ngram,
+        # minhash, decontam, packing) the WHOLE expression is duplicated
+        # into a filter that lands BELOW the parallelizing repartition,
+        # so it runs twice per row and serialized on the input's file
+        # splits (measured: contamination_report at sf1 91 s → 6.7 s
+        # with the rule off). Our explode inputs are never empty-heavy,
+        # so the rule's row-skipping upside is nil.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
