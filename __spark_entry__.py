@@ -1484,6 +1484,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ORDER BY label ASC, similarity(vector, $v) DESC, vec_id ASC "
         "LIMIT 25", {"v": QV2})
 
+    # similarity_tests.rs:332-348 test_order_by_similarity_default_desc:
+    # a bare ORDER BY similarity(...) with no direction defaults to DESC
+    # (most similar first) — the oracle spells the DESC out
+    q["orderby_sim_default_desc"] = lambda s, d: _vql(
+        s, d,
+        "SELECT vec_id FROM embeddings WHERE label IN (2, 4) "
+        "ORDER BY similarity(vector, $v) LIMIT 12", {"v": QV4})
+
     # with_options_tests.rs:37-54 test_with_multiple_options — a WITH
     # clause mixing a known key with an unknown one (timeout_ms) must
     # parse, tolerate the unknown option, and not perturb results
@@ -3846,7 +3854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-10 additions — first (reference-suite rotation:
+    # ---- round-11 additions — first (reference-suite rotation:
+    # similarity / explain / json_path shapes)
+    "orderby_sim_default_desc",
+    # ---- round-10 additions (reference-suite rotation:
     # orderby_multi / with_options / validation_parity shapes)
     "orderby_sim_tiebreak", "orderby_sim_second",
     "with_options_passthrough", "similarity_or_similarity",
@@ -4623,6 +4634,10 @@ ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, vec_id LIMIT 12"""
     o["orderby_sim_second"] = (
         f"SELECT vec_id FROM embeddings WHERE label IN (1, 2) "
         f"ORDER BY label ASC, {cos(QV2)} DESC, vec_id ASC LIMIT 25")
+
+    o["orderby_sim_default_desc"] = (
+        f"SELECT vec_id FROM embeddings WHERE label IN (2, 4) "
+        f"ORDER BY {cos(QV4)} DESC, vec_id LIMIT 12")
 
     o["with_options_passthrough"] = (
         "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 25")

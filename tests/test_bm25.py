@@ -393,3 +393,26 @@ def test_staging_registry_bounded(spark):
     staging.release_staged()
     assert staging.staged_count() == 0
     assert frames[-1].storageLevel.useMemory is False
+
+def test_staging_eviction_skips_aliased_plans(spark):
+    """Spark's CacheManager keys on the canonicalized plan: re-staging
+    the same query creates an aliased handle sharing ONE cache entry, so
+    evicting the old alias must NOT unpersist it while the newer handle
+    is still registered (it would silently uncache the newer frame)."""
+    from velesdb_spark.functions import staging
+
+    staging.release_staged()
+    shared_old = spark.range(42)
+    staging.stage(shared_old)
+    # fill to capacity so the next stage() evicts shared_old
+    for i in range(staging.MAX_STAGED - 1):
+        staging.stage(spark.range(100 + i))
+    # a NEW DataFrame object over the identical plan — same cache entry
+    shared_new = spark.range(42)
+    staging.stage(shared_new)
+    assert staging.staged_count() == staging.MAX_STAGED
+    # the eviction of shared_old must have skipped unpersist(): the
+    # shared cache entry is still live for shared_new
+    assert shared_new.storageLevel.useMemory is True
+    staging.release_staged()
+    assert shared_new.storageLevel.useMemory is False

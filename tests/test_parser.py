@@ -540,3 +540,69 @@ def test_error_codes_translator(catalog):
         translate("SELECT vec_id FROM embeddings "
                   "WHERE vector NEAR $missing LIMIT 5", catalog)
     assert ei.value.code == "E005" and ei.value.fragment == "missing"
+
+
+# ---- reference-suite rotation, round 11: similarity_tests.rs ----
+
+def test_similarity_threshold_shapes():
+    """similarity_tests.rs:14-107,245-282: every comparator parses with
+    float, integer, and negative thresholds; the threshold is always
+    coerced to float; the field and parameter survive verbatim."""
+    shapes = [
+        ("similarity(embedding, $query_vec) > 0.8", ">", 0.8, "embedding"),
+        ("similarity(emb, $q) = 1.0", "=", 1.0, "emb"),
+        ("similarity(vec_field, $v) < 0.3", "<", 0.3, "vec_field"),
+        ("similarity(vec, $v) <= 0.9", "<=", 0.9, "vec"),
+        ("similarity(emb, $v) > 0.0", ">", 0.0, "emb"),
+        ("similarity(emb, $v) >= 1.0", ">=", 1.0, "emb"),
+        ("similarity(emb, $v) > -0.5", ">", -0.5, "emb"),
+        # integer thresholds accepted, not just floats (rs:245-264)
+        ("similarity(embedding, $v) > 1", ">", 1.0, "embedding"),
+        ("similarity(embedding, $v) >= -1", ">=", -1.0, "embedding"),
+        # dotted + underscore field names (rs:213-243)
+        ("similarity(node.embedding, $v) > 0.8", ">", 0.8, "node.embedding"),
+        ("similarity(my_embedding_field, $v) > 0.5", ">", 0.5,
+         "my_embedding_field"),
+    ]
+    for where, op, thr, field in shapes:
+        q = parse(f"SELECT * FROM docs WHERE {where}")
+        sim = q.where
+        assert isinstance(sim, ast.Similarity), where
+        assert sim.field_name == field
+        assert sim.op == op
+        assert isinstance(sim.threshold, float)
+        assert abs(sim.threshold - thr) < 1e-9
+
+
+def test_similarity_literal_vector_parses():
+    """similarity_tests.rs:38-63: literal vector argument."""
+    q = parse("SELECT * FROM docs "
+              "WHERE similarity(embedding, [0.1, 0.2, 0.3]) >= 0.5")
+    sim = q.where
+    assert isinstance(sim, ast.Similarity)
+    assert sim.vector == [0.1, 0.2, 0.3]
+    assert sim.op == ">="
+
+
+def test_similarity_malformed_shapes_rejected():
+    """similarity_tests.rs:181-207: missing field / vector / threshold /
+    operator are all syntax errors, never silent acceptance."""
+    for where in ("similarity(, $v) > 0.5", "similarity(emb, ) > 0.5",
+                  "similarity(emb, $v) >", "similarity(emb, $v) 0.5"):
+        with pytest.raises(VelesQLSyntaxError):
+            parse(f"SELECT * FROM docs WHERE {where}")
+
+
+def test_order_by_similarity_default_is_desc():
+    """similarity_tests.rs:332-348 test_order_by_similarity_default_desc:
+    a bare ORDER BY similarity(...) defaults to DESC (most similar
+    first); a bare field ORDER BY stays ASC; explicit directions win."""
+    q = parse("SELECT * FROM docs ORDER BY similarity(embedding, $v) LIMIT 10")
+    assert q.order_by[0].ascending is False
+    q = parse("SELECT * FROM docs ORDER BY created_at LIMIT 10")
+    assert q.order_by[0].ascending is True
+    q = parse("SELECT * FROM docs ORDER BY similarity(embedding, $v) ASC LIMIT 5")
+    assert q.order_by[0].ascending is True
+    q = parse("SELECT * FROM docs ORDER BY similarity(embedding, $v) DESC, "
+              "created_at ASC LIMIT 10")
+    assert [i.ascending for i in q.order_by] == [False, True]

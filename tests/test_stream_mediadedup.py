@@ -132,3 +132,29 @@ def test_compact_preserves_accept_state(spark, tmp_path):
     # rejection still works against the compacted store
     out = store.process_batch(_img_df(spark, [(10, 3)]), 2)
     assert out.count() == 0
+
+def test_reused_batch_id_returns_only_this_call(spark, tmp_path):
+    """Two sequential process_batch calls with the SAME batch_id (the
+    documented default batch_id=0 usage, or a fresh-checkpoint restart
+    over an existing store root): the second call's return must contain
+    only the second batch's accepted rows, never earlier calls' rows —
+    the read-back is pinned to the files this append created, not to the
+    batch_id slice of the store."""
+    store = _mk(spark, tmp_path)
+    far = _find_far_seed(5)
+    first = store.process_batch(_img_df(spark, [(1, 5)]), 0)
+    assert [r.doc_id for r in first.collect()] == [1]
+    second = store.process_batch(_img_df(spark, [(2, far)]), 0)
+    assert [r.doc_id for r in second.collect()] == [2]
+    # the store still holds both
+    assert sorted(r.doc_id for r in store.accepted().collect()) == [1, 2]
+
+
+def test_fully_rejected_batch_returns_empty(spark, tmp_path):
+    """A batch whose every image is rejected appends nothing; the
+    file-delta read-back must return a well-typed empty frame."""
+    store = _mk(spark, tmp_path)
+    store.process_batch(_img_df(spark, [(1, 5)]), 0)
+    out = store.process_batch(_img_df(spark, [(10, 5)]), 1)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "dhash"}

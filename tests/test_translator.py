@@ -4,7 +4,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import assert_matches_oracle
-from velesdb_spark.velesql.translator import TranslationError, translate
+from velesdb_spark.velesql.translator import (Catalog, TranslationError,
+                                              translate)
 
 
 def test_filter_order_limit(catalog, duck):
@@ -329,9 +330,11 @@ def test_translation_runs_zero_jobs(catalog, spark):
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(1, (SELECT MIN(c_custkey) FROM customer)) LIMIT 5",
         # dual-precision restructure (coarse prune + exact re-rank) must
-        # also be pure plan construction
+        # also be pure plan construction; the query vector must be 64-dim
+        # now that E004 validates dimensions eagerly (translator.py:_check_dim)
         "SELECT vec_id FROM embeddings WHERE vector NEAR "
-        "[0.1, 0.2, 0.3] LIMIT 5 WITH (quantization = 'dual')",
+        "[" + ", ".join(f"{v:.6f}" for v in _unit_vec(3)) + "]"
+        " LIMIT 5 WITH (quantization = 'dual')",
     ]
     sc = spark.sparkContext
     group = "translation-purity-check"
@@ -689,3 +692,43 @@ def test_dimension_mismatch_rejected_eagerly(catalog):
     assert translate(
         "SELECT vec_id FROM embeddings WHERE vector NEAR $v LIMIT 5",
         catalog, {"v": [0.1] * 64}).count() == 5
+
+
+def test_secondary_vector_field_dim_not_enforced(spark):
+    """The collection-level dim governs only the declared vector column
+    (collection/types.rs: one dim per collection): ORDER BY
+    similarity(other_vec, ...) over a secondary vector field of a
+    DIFFERENT dimensionality must not raise E004."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 4, [1.0] * 2), (2, [0.5] * 4, [0.0, 1.0])],
+        "id bigint, vector array<double>, thumb array<double>")
+    cat = Catalog().register("t", df, dim=4)
+    # declared column: wrong dim still rejected
+    with pytest.raises(TranslationError) as ei:
+        translate("SELECT id FROM t ORDER BY similarity(vector, $v) DESC "
+                  "LIMIT 5", cat, {"v": [1.0, 2.0]})
+    assert ei.value.code == "E004"
+    # secondary field: 2-dim query vector against the 2-dim thumb passes
+    rows = translate(
+        "SELECT id FROM t ORDER BY similarity(thumb, $v) DESC LIMIT 5",
+        cat, {"v": [1.0, 0.0]}).collect()
+    assert [r.id for r in rows] == [1, 2]
+
+
+def test_max_groups_non_integer_values_ignored(catalog):
+    """extract_max_groups_limit honors WithValue::Integer ONLY — a
+    string '3' or a float 3.0 is never coerced; the guard stays off (and
+    a later integer-valued spelling in declaration order still wins)."""
+    # string value: no guard, query runs
+    assert translate(
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "WITH (max_groups='3')", catalog).count() > 3
+    # float value: ignored too
+    assert translate(
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "WITH (group_limit=3.0)", catalog).count() > 3
+    # non-integer first spelling is skipped; the integer one still binds
+    with pytest.raises(TranslationError, match="max_groups=3"):
+        translate(
+            "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+            "WITH (max_groups='9', group_limit=3)", catalog)

@@ -28,17 +28,34 @@ MAX_STAGED = 32
 _HANDLES: list[DataFrame] = []
 
 
+def _canon(df: DataFrame) -> str:
+    """Canonicalized analyzed-plan string — Spark's CacheManager keys
+    cache entries on this, so two DataFrames with equal canonical plans
+    share ONE cache entry (unpersisting either uncaches both)."""
+    try:
+        return df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:  # pragma: no cover - py4j edge; fall back to identity
+        return f"id:{id(df)}"
+
+
 def stage(df: DataFrame) -> DataFrame:
     """Persist df (MEMORY_AND_DISK) and register it for release.
 
-    Evicts (unpersists) the oldest staged frame once the registry
-    exceeds MAX_STAGED entries, so unbounded distinct-query workloads
-    cannot grow executor cache without bound.
+    Evicts the oldest staged frame once the registry exceeds MAX_STAGED
+    entries, so unbounded distinct-query workloads cannot grow executor
+    cache without bound. Eviction skips unpersist() when a newer
+    registered handle aliases the same canonicalized plan: Spark's
+    CacheManager keys on the canonical plan, so unpersisting the old
+    alias would silently uncache the newer frame too.
     """
     df.persist()
     _HANDLES.append(df)
     while len(_HANDLES) > MAX_STAGED:
-        _HANDLES.pop(0).unpersist()
+        evicted = _HANDLES.pop(0)
+        key = _canon(evicted)
+        if any(_canon(h) == key for h in _HANDLES):
+            continue
+        evicted.unpersist()
     return df
 
 

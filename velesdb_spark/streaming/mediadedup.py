@@ -120,20 +120,32 @@ class StreamingDHashStore:
         hits = self._store_hits(bands)
         keep = bands.join(hits, "_id", "left_anti") \
             .withColumn("batch_id", F.lit(int(batch_id)))
-        keep.write.mode("append").parquet(f"{self.root}/bands")
-        # Return the just-written batch_id slice read back from the
-        # store rather than re-evaluating keep: a second action on the
-        # lazy plan would re-run the full decode+hash+join pipeline
+        d = f"{self.root}/bands"
+        before = set(os.listdir(d))
+        keep.write.mode("append").parquet(d)
+        # Return THIS append's rows read back from exactly the files the
+        # append created, rather than re-evaluating keep: a second action
+        # on the lazy plan would re-run the full decode+hash+join pipeline
         # (image decode dominates batch cost — every batch paid it
         # twice) AND, worse, re-list the bands dir so the batch's own
         # appended rows masquerade as previously-accepted and self-
-        # reject the whole batch. The read-back scans only the small
-        # new segment. localCheckpoint still severs the file-index pin:
+        # reject the whole batch. Filtering the store on batch_id is NOT
+        # enough: a reused batch_id (the documented sequential default
+        # batch_id=0, or a fresh-checkpoint restart over an existing
+        # store root) would surface earlier calls' rows as this batch's.
+        # The file delta pins the read-back to this call alone; the
+        # single-writer contract (compact() discipline) makes the listing
+        # race-free. localCheckpoint still severs the file-index pin:
         # after compact() renames the bands dir, actions on a lazy
         # read-back would throw FileNotFoundException.
+        new_files = [f"{d}/{f}" for f in os.listdir(d)
+                     if f not in before and not f.startswith(("_", "."))]
+        if not new_files:
+            return (self.spark.createDataFrame([], _STORE_SCHEMA)
+                    .select(F.col("_id").alias(self.id_col),
+                            F.col("_h").alias("dhash")))
         out = (self.spark.read.schema(_STORE_SCHEMA)
-               .parquet(f"{self.root}/bands")
-               .filter(F.col("batch_id") == int(batch_id))
+               .parquet(*new_files)
                .select(F.col("_id").alias(self.id_col),
                        F.col("_h").alias("dhash")).distinct()
                .localCheckpoint(eager=True))

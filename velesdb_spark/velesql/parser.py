@@ -340,11 +340,14 @@ class _Parser:
             expr = self.aggregate_function()
         else:
             expr = self.dotted_name()
-        ascending = True
+        # Default direction: plain fields/aggregates sort ASC, but a bare
+        # ORDER BY similarity(...) defaults to DESC — most similar first
+        # (similarity_tests.rs:332-348 test_order_by_similarity_default_desc)
+        ascending = not isinstance(expr, ast.OrderBySimilarity)
         if self.accept_kw("DESC"):
             ascending = False
-        else:
-            self.accept_kw("ASC")
+        elif self.accept_kw("ASC"):
+            ascending = True
         return ast.OrderByItem(expr, ascending)
 
     def with_value(self):

@@ -326,7 +326,12 @@ class Translator:
         for item in order_by:
             if isinstance(item.expr, ast.OrderBySimilarity):
                 vec = self.value(item.expr.vector)
-                _check_dim(st.info, vec)
+                # The collection-level dim (collection/types.rs: one dim
+                # per collection) governs only the declared vector column;
+                # a secondary vector field of different dimensionality
+                # must not be rejected with E004.
+                if item.expr.field_name in ("vector", st.info.vector_col):
+                    _check_dim(st.info, vec)
                 score = metric_score(
                     _col(st.info.vector_col if item.expr.field_name == "vector"
                          else item.expr.field_name),
@@ -410,18 +415,17 @@ class Translator:
             # group_limit is the reference's alternative spelling of
             # max_groups; extract_max_groups_limit (aggregation.rs:700-717)
             # walks the WITH options in declaration order and takes the
-            # FIRST of max_groups/group_limit whose value parses as an
-            # integer, clamped to [1, 1_000_000] — so WITH (max_groups=0)
-            # clamps to 1 rather than disabling the guard, and
-            # WITH (group_limit=5, max_groups=9) picks 5.
+            # FIRST of max_groups/group_limit whose value IS an integer
+            # (WithValue::Integer only — a string '5' or a float is
+            # ignored, never coerced), clamped to [1, 1_000_000] — so
+            # WITH (max_groups=0) clamps to 1 rather than disabling the
+            # guard, and WITH (group_limit=5, max_groups=9) picks 5.
             maxg = None
             for k, v in s.with_options.items():
                 if k in ("max_groups", "group_limit"):
-                    try:
-                        maxg = min(max(int(v), 1), 1_000_000)
-                    except (TypeError, ValueError):
-                        continue
-                    break
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        maxg = min(max(v, 1), 1_000_000)
+                        break
             if maxg is not None:
                 n = grouped.count()
                 if n > maxg:
