@@ -1946,6 +1946,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_advisor"] = _index_advisor
 
+    # explain_tests.rs rotation: the structured QueryPlan's node sequence,
+    # per-node cost constants (explain.rs:314-330), total cost fold
+    # (:303-312), index report and selectivity-driven filter strategy
+    # (:210-222) for a fixed query shape — all pinned by a constant-valued
+    # oracle, so any drift in the cost model or strategy selection fails
+    # the strict value hash.
+    def _explain_queryplan(s, d):
+        from velesdb_spark.plans.queryplan import (FilterStrategy, IndexType,
+                                                   QueryPlan)
+        from velesdb_spark.velesql.parser import parse as _parse
+
+        plan = QueryPlan.from_select(_parse(
+            "SELECT * FROM embeddings WHERE vector NEAR $v AND label = 1 "
+            "LIMIT 10 OFFSET 20"))
+        nodes = plan.root if isinstance(plan.root, list) else [plan.root]
+        rows = [(i, type(n).__name__.removesuffix("Plan"),
+                 round(QueryPlan.node_cost(n), 6),
+                 IndexType.as_str(plan.index_used),
+                 FilterStrategy.as_str(plan.filter_strategy),
+                 round(plan.estimated_cost_ms, 6))
+                for i, n in enumerate(nodes)]
+        return s.createDataFrame(
+            rows, "pos int, node string, node_cost double, index_used string,"
+                  " filter_strategy string, total_cost double")
+
+    q["explain_queryplan"] = _explain_queryplan
+
+    # json_path_tests.rs rotation: deep-nested + array-indexed + missing
+    # path extraction, executed through functions/jsonpath.JsonPath's
+    # column compiler (one get_json_object per path). The nested JSON is
+    # constructed by identical string concatenation in both engines so
+    # DuckDB's json_extract_string is a fully independent oracle.
+    def _json_path_deep(s, d):
+        from velesdb_spark.functions.jsonpath import JsonPath
+
+        docs = _t(s, d, "documents")
+        js = F.concat(
+            F.lit('{"meta":{"src":"'), F.col("source"),
+            F.lit('","tags":["'), F.col("lang"),
+            F.lit('","x"]},"items":[{"sku":'),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(',"qty":2},{"sku":'),
+            ((F.col("doc_id") + 7) % 100).cast("string"),
+            F.lit(',"qty":1}]}'))
+        sku1 = JsonPath.parse("items[1].sku").to_column("js").cast("int")
+        return (docs.select("doc_id", js.alias("js"))
+                .select(
+                    "doc_id",
+                    JsonPath.parse("meta.src").to_column("js").alias("src"),
+                    JsonPath.parse("meta.tags[0]").to_column("js")
+                    .alias("tag0"),
+                    sku1.alias("sku1"),
+                    JsonPath.parse("items[0].missing").to_column("js")
+                    .alias("miss"))
+                .filter(F.col("sku1") < 20).orderBy("doc_id"))
+
+    q["json_path_deep"] = _json_path_deep
+
     # IVF search, ORACLE-GATED at partial nprobe (3 of 8 lists): the
     # sampled-points centroids make assignment + probe selection + re-rank
     # all relationally re-derivable in DuckDB — a stronger gate than the
@@ -3856,7 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     # ---- round-11 additions — first (reference-suite rotation:
     # similarity / explain / json_path shapes)
-    "orderby_sim_default_desc",
+    "orderby_sim_default_desc", "explain_queryplan", "json_path_deep",
     # ---- round-10 additions (reference-suite rotation:
     # orderby_multi / with_options / validation_parity shapes)
     "orderby_sim_tiebreak", "orderby_sim_second",
@@ -5950,6 +6008,35 @@ SELECT 'CREATE INDEX idx_' || lower(array_to_string(labels, '_')) || '_'
        round(improvement, 6) AS improvement,
        round(query_count * improvement * avg_ms, 4) AS priority
 FROM imp WHERE improvement >= 0.2"""
+
+    o["explain_queryplan"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS INT), 'VectorSearch', CAST(0.05  AS DOUBLE), 'HNSW',
+   'post-filtering (low selectivity)', CAST(0.107 AS DOUBLE)),
+  (CAST(1 AS INT), 'Filter',       CAST(0.005 AS DOUBLE), 'HNSW',
+   'post-filtering (low selectivity)', CAST(0.107 AS DOUBLE)),
+  (CAST(2 AS INT), 'Offset',       CAST(0.001 AS DOUBLE), 'HNSW',
+   'post-filtering (low selectivity)', CAST(0.107 AS DOUBLE)),
+  (CAST(3 AS INT), 'Limit',        CAST(0.001 AS DOUBLE), 'HNSW',
+   'post-filtering (low selectivity)', CAST(0.107 AS DOUBLE))
+) AS t(pos, node, node_cost, index_used, filter_strategy, total_cost)
+ORDER BY pos"""
+
+    o["json_path_deep"] = """
+WITH j AS (
+  SELECT doc_id,
+         '{"meta":{"src":"' || source || '","tags":["' || lang
+         || '","x"]},"items":[{"sku":' || CAST(doc_id % 100 AS VARCHAR)
+         || ',"qty":2},{"sku":' || CAST((doc_id + 7) % 100 AS VARCHAR)
+         || ',"qty":1}]}' AS js
+  FROM documents)
+SELECT doc_id,
+       json_extract_string(js, '$.meta.src') AS src,
+       json_extract_string(js, '$.meta.tags[0]') AS tag0,
+       CAST(json_extract_string(js, '$.items[1].sku') AS INT) AS sku1,
+       json_extract_string(js, '$.items[0].missing') AS miss
+FROM j WHERE CAST(json_extract_string(js, '$.items[1].sku') AS INT) < 20
+ORDER BY doc_id"""
 
     o["stream_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n

@@ -1238,12 +1238,25 @@ def translate(sql_or_ast, catalog: Catalog, params: Optional[dict] = None,
         # plan tree + the Catalyst physical plan (velesql/explain.rs; REST
         # /query/explain returns the same shape as data)
         from velesdb_spark.plans.explain import plan_tree
+        from velesdb_spark.plans.queryplan import QueryPlan
 
         df = Translator(catalog, params, now_epoch).query(q.query)
         catalyst = df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
-        text = (f"-- VelesQL plan --\n{plan_tree(q.query)}\n\n"
+        # Reference-shaped structured plan (explain.rs QueryPlan — node
+        # tree, estimated cost, index, filter strategy) for the shapes
+        # the reference plans (Select / MATCH); compounds keep only the
+        # legacy pipeline view.
+        inner = q.query
+        if isinstance(inner, ast.Select):
+            structured = QueryPlan.from_select(inner).to_tree()
+        elif isinstance(inner, ast.MatchQuery):
+            structured = QueryPlan.from_match(inner).to_tree()
+        else:
+            structured = ""
+        text = (f"-- VelesQL plan --\n{structured}\n"
+                f"-- operator pipeline --\n{plan_tree(q.query)}\n\n"
                 f"-- Catalyst plan --\n{catalyst}")
         if q.analyze:
             # EXPLAIN ANALYZE: execute and append OBSERVED stats, not
