@@ -3291,47 +3291,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark (found by the round-10 sf1 strict sweep: 541/542
         # rows). The heartbeat is buffered mode's documented
         # end-of-stream contract (streaming/temporal.py).
-        import os
-        import shutil
-        import tempfile
-        import uuid
-
         from velesdb_spark.streaming.events import read_events_stream
-        from velesdb_spark.streaming.temporal import stream_asof_join
+        from velesdb_spark.streaming.temporal import (bounded_stage,
+                                                      drain_bounded,
+                                                      stream_asof_join)
 
-        stage = tempfile.mkdtemp(prefix="events_sasof_")
-        os.symlink(os.path.abspath(f"{d}/events.parquet"), f"{stage}/events.parquet")
-        ev_schema = s.read.parquet(f"{d}/events.parquet").schema
-        max_ts = s.read.parquet(f"{d}/events.parquet") \
-            .agg(F.max("ts")).collect()[0][0]
-        vals = {"event_id": 10**12, "ts": max_ts, "user_id": 0,
-                "event_type": "purchase", "value": 0.0}
-        flush = s.createDataFrame(
-            [tuple(vals.get(f.name) for f in ev_schema.fields)],
-            ev_schema) \
-            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
-        flush.coalesce(1).write.parquet(f"{stage}_flush")
-        part = next(p for p in os.listdir(f"{stage}_flush")
-                    if p.endswith(".parquet"))
-        shutil.copy(f"{stage}_flush/{part}", f"{stage}/zz_flush.parquet")
-        try:
+        with bounded_stage(
+                s, d, file_glob="events.parquet",
+                heartbeat={"event_id": 10**12, "user_id": 0,
+                           "event_type": "purchase", "value": 0.0}) as stage:
             ev = (read_events_stream(s, stage)
                   .filter(F.col("event_type").isin("click", "purchase")
                           & (F.col("user_id") < 40))
                   .withColumn("_side",
                               F.when(F.col("event_type") == "click",
                                      F.lit(1)).otherwise(F.lit(0))))
-            out = stream_asof_join(ev)
-            name = "stream_sasof_" + uuid.uuid4().hex[:8]
-            qr = (out.writeStream.format("memory").queryName(name)
-                  .outputMode("append").trigger(availableNow=True).start())
-            if not qr.awaitTermination(180):
-                qr.stop()
-                raise TimeoutError("stream_asof drain exceeded 180s")
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-            shutil.rmtree(f"{stage}_flush", ignore_errors=True)
-        return (s.table(name)
+            tbl = drain_bounded(stream_asof_join(ev), timeout_s=180)
+        return (tbl
                 .select("u_key", "l_id", "l_ts_us", "r_ts_us",
                         F.round("r_val", 6).alias("r_val"))
                 .orderBy("l_id"))

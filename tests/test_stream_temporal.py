@@ -508,3 +508,57 @@ def test_stream_asof_buffered_property(spark, data):
                                    n_batches, delay_s)
     assert got == want
     assert len(got) == len(lefts)
+
+
+def test_drain_bounded_finalizes_submillisecond_boundary_left(spark, tmp_path):
+    """bounded_stage + drain_bounded wrap the terminal-heartbeat contract
+    (streaming/temporal.py end-of-stream caveat) so callers can't forget
+    it: a left at the corpus-MAXIMAL timestamp with a sub-millisecond
+    component — the exact shape the round-10 sf1 sweep caught (541/542
+    rows) — finalizes without any caller-built flush row."""
+    from velesdb_spark.streaming.temporal import bounded_stage, drain_bounded
+
+    rows = [
+        (1, "2024-01-01 09:00:00.000000", 7, "purchase", 5.0),
+        (2, "2024-01-01 10:00:00.000000", 7, "click", None),
+        # the maximal event: a click whose ts has a sub-ms component —
+        # ms-granular watermarks never strictly pass it once input ends
+        (3, "2024-01-01 11:00:00.000123", 7, "click", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+        "event_id bigint, ts_s string, user_id bigint, "
+        "event_type string, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_single_file(df, tmp_path / "w", f"{src}/b0.parquet")
+
+    with bounded_stage(
+            spark, src,
+            heartbeat={"event_id": 10**12, "user_id": 0,
+                       "event_type": "purchase", "value": 0.0}) as stage:
+        staged_dir = stage
+        assert os.path.exists(f"{stage}/zz_heartbeat.parquet")
+        ev = (spark.readStream.schema(SCHEMA).parquet(stage)
+              .withColumn("_side",
+                          F.when(F.col("event_type") == "click",
+                                 F.lit(1)).otherwise(F.lit(0))))
+        tbl = drain_bounded(stream_asof_join(ev), timeout_s=120)
+        got = {r.l_id: r.r_val for r in tbl.collect()}
+    # BOTH clicks finalized — including the boundary one — and the
+    # heartbeat (a right on key 0) emitted nothing
+    assert got == {2: 5.0, 3: 5.0}
+    # the staged dir is cleaned up on exit
+    assert not os.path.exists(staged_dir)
+
+
+def test_bounded_stage_guards(spark, tmp_path):
+    from velesdb_spark.streaming.temporal import bounded_stage
+
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no .* files"):
+        with bounded_stage(spark, empty):
+            pass

@@ -47,10 +47,88 @@ forms of point-in-time alignment and windowed event correlation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StructField,
                                StructType)
+
+
+@contextlib.contextmanager
+def bounded_stage(spark: SparkSession, src_dir: str, ts_col: str = "ts",
+                  heartbeat: dict | None = None,
+                  delay: str = "INTERVAL 1 DAY",
+                  file_glob: str = "*.parquet"):
+    """Stage a BOUNDED file-stream input dir whose last file is a terminal
+    heartbeat row — the end-of-stream contract buffered stream_asof_join
+    drains need (module docstring: Spark watermarks are millisecond-
+    granular and availableNow emits no terminal watermark, so a left at
+    the corpus-maximal sub-ms timestamp never finalizes on its own).
+
+    Yields a temp dir containing symlinks to every ``file_glob`` file in
+    ``src_dir`` plus one ``zz_heartbeat.parquet`` whose ``ts_col`` is
+    max(ts) + ``delay`` and whose other columns come from ``heartbeat``
+    (missing columns stay NULL). The heartbeat file is written LAST so the
+    file source's modification-time ordering lands it in the final batch,
+    advancing the watermark past every real row. The dir (and the
+    heartbeat scratch) is removed on exit.
+
+    The heartbeat row itself flows through the caller's stream: give it
+    column values the pipeline maps to the RIGHT side with a key/id no
+    real left can join (the stream_asof gate uses a far-future purchase on
+    user 0, id 10^12), or filter it out downstream by its sentinel id.
+    """
+    import glob as _glob
+
+    stage = tempfile.mkdtemp(prefix="bounded_stage_")
+    scratch = stage + "_hb"
+    try:
+        files = sorted(_glob.glob(os.path.join(src_dir, file_glob)))
+        if not files:
+            raise ValueError(f"no {file_glob} files under {src_dir}")
+        for f in files:
+            os.symlink(os.path.abspath(f), os.path.join(stage,
+                                                        os.path.basename(f)))
+        src = spark.read.parquet(*files)
+        max_ts = src.agg(F.max(ts_col)).collect()[0][0]
+        if max_ts is None:
+            raise ValueError(f"{ts_col} is all-NULL; no watermark to pass")
+        vals = dict(heartbeat or {})
+        row = tuple(vals.get(f.name) for f in src.schema.fields)
+        hb = (spark.createDataFrame([row], src.schema)
+              .withColumn(ts_col, F.lit(max_ts) + F.expr(delay)))
+        hb.coalesce(1).write.parquet(scratch)
+        part = next(p for p in os.listdir(scratch) if p.endswith(".parquet"))
+        # copy (not link): the heartbeat must carry the NEWEST mtime
+        shutil.copy(os.path.join(scratch, part),
+                    os.path.join(stage, "zz_heartbeat.parquet"))
+        yield stage
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def drain_bounded(out: DataFrame, timeout_s: int = 180,
+                  name: str | None = None) -> DataFrame:
+    """Drain a streaming DataFrame to completion through an availableNow
+    memory sink and return the result table. Raises TimeoutError (after
+    stopping the query) if the drain overruns — reading a partial result
+    would silently look like missing matches. Pair with bounded_stage()
+    so the terminal-heartbeat contract is impossible to forget."""
+    name = name or ("drain_" + uuid.uuid4().hex[:8])
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"bounded drain still running after {timeout_s}s — result "
+            "incomplete; raise timeout_s")
+    return out.sparkSession.table(name)
 
 
 def stream_interval_join(left: DataFrame, right: DataFrame,
