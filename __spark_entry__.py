@@ -1768,6 +1768,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_match_2hop"] = _match_2hop
 
+    # graph_pattern_tests.rs:126-135 stores "count(*)" as a ReturnItem
+    # expression; here it EXECUTES with Cypher implicit grouping — the
+    # non-aggregate return item (nation name) is the grouping key
+    def _match_count(s, d):
+        from velesdb_spark.velesql.translator import translate
+
+        cat, _, _ = _graph(s, d)
+        return translate(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "RETURN n.name AS nation, count(*) AS n_cust LIMIT 100000", cat)
+
+    q["graph_match_count"] = _match_count
+
     def _bfs(s, d):
         _, _, edges = _graph(s, d)
         return gr.bfs(edges, [1, 2, 3, 4, 5], 1, 2)
@@ -3891,6 +3904,7 @@ _GATE_ORDER = [
     # ---- round-11 additions — first (reference-suite rotation:
     # similarity / explain / json_path shapes)
     "orderby_sim_default_desc", "explain_queryplan", "json_path_deep",
+    "graph_match_count",
     # ---- round-10 additions (reference-suite rotation:
     # orderby_multi / with_options / validation_parity shapes)
     "orderby_sim_tiebreak", "orderby_sim_second",
@@ -4846,6 +4860,11 @@ UNION ALL
 SELECT c.c_custkey AS start_id, n.n_regionkey + 2000000 AS node_id, 2 AS depth
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_custkey IN (1, 2, 3, 4, 5)"""
+
+    o["graph_match_count"] = (
+        "SELECT n.n_name AS nation, COUNT(*) AS n_cust "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY nation ORDER BY nation LIMIT 100000")
 
     o["match_mixed_direction"] = """
 SELECT c2.c_name AS name FROM customer c1

@@ -1,0 +1,314 @@
+"""Reference-suite rotation, round 11 — the last four unmined suites:
+graph_pattern_tests.rs (13), parser/subquery_tests.rs (10),
+hybrid_tests.rs (9), parser/temporal_tests.rs (7). Structural rs tests
+map to parse-level assertions on the Python AST; executed-semantics rs
+tests run on DataFrames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from velesdb_spark.velesql import ast
+from velesdb_spark.velesql.parser import parse, parse_interval
+
+
+# ------------------------------------------------------------------
+# graph_pattern_tests.rs (13 shapes) — AST structure via the parser
+# ------------------------------------------------------------------
+
+def test_node_pattern_shapes():
+    """rs:9-48 node builders/defaults — expressed through parse: empty
+    node, alias-only, label-only, alias+multi-label chain."""
+    q = parse("MATCH (n) RETURN n LIMIT 1")
+    bare = parse("MATCH () RETURN * LIMIT 1").nodes[0]
+    assert bare.alias is None and bare.labels == () and bare.properties == ()
+    assert q.nodes[0].alias == "n"
+    q = parse("MATCH (:Person) RETURN * LIMIT 1")
+    assert q.nodes[0].labels == ("Person",) and q.nodes[0].alias is None
+    q = parse("MATCH (p:Person:Employee) RETURN p LIMIT 1")
+    assert q.nodes[0].alias == "p"
+    assert q.nodes[0].labels == ("Person", "Employee")
+
+
+def test_relationship_pattern_shapes():
+    """rs:50-66,147-159: defaults, direction variants, alias+type+range.
+    NOTE bracketless arrows ((a)-->(b)) are comment-ambiguous in BOTH
+    engines — the reference's pest COMMENT rule ('--' to end of line,
+    grammar.pest:6) swallows them exactly like our lexer does — so the
+    empty rel spec is spelled -[]->."""
+    r = parse("MATCH (a)-[]->(b) RETURN a LIMIT 1").rels[0]
+    assert r.alias is None and r.types == () and r.direction == "out"
+    assert (r.min_depth, r.max_depth) == (1, 1) and r.properties == ()
+    assert parse("MATCH (a)<-[:R]-(b) RETURN a LIMIT 1").rels[0].direction == "in"
+    assert parse("MATCH (a)-[:R]-(b) RETURN a LIMIT 1").rels[0].direction == "both"
+    r = parse("MATCH (a)-[r:KNOWS*1..5]-(b) RETURN a LIMIT 1").rels[0]
+    assert r.alias == "r" and r.types == ("KNOWS",)
+    assert (r.min_depth, r.max_depth) == (1, 5) and r.direction == "both"
+
+
+def test_graph_pattern_structure():
+    """rs:68-79: named path binding + node/relationship counts."""
+    q = parse("MATCH path = (a)-[:R]->(b) RETURN a LIMIT 1")
+    assert q.path_name == "path"
+    assert len(q.nodes) == 2 and len(q.rels) == 1
+
+
+def test_return_clause_structure():
+    """rs:81-100,126-145: return items with aliases, ORDER BY direction,
+    LIMIT; count(*) as a return expression; ascending order item."""
+    q = parse("MATCH (n:Person) RETURN n.name AS name "
+              "ORDER BY n.age DESC LIMIT 10")
+    assert len(q.returns) == 1
+    assert q.returns[0].expr == "n.name" and q.returns[0].alias == "name"
+    assert q.order_by and q.order_by[0].ascending is False
+    assert q.limit == 10
+    q = parse("MATCH (n:Person) RETURN count(*) LIMIT 5")
+    assert q.returns[0].expr == "count(*)" and q.returns[0].alias is None
+    q = parse("MATCH (n) RETURN n ORDER BY n.created_at LIMIT 1")
+    assert q.order_by[0].ascending is True
+
+
+def test_match_clause_structure():
+    """rs:102-124: single label-anchored pattern, no WHERE, one return."""
+    q = parse("MATCH (n:Person) RETURN n LIMIT 1")
+    assert len(q.nodes) == 1 and q.where is None and len(q.returns) == 1
+
+
+def test_match_count_star_executes(spark):
+    """Beyond the rs structural test: count(*) EXECUTES with Cypher
+    implicit grouping (the graph_match_count gate's pytest twin)."""
+    from velesdb_spark.operators.graph import translate_match
+    from velesdb_spark.velesql.translator import Catalog
+
+    nodes = spark.createDataFrame(
+        [(1, ["L"], "x"), (2, ["L"], "x"), (3, ["L"], "y"), (4, ["M"], "y")],
+        "id bigint, labels array<string>, grp string")
+    edges = spark.createDataFrame([], "eid bigint, src bigint, dst bigint,"
+                                      " label string")
+    cat = Catalog().register("nodes", nodes).register("edges", edges)
+    q = parse("MATCH (n:L) RETURN n.grp AS grp, count(*) AS n_nodes LIMIT 10")
+    got = {(r.grp, r.n_nodes) for r in translate_match(q, cat).collect()}
+    assert got == {("x", 2), ("y", 1)}
+    # no grouping key -> one global row
+    q = parse("MATCH (n:L) RETURN count(*) LIMIT 10")
+    rows = translate_match(q, cat).collect()
+    assert len(rows) == 1 and rows[0]["count"] == 3
+
+
+# ------------------------------------------------------------------
+# parser/subquery_tests.rs (10 shapes)
+# ------------------------------------------------------------------
+
+SUBQUERY_SHAPES = [
+    "SELECT * FROM products WHERE price < (SELECT AVG(price) FROM products)",
+    "SELECT * FROM orders WHERE total > "
+    "(SELECT AVG(total) FROM orders WHERE status = 'paid')",
+    "SELECT * FROM accounts WHERE balance > "
+    "(SELECT SUM(amount) FROM transactions)",
+    "SELECT * FROM users WHERE order_count > (SELECT COUNT(*) FROM orders)",
+    "SELECT * FROM products WHERE price = (SELECT MIN(price) FROM products)",
+    "SELECT * FROM items WHERE cost < (SELECT AVG(cost) FROM items)",
+    "SELECT * FROM logs WHERE id > (SELECT MAX(id) FROM logs LIMIT 1)",
+    "SELECT * FROM orders WHERE total > "
+    "(SELECT AVG(amount) FROM order_items WHERE order_id = 1)",
+]
+
+
+def test_subquery_shapes_parse():
+    """subquery_tests.rs:6-124: every scalar-subquery comparison shape
+    parses; the right-hand value is the Subquery variant."""
+    for q in SUBQUERY_SHAPES:
+        stmt = parse(q)
+        assert isinstance(stmt.where, ast.Compare), q
+        assert isinstance(stmt.where.value, ast.Subquery), q
+
+
+def test_subquery_correlation_surface(catalog):
+    """subquery_tests.rs:94-142: correlation detection. The reference
+    stores a correlations list on the parsed subquery; here correlation
+    is detected at translation (decorrelated to a key-join) — pin both
+    ends: a same-table subquery translates without correlation (1-row
+    broadcast bound), a correlated one decorrelates and EXECUTES."""
+    from velesdb_spark.velesql.translator import translate
+
+    # non-correlated: plain scalar bound
+    df = translate("SELECT o_orderkey FROM orders WHERE o_totalprice > "
+                   "(SELECT AVG(o_totalprice) FROM orders) "
+                   "ORDER BY o_orderkey LIMIT 5", catalog)
+    assert df.count() == 5
+    # correlated: outer-alias equality inside the subquery
+    df = translate(
+        "SELECT o_orderkey FROM orders AS o WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders AS o2 "
+        "WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey LIMIT 5",
+        catalog)
+    assert df.count() == 5
+
+
+# ------------------------------------------------------------------
+# hybrid_tests.rs (9 shapes) — two-list fusion on DataFrames
+# ------------------------------------------------------------------
+
+def _res(spark, pairs):
+    return spark.createDataFrame(list(pairs), "id bigint, score double")
+
+
+def test_hybrid_rrf_basic(spark):
+    """hybrid_tests.rs:12-23: ids 1 and 2 (present in both lists, top
+    ranks) lead; all 4 distinct ids survive."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 0.9), (2, 0.8), (3, 0.7)])
+    g = _res(spark, [(2, 1.0), (1, 0.5), (4, 0.3)])
+    fused = fuse_pair(v, g, "rrf", limit=10).collect()
+    assert len(fused) == 4
+    assert {fused[0].id, fused[1].id} == {1, 2}
+
+
+def test_hybrid_rrf_k_parameter(spark):
+    """hybrid_tests.rs:25-34: smaller k -> larger top score."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 0.9)])
+    g = _res(spark, [(1, 1.0)])
+    s60 = fuse_pair(v, g, "rrf", k=60).collect()[0].score
+    s1 = fuse_pair(v, g, "rrf", k=1).collect()[0].score
+    assert s1 > s60
+    assert abs(s60 - 2.0 / 61.0) < 1e-9 and abs(s1 - 1.0) < 1e-9
+
+
+def test_hybrid_weighted_fusion(spark):
+    """hybrid_tests.rs:36-45: symmetric 0.5/0.5 weights over mirrored
+    lists -> (near-)equal fused scores."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 1.0), (2, 0.5)])
+    g = _res(spark, [(2, 1.0), (1, 0.5)])
+    fused = fuse_pair(v, g, "weighted").collect()
+    assert abs(fused[0].score - fused[1].score) < 0.1
+
+
+def test_hybrid_weighted_vector_preference(spark):
+    """hybrid_tests.rs:47-56: 0.9 vector weight -> the vector-best id
+    wins."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 1.0), (2, 0.0)])
+    g = _res(spark, [(2, 1.0), (1, 0.0)])
+    fused = fuse_pair(v, g, "weighted",
+                      vector_weight=0.9, graph_weight=0.1).collect()
+    assert fused[0].id == 1
+
+
+def test_hybrid_maximum_fusion(spark):
+    """hybrid_tests.rs:58-70: per-list normalization first — the max of
+    each list scores 1.0 regardless of raw scale; 3 distinct ids out."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 0.9), (2, 0.3)])
+    g = _res(spark, [(2, 0.8), (3, 0.7)])
+    fused = fuse_pair(v, g, "maximum").collect()
+    assert len(fused) == 3
+    byid = {r.id: r.score for r in fused}
+    assert abs(byid[1] - 1.0) < 1e-9 and abs(byid[2] - 1.0) < 1e-9
+
+
+def test_hybrid_intersect_results(spark):
+    """hybrid_tests.rs:72-82: AND semantics keeps only ids in BOTH."""
+    from velesdb_spark.functions.fusion import intersect_results
+
+    v = _res(spark, [(1, 0.9), (2, 0.8), (3, 0.7)])
+    g = _res(spark, [(2, 1.0), (3, 0.5), (4, 0.3)])
+    got = {r.id for r in intersect_results(v, g).collect()}
+    assert got == {2, 3}
+
+
+def test_hybrid_empty_results(spark):
+    """hybrid_tests.rs:84-92: an empty side is a no-op, not an error."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 0.9)])
+    empty = _res(spark, [])
+    fused = fuse_pair(v, empty, "rrf", limit=10).collect()
+    assert len(fused) == 1 and fused[0].id == 1
+
+
+def test_hybrid_limit_respected(spark):
+    """hybrid_tests.rs:94-101."""
+    from velesdb_spark.functions.fusion import fuse_pair
+
+    v = _res(spark, [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6), (5, 0.5)])
+    g = _res(spark, [(6, 1.0), (7, 0.5)])
+    assert len(fuse_pair(v, g, "rrf", limit=3).collect()) == 3
+
+
+def test_hybrid_normalize_scores(spark):
+    """hybrid_tests.rs:103-111 + hybrid.rs:236-265: min-max to [0,1];
+    all-equal -> 1.0; empty stays empty."""
+    from velesdb_spark.functions.fusion import normalize_scores
+
+    r = _res(spark, [(1, 100.0), (2, 50.0), (3, 0.0)])
+    got = {x.id: x.score for x in normalize_scores(r).collect()}
+    assert abs(got[1] - 1.0) < 1e-9
+    assert abs(got[2] - 0.5) < 1e-9
+    assert abs(got[3] - 0.0) < 1e-9
+    same = _res(spark, [(1, 7.0), (2, 7.0)])
+    assert {x.score for x in normalize_scores(same).collect()} == {1.0}
+    assert normalize_scores(_res(spark, [])).count() == 0
+
+
+# ------------------------------------------------------------------
+# parser/temporal_tests.rs (7 shapes)
+# ------------------------------------------------------------------
+
+def test_temporal_parse_shapes():
+    """temporal_tests.rs:6-44: NOW(), bare INTERVAL, NOW() ± INTERVAL."""
+    for q in (
+            "SELECT * FROM events WHERE timestamp > NOW()",
+            "SELECT * FROM events WHERE timestamp > INTERVAL '7 days'",
+            "SELECT * FROM logs WHERE created_at > NOW() - INTERVAL '24 hours'",
+            "SELECT * FROM tasks WHERE due_date < NOW() + INTERVAL '7 days'"):
+        stmt = parse(q)
+        assert isinstance(stmt.where, ast.Compare), q
+
+
+def test_interval_units():
+    """temporal_tests.rs:46-88: every unit parses to the right seconds."""
+    units = [("1 second", 1), ("30 seconds", 30), ("5 minutes", 300),
+             ("2 hours", 7200), ("7 days", 604800), ("2 weeks", 1209600),
+             ("1 month", 2592000)]
+    for text, secs in units:
+        assert parse_interval(text) == secs, text
+        stmt = parse(f"SELECT * FROM events WHERE ts > INTERVAL '{text}'")
+        assert isinstance(stmt.where.value, ast.Interval)
+        assert stmt.where.value.seconds == secs
+
+
+def test_interval_shorthand_units():
+    """temporal_tests.rs:125-139: s/sec/min/h/d/w shorthands."""
+    for text, secs in (("1 s", 1), ("30 sec", 30), ("5 min", 300),
+                       ("2 h", 7200), ("7 d", 604800), ("2 w", 1209600)):
+        assert parse_interval(text) == secs, text
+
+
+def test_temporal_expr_to_epoch_seconds():
+    """temporal_tests.rs:90-123: to-seconds conversions, NOW() is
+    current, NOW() - 1 week is ~604800 back."""
+    import time
+
+    assert parse_interval("1 day") == 86400
+    assert parse_interval("1 week") == 604_800
+    now_q = parse("SELECT * FROM events WHERE ts > NOW()")
+    assert isinstance(now_q.where.value, ast.Now)
+    # the arithmetic resolves at translation time; pin via the value
+    # resolver with a fixed epoch
+    from velesdb_spark.velesql.translator import Catalog, Translator
+
+    tr = Translator(Catalog(), now_epoch=1_700_000_000)
+    week_ago = tr.value(ast.TemporalArith(ast.Now(), "-",
+                                          ast.Interval(604_800)))
+    now_val = tr.value(ast.Now())
+    assert int(now_val) - int(week_ago) == 604_800
+    # wall-clock NOW() is after Jan 1 2020
+    live = Translator(Catalog()).value(ast.Now())
+    assert int(live) > 1_577_836_800
+    assert abs(int(live) - time.time()) < 5

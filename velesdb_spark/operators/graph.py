@@ -447,19 +447,36 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
     if q.where is not None:
         out = out.filter(_match_where(q.where, resolve, tr))
 
-    # RETURN projection
-    exprs = []
-    for item in q.returns:
-        if item.expr == "*":
-            for a in bound:
-                exprs.append(F.col(f"_b_{a}").alias(a))
-            continue
-        if item.expr == "similarity()":
-            exprs.append(F.col("_vql_sim").alias(item.alias or "similarity"))
-            continue
-        name = item.alias or item.expr
-        exprs.append(resolve(item.expr).alias(name))
-    result = out.select(*exprs)
+    # RETURN projection. count(*) triggers Cypher-style IMPLICIT grouping:
+    # the non-aggregate return items become the grouping keys (none →
+    # one global count row).
+    count_items = [it for it in q.returns if it.expr == "count(*)"]
+    if count_items:
+        key_items = [it for it in q.returns if it.expr != "count(*)"]
+        if any(it.expr in ("*", "similarity()") for it in key_items):
+            raise TranslationError(
+                "RETURN count(*) groups by the other return items; "
+                "* and similarity() cannot be grouping keys")
+        cnt = F.count(F.lit(1)).alias(count_items[0].alias or "count")
+        if key_items:
+            keys = [resolve(it.expr).alias(it.alias or it.expr)
+                    for it in key_items]
+            result = out.groupBy(*keys).agg(cnt)
+        else:
+            result = out.agg(cnt)
+    else:
+        exprs = []
+        for item in q.returns:
+            if item.expr == "*":
+                for a in bound:
+                    exprs.append(F.col(f"_b_{a}").alias(a))
+                continue
+            if item.expr == "similarity()":
+                exprs.append(F.col("_vql_sim").alias(item.alias or "similarity"))
+                continue
+            name = item.alias or item.expr
+            exprs.append(resolve(item.expr).alias(name))
+        result = out.select(*exprs)
 
     if q.order_by:
         oexprs = []
@@ -518,7 +535,7 @@ def _referenced_aliases(q: ast.MatchQuery, bound: list[str], target: str) -> lis
 
     walk(q.where)
     for item in q.returns:
-        if item.expr not in ("*", "similarity()"):
+        if item.expr not in ("*", "similarity()", "count(*)"):
             add_name(item.expr)
     for ob in q.order_by:
         if isinstance(ob.expr, str):

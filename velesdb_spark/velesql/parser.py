@@ -704,6 +704,15 @@ class _Parser:
             self.expect_punct("(")
             self.expect_punct(")")
             expr = "similarity()"
+        elif self.at_kw("COUNT") and self.peek().value == "(":
+            # RETURN count(*) — Cypher-style implicit grouping over the
+            # other return items (graph_pattern_tests.rs:126-135 stores
+            # the expression; execution here is beyond-reference headroom)
+            self.advance()
+            self.expect_punct("(")
+            self.expect_punct("*")
+            self.expect_punct(")")
+            expr = "count(*)"
         else:
             expr = self.dotted_name()
         alias = self.identifier() if self.accept_kw("AS") else None
