@@ -156,3 +156,41 @@ def test_minhash_banding_plan_contract(spark):
                 "min-agg not fed by the shingle explode:\n" + "\n".join(lines)
     finally:
         staging.release_staged()
+
+
+def test_infer_generate_filters_escape_hatch(spark):
+    """session.py's InferFiltersFromGenerate exclusion is a choice, not a
+    trap: infer_generate_filters_enabled() re-enables the rule for one
+    query — an explode over a genuinely empty-heavy STORED array gets
+    its inferred size(e)>0 row-skip back — and restores the exclusion on
+    exit (even on error)."""
+    from velesdb_spark.session import (_INFER_GENERATE_RULE,
+                                       infer_generate_filters_enabled)
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)],
+        "id bigint, tags array<string>")
+
+    def _explode_plan():
+        from pyspark.sql import functions as F
+
+        return df.select("id", F.explode("tags").alias("t")) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+
+    # excluded (default): no inferred size filter
+    assert "size(" not in _explode_plan()
+    with infer_generate_filters_enabled(spark):
+        assert _INFER_GENERATE_RULE not in spark.conf.get(
+            "spark.sql.optimizer.excludedRules", "")
+        # rule back on: the inferred size(tags)>0 filter appears
+        assert "size(" in _explode_plan()
+    # restored after the block
+    assert _INFER_GENERATE_RULE in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", "")
+    assert "size(" not in _explode_plan()
+    # restored on error too
+    with pytest.raises(RuntimeError):
+        with infer_generate_filters_enabled(spark):
+            raise RuntimeError("boom")
+    assert _INFER_GENERATE_RULE in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", "")
