@@ -164,10 +164,11 @@ def test_plan_cache_and_query_optimizer():
 
 def test_calibration_rank_correlates_with_measured_bench():
     """The fitted Spark cost surface must RANK the 18 headline queries
-    like the measured driver bench (recalibrated round 10 against
-    BENCH_r09 after the BM25 plan change; shuffle/broadcast features now
-    plan-observed). Spearman >= 0.7 and MAPE bounded — 5 physically-
-    interpretable coefficients over 18 observations."""
+    like the measured bench (recalibrated round 11 against the
+    quiet-host BENCH_LOCAL_r11_quiet line — the first table measured on
+    the post-optimizer-fix minhash/trigram/decontam plans). Spearman
+    >= 0.7 and MAPE bounded — 5 physically-interpretable coefficients
+    over 18 observations."""
     from velesdb_spark.plans.calibration import (CalibratedCostModel,
                                                  FEATURE_NAMES,
                                                  HEADLINE_FEATURES,

@@ -47,20 +47,24 @@ import numpy as np
 
 from velesdb_spark.plans.cost import CollectionStats
 
-# driver bench, sf0.1, local[32], 3 runs/query min (BENCH_r09.json;
-# loadavg 5.13). bm25_topk / hybrid_rrf are the post-r9 single-tokenize
-# staged-persist plans: best-of-3 measures the amortized (cached tf)
-# regime, and the feature rows below price that regime.
+# quiet-host bench, sf0.1, local[32], 3 runs/query min
+# (BENCH_LOCAL_r11_quiet.json, loadavg 0.88, host_noisy=false —
+# re-measured round 11 per the r10 verdict: the r9 table predated the
+# minhash/trigram/decontam plan changes; the refit confirmed the
+# surface holds on the post-fix plans, Spearman 0.81). bm25_topk /
+# hybrid_rrf are the single-tokenize staged-persist plans: best-of-3
+# measures the amortized (cached tf) regime, and the feature rows
+# below price that regime.
 MEASURED_SEC_SF01 = {
-    "groupby_agg": 0.37, "tpch_q3": 0.518, "having_filter": 0.213,
-    "join_two_dims": 0.176, "scalar_subquery": 0.22,
-    "correlated_subquery": 1.145, "knn_cosine": 0.186,
-    "batch_knn": 0.64, "similarity_threshold": 0.211,
-    "bm25_topk": 0.348, "hybrid_rrf": 0.547,
-    "hybrid_rrf_indexed": 0.493, "graph_match_2hop": 0.608,
-    "graph_bfs": 0.672, "minhash_first_hash": 0.291,
-    "ngram_jaccard": 0.66, "exact_dedup": 0.226,
-    "events_hourly": 0.178,
+    "groupby_agg": 0.348, "tpch_q3": 0.498, "having_filter": 0.181,
+    "join_two_dims": 0.192, "scalar_subquery": 0.187,
+    "correlated_subquery": 1.078, "knn_cosine": 0.203,
+    "batch_knn": 0.639, "similarity_threshold": 0.21,
+    "bm25_topk": 0.358, "hybrid_rrf": 0.554,
+    "hybrid_rrf_indexed": 0.515, "graph_match_2hop": 0.62,
+    "graph_bfs": 0.673, "minhash_first_hash": 0.297,
+    "ngram_jaccard": 0.604, "exact_dedup": 0.231,
+    "events_hourly": 0.168,
 }
 
 # (codegen_krows, n_shuffles, n_actions, n_broadcasts, arrow_krows)
