@@ -371,3 +371,42 @@ def test_auto_quantization_decision_rule(spark):
     a2 = [r.id for r in small.search(qv, 5, quantization="auto").collect()]
     e2 = [r.id for r in small.search(qv, 5).collect()]
     assert a2 == e2
+
+
+def test_query_cache_min_size_clamped():
+    """cache_tests.rs:131-142 test_cache_min_size: capacity 0 clamps to
+    1 — two distinct queries keep exactly one entry and record one
+    eviction (the reference clamps, never errors)."""
+    from velesdb_spark.velesql.cache import QueryCache
+
+    c = QueryCache(capacity=0)
+    c.parse("SELECT * FROM a")
+    c.parse("SELECT * FROM b")
+    assert c.len() == 1
+    assert c.stats().evictions == 1
+
+
+def test_query_cache_thread_safety():
+    """cache_tests.rs:145-175: concurrent parse() calls on one cache —
+    no lost counters, every thread gets the shared AST."""
+    import threading
+
+    from velesdb_spark.velesql.cache import QueryCache
+
+    c = QueryCache(capacity=100)
+    q = "SELECT * FROM docs LIMIT 3"
+    got = []
+
+    def worker():
+        for _ in range(50):
+            got.append(c.parse(q))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    s = c.stats()
+    assert s.hits + s.misses == 400
+    assert s.misses >= 1 and c.len() == 1
+    assert all(a is got[0] for a in got)

@@ -312,3 +312,66 @@ def test_temporal_expr_to_epoch_seconds():
     live = Translator(Catalog()).value(ast.Now())
     assert int(live) > 1_577_836_800
     assert abs(int(live) - time.time()) < 5
+
+
+# ------------------------------------------------------------------
+# parser/match_clause_tests.rs (edge shapes; the basic node/rel/range
+# shapes are pinned above and in test_graph.py)
+# ------------------------------------------------------------------
+
+def test_match_clause_edge_shapes_parse():
+    """match_clause_tests.rs:152-457: star-range variants, multi-types,
+    string-literal keyword/comma/quote handling, underscore identifiers,
+    alias-only and empty relationship brackets, properties+range."""
+    shapes = [
+        ("MATCH (a)-[:R*]->(b) RETURN b LIMIT 1", (1, 3)),   # unbounded->cap 3
+        ("MATCH (a)-[:R*2]->(b) RETURN b LIMIT 1", (2, 2)),
+        ("MATCH (a)-[:R*2..]->(b) RETURN b LIMIT 1", (2, 3)),
+        ("MATCH (a)-[:R*..3]->(b) RETURN b LIMIT 1", (1, 3)),
+    ]
+    for q, (lo, hi) in shapes:
+        r = parse(q).rels[0]
+        assert (r.min_depth, r.max_depth) == (lo, hi), q
+    assert parse("MATCH (a)-[:R|S]->(b) RETURN b LIMIT 1").rels[0].types \
+        == ("R", "S")
+    # keywords/commas/quotes inside string literals never terminate
+    n = parse("MATCH (n {name: 'RETURN'}) RETURN n LIMIT 1").nodes[0]
+    assert n.properties == (("name", "RETURN"),)
+    n = parse("MATCH (n {name: 'O,Brien'}) RETURN n LIMIT 1").nodes[0]
+    assert n.properties == (("name", "O,Brien"),)
+    q = parse("MATCH (n) WHERE n.name = 'WHERE' RETURN n LIMIT 1")
+    assert q.where.value == "WHERE"
+    # != and <> both parse
+    assert parse("MATCH (n) WHERE n.x != 1 RETURN n LIMIT 1").where.op \
+        in ("!=", "<>")
+    assert parse("MATCH (n) WHERE n.x <> 1 RETURN n LIMIT 1").where.op \
+        in ("!=", "<>")
+    # underscore identifiers are plain idents, not keyword matches
+    assert parse("MATCH (n) WHERE n.my_field = 1 RETURN n LIMIT 1") \
+        .where.column == "n.my_field"
+    # alias-only / empty relationship brackets
+    assert parse("MATCH (a)-[r]->(b) RETURN b LIMIT 1").rels[0].alias == "r"
+    assert parse("MATCH (a)-[]->(b) RETURN b LIMIT 1").rels[0].alias is None
+    # properties combined with a range
+    r = parse("MATCH (a)-[:R*1..2 {w: 1}]->(b) RETURN b LIMIT 1").rels[0]
+    assert (r.min_depth, r.max_depth) == (1, 2)
+    assert r.properties == (("w", 1),)
+
+
+def test_match_clause_error_shapes_rejected():
+    """match_clause_tests.rs error shapes: missing RETURN, empty pattern,
+    unbalanced parens/brackets are syntax errors. (start > end in a
+    range is NOT a parse error in the reference either —
+    match_clause_tests.rs:142-150.)"""
+    from velesdb_spark.velesql.lexer import VelesQLSyntaxError
+
+    for q in ("MATCH (a)-[:R]->(b)",
+              "MATCH  RETURN a LIMIT 1",
+              "MATCH (a-[:R]->(b) RETURN b LIMIT 1",
+              "MATCH (a)-[:R->(b) RETURN b LIMIT 1",
+              "MATCH (a)-:R]->(b) RETURN b LIMIT 1"):
+        with pytest.raises(VelesQLSyntaxError):
+            parse(q)
+    # parity: an inverted range parses (execution yields no expansion)
+    r = parse("MATCH (a)-[:R*3..1]->(b) RETURN b LIMIT 1").rels[0]
+    assert (r.min_depth, r.max_depth) == (3, 1)

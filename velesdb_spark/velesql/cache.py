@@ -44,9 +44,9 @@ class QueryCache:
     reference, whose Err results aren't stored)."""
 
     def __init__(self, capacity: int = 1000):
-        if capacity < 1:
-            raise ValueError("capacity must be >= 1")
-        self.capacity = int(capacity)
+        # cache.rs clamps to a minimum of 1 (cache_tests.rs:131-142
+        # test_cache_min_size: new(0) keeps exactly one entry)
+        self.capacity = max(int(capacity), 1)
         self._entries: OrderedDict[str, object] = OrderedDict()
         self._lock = threading.Lock()
         self._stats = CacheStats()
