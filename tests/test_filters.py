@@ -188,3 +188,37 @@ def test_bindings_api_surface(spark):
     col.drop_index("Doc", "tag")
     assert not col.has_property_index("Doc", "tag")
     assert len(col.list_indexes()) == 1
+
+
+def test_like_edge_semantics(spark):
+    """filter_like_tests.rs rotation (rs:82-189): empty pattern matches
+    only the empty string; bare %% does not match NULL; regex special
+    chars are literal; \\%% and \\_ escape to literal wildcards; ILIKE
+    folds case. DOCUMENTED DIVERGENCE (rs:150-154
+    test_like_non_string_field): the reference's payloads are schemaless
+    JSON, so a per-row non-string value makes LIKE false; Spark columns
+    are uniformly typed, so LIKE on a non-string column follows SQL's
+    implicit cast — a schema-level property, not a row-level one."""
+    from velesdb_spark.functions.filters import filter_to_column
+
+    df = spark.createDataFrame(
+        [(1, "50%", "A_B", "a+b*c?", "Paris", ""),
+         (2, "505", "AxB", "abc", None, "x")],
+        "id bigint, discount string, code string, expr string, "
+        "name string, empty string")
+
+    def ids(cond):
+        return sorted(r.id for r in df.filter(filter_to_column(cond)).collect())
+
+    assert ids({"type": "like", "field": "discount",
+                "pattern": "50\\%"}) == [1]
+    assert ids({"type": "like", "field": "code", "pattern": "A\\_B"}) == [1]
+    assert ids({"type": "like", "field": "expr", "pattern": "a+b*c?"}) == [1]
+    assert ids({"type": "like", "field": "empty", "pattern": ""}) == [1]
+    # % matches anything INCLUDING the empty string, but never NULL
+    assert ids({"type": "like", "field": "empty", "pattern": "%"}) == [1, 2]
+    assert ids({"type": "like", "field": "name", "pattern": "%"}) == [1]
+    assert ids({"type": "ilike", "field": "code", "pattern": "a__"}) == [1, 2]
+    # NOT over the definite booleans: NULL name is not-matched -> NOT -> true
+    assert ids({"type": "not", "condition":
+                {"type": "like", "field": "name", "pattern": "Par%"}}) == [2]

@@ -375,3 +375,68 @@ def test_match_clause_error_shapes_rejected():
     # parity: an inverted range parses (execution yields no expansion)
     r = parse("MATCH (a)-[:R*3..1]->(b) RETURN b LIMIT 1").rels[0]
     assert (r.min_depth, r.max_depth) == (3, 1)
+
+
+# ------------------------------------------------------------------
+# distance_tests.rs (21) + index/bm25_tests.rs (27) — executed edges
+# ------------------------------------------------------------------
+
+def test_distance_edge_semantics(spark):
+    """distance_tests.rs: jaccard of two EMPTY sets (all-zero vectors)
+    is 1.0 (identical, rs:158-167); hamming of identical binarized
+    vectors is 0 and of complements is the dimension; cosine/euclidean/
+    dot on identical and orthogonal inputs; higher_is_better table."""
+    from velesdb_spark.functions.distance import (higher_is_better,
+                                                  metric_score)
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 1.0, 0.0], [1.0, 0.0, 1.0, 0.0]),
+         (3, [1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0])],
+        "id bigint, a array<double>, b array<double>")
+
+    def scores(m):
+        out = df.select("id", metric_score(F.col("a"), F.col("b"), m)
+                        .alias("s")).collect()
+        return {r.id: round(r.s, 6) for r in out}
+
+    assert scores("jaccard") == {1: 1.0, 2: 1.0, 3: 0.0}
+    assert scores("hamming") == {1: 0.0, 2: 0.0, 3: 4.0}
+    assert scores("cosine") == {1: 0.0, 2: 1.0, 3: 0.0}
+    assert scores("euclidean") == {1: 0.0, 2: 0.0, 3: 2.0}
+    assert scores("dot") == {1: 0.0, 2: 2.0, 3: 0.0}
+    assert higher_is_better("cosine") and higher_is_better("dot") \
+        and higher_is_better("jaccard")
+    assert not higher_is_better("euclidean") \
+        and not higher_is_better("hamming")
+
+
+def test_bm25_tokenize_and_query_edges(spark):
+    """bm25_tests.rs: single-character tokens are filtered (rs:89-96 —
+    'i'/'a' never index, 'am'/'test' do); duplicate query terms don't
+    duplicate results (rs:270-277); common terms still return all docs
+    while rare terms return their one doc (rs:200-214); the shorter
+    document scores higher for a concentrated term (rs:217-231)."""
+    from velesdb_spark.functions.bm25 import Bm25Index
+
+    idx = Bm25Index(spark.createDataFrame(
+        [(1, "I am a test")], "id bigint, text string"))
+    assert idx.search("i", 5).count() == 0
+    assert idx.search("am", 5).count() == 1
+    assert idx.search("rust rust rust", 5).count() == 0
+
+    idx2 = Bm25Index(spark.createDataFrame(
+        [(1, "rust programming"), (2, "python programming"),
+         (3, "java programming")], "id bigint, text string"))
+    assert idx2.search("rust", 10).count() == 1
+    assert idx2.search("programming", 10).count() == 3
+    assert idx2.search("rust rust rust", 10).count() == 1
+
+    idx3 = Bm25Index(spark.createDataFrame(
+        [(1, "rust"),
+         (2, "rust is a systems programming language that runs "
+             "blazingly fast")], "id bigint, text string"))
+    rows = idx3.search("rust", 10).collect()
+    assert len(rows) == 2
+    byid = {r.id: r._bm25_score for r in rows}
+    assert byid[1] > byid[2]
