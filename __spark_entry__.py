@@ -3644,14 +3644,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # via scalar_subquery / in_subquery / semi_anti_join and the pytest
     # translator suite's EXISTS/NOT EXISTS/COUNT-guard cases.
     def _correlated(s, d):
+        from velesdb_spark.functions.staging import stage
+
         orders = _t(s, d, "orders").select("o_orderkey", "o_custkey",
                                            "o_totalprice")
-        per_cust = orders.groupBy("o_custkey").agg(
+        # Three decorrelation legs (EXISTS / scalar / COUNT(*)=0) consume
+        # this per-key aggregate and Catalyst does not reuse the exchange
+        # across union legs (plan-observed: 0 ReusedExchange, per_cust
+        # computed 3x). Stage it: one grouped aggregate, reused by every
+        # leg — the cached frame is the SMALL per-key side (one row per
+        # customer), never the fact table, so the idiom survives 100 TB.
+        per_cust = stage(orders.groupBy("o_custkey").agg(
             F.max(F.when(F.col("o_totalprice") > 250000.0, 1)
                   .otherwise(0)).alias("has250"),
             F.max(F.when(F.col("o_totalprice") > 300000.0, 1)
                   .otherwise(0)).alias("has300"),
-            F.avg("o_totalprice").alias("avg_price"))
+            F.avg("o_totalprice").alias("avg_price")))
         customer = _t(s, d, "customer").select("c_custkey")
 
         qual250 = per_cust.filter(F.col("has250") == 1).select("o_custkey")
