@@ -440,3 +440,41 @@ def test_bm25_tokenize_and_query_edges(spark):
     assert len(rows) == 2
     byid = {r.id: r._bm25_score for r in rows}
     assert byid[1] > byid[2]
+
+
+# ------------------------------------------------------------------
+# collection/metadata_only_tests.rs (13) — typed collection behavior
+# ------------------------------------------------------------------
+
+def test_metadata_only_collection_lifecycle(spark):
+    """metadata_only_tests.rs: a metadata-only collection upserts
+    payload-only points, gets/deletes/counts, reports
+    is_metadata_only(); a vector upsert and a vector search raise TYPED
+    errors (never raw engine analysis exceptions); an EMPTY vector
+    collection still searches (zero results, not a metadata-only
+    error)."""
+    import pytest as _pytest
+
+    from velesdb_spark.database import Database
+
+    db = Database(spark)
+    c = db.create_metadata_collection("meta_r11")
+    assert c.is_metadata_only()
+    c.upsert_metadata([{"id": 1, "payload": {"k": "a"}},
+                       {"id": 2, "payload": {"k": "b"}}])
+    assert c.count() == 2
+    assert c.get(1)["k"] == "a"
+    with _pytest.raises(ValueError, match="metadata-only"):
+        c.upsert([{"id": 3, "vector": [1.0, 2.0]}])
+    with _pytest.raises(ValueError, match="metadata-only"):
+        c.search([1.0, 2.0], 5)
+    with _pytest.raises(ValueError, match="metadata-only"):
+        c.search_with_filter([1.0, 2.0], {"type": "eq", "field": "k",
+                                          "value": "a"}, 5)
+    c.delete([1])
+    assert c.count() == 1
+    # a normal vector collection with data searches fine
+    v = db.create_collection("vec_r11", dimension=2)
+    v.upsert([{"id": 1, "vector": [1.0, 0.0]}])
+    assert v.search([1.0, 0.0], 1).count() == 1
+    assert not v.is_metadata_only()

@@ -56,10 +56,14 @@ class Collection:
                  id_col: str = "id", vector_col: str = "vector",
                  text_col: Optional[str] = None,
                  edges: Optional[DataFrame] = None, path: Optional[str] = None,
-                 storage_mode: str = "full"):
+                 storage_mode: str = "full", metadata_only: bool = False):
         self.spark = spark
         self.name = name
         self.dimension = dimension
+        # CollectionType::MetadataOnly (types.rs:32-61): payload-only
+        # rows; vector upserts and vector search raise typed errors
+        # instead of leaking engine analysis exceptions
+        self.metadata_only = bool(metadata_only)
         self.metric = metric.lower()
         # storage modes (quantization.rs + collection types.rs config):
         # 'full' stores f32; 'sq8' stores the SQ8 struct (4x smaller,
@@ -120,8 +124,19 @@ class Collection:
 
     def upsert(self, points: DataFrame | Sequence[dict]) -> "Collection":
         """Insert-or-replace by id (crud.rs:19-118 → MERGE semantics)."""
+        if self.metadata_only and not isinstance(points, DataFrame) \
+                and any(p.get(self.vector_col) is not None for p in points):
+            raise ValueError(
+                f"collection '{self.name}' is metadata-only: points must "
+                "not carry a vector (CollectionType::MetadataOnly, "
+                "types.rs:32-61); use upsert_metadata or a vector "
+                "collection")
         new = points if isinstance(points, DataFrame) else \
             self.spark.createDataFrame(points)
+        if self.metadata_only and self.vector_col in new.columns:
+            raise ValueError(
+                f"collection '{self.name}' is metadata-only: the upsert "
+                f"frame must not carry a {self.vector_col!r} column")
         if self.dimension is not None and self.vector_col in new.columns \
                 and not self._vectors_quantized(new):
             wrong = F.size(self.vector_col) != self.dimension
@@ -320,7 +335,8 @@ class Collection:
     def is_metadata_only(self) -> bool:
         """bindings is_metadata_only: collection stores no vectors
         (CollectionType::MetadataOnly, types.rs:32-61)."""
-        return (self._df is None
+        return (self.metadata_only
+                or self._df is None
                 or self.vector_col not in self._df.columns
                 or self.dimension == 0)
 
@@ -406,6 +422,7 @@ class Collection:
             DUAL_MIN_INDEX_SIZE, parse_quantization_mode, sq8_dequantize,
             sq8_quantize)
 
+        self._reject_if_metadata_only("search")
         mode = parse_quantization_mode(quantization)
         if self.storage_mode != "full":
             mode = None
@@ -431,6 +448,7 @@ class Collection:
         filter_cond is either a boolean Column or a reference-format filter
         dict (filter/mod.rs:56-161 tagged JSON, as accepted by the Python
         bindings' search_with_filter — velesdb-python collection.rs:359)."""
+        self._reject_if_metadata_only("search_with_filter")
         if isinstance(filter_cond, dict):
             from velesdb_spark.functions.filters import filter_to_column
 
@@ -438,6 +456,20 @@ class Collection:
         return topk_ops.knn(self._score_df(), self._prep_query_vec(vector),
                             k, self.metric, self.vector_col, self.id_col,
                             filter_cond=filter_cond)
+
+    def _reject_if_metadata_only(self, op: str) -> None:
+        """Typed rejection (metadata_only_tests.rs: search on a
+        metadata-only collection is an error, never an engine analysis
+        exception). Applies when the collection was DECLARED metadata-only
+        or its stored frame has no vector column; an empty vector
+        collection still searches (zero results, not an error)."""
+        if self.metadata_only or (
+                self._df is not None
+                and self.vector_col not in self._df.columns):
+            raise ValueError(
+                f"collection '{self.name}' is metadata-only: {op} needs "
+                "a vector column (CollectionType::MetadataOnly, "
+                "types.rs:32-61)")
 
     def search_ids(self, vector: Sequence[float], k: int = 10) -> DataFrame:
         return self.search(vector, k).select(self.id_col, "score")
@@ -1047,8 +1079,10 @@ class Database:
     def create_metadata_collection(self, name: str, **kwargs) -> Collection:
         """Vector-less collection (bindings create_metadata_collection):
         payload-only rows, is_metadata_only() True, text/filter surface
-        fully available, vector search rejected by the missing column."""
-        return self.create_collection(name, dimension=None, **kwargs)
+        fully available, vector upserts and search rejected with typed
+        errors (metadata_only_tests.rs)."""
+        return self.create_collection(name, dimension=None,
+                                      metadata_only=True, **kwargs)
 
     def delete_collection(self, name: str, delete_files: bool = False) -> None:
         """Bindings alias for drop_collection."""
