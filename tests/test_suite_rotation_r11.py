@@ -478,3 +478,63 @@ def test_metadata_only_collection_lifecycle(spark):
     v.upsert([{"id": 1, "vector": [1.0, 0.0]}])
     assert v.search([1.0, 0.0], 1).count() == 1
     assert not v.is_metadata_only()
+
+
+# ------------------------------------------------------------------
+# collection/search/query/extraction_tests.rs (16) — prefilter planning
+# ------------------------------------------------------------------
+
+def _cmp(col, val):
+    return ast.Compare(col, "=", val)
+
+
+def _sim(field, thr):
+    return ast.Similarity(field, ast.Param("v"), ">", thr)
+
+
+def test_extract_match_query():
+    """extraction_tests.rs:38-78: direct / in-AND / nested-AND hits;
+    a bare comparison yields None."""
+    from velesdb_spark.velesql.extraction import extract_match_query
+
+    assert extract_match_query(ast.MatchText("text", "hello world")) \
+        == "hello world"
+    cond = ast.And((_cmp("a", 1), ast.MatchText("text", "search term")))
+    assert extract_match_query(cond) == "search term"
+    inner = ast.And((ast.MatchText("text", "inner query"), _cmp("b", 2)))
+    assert extract_match_query(ast.And((_cmp("a", 1), inner))) \
+        == "inner query"
+    assert extract_match_query(_cmp("a", 1)) is None
+
+
+def test_extract_metadata_filter():
+    """extraction_tests.rs:80-199: vector conditions strip; AND keeps the
+    extractable sides (partial is fine); OR requires EVERY side; NOT
+    survives only with a surviving inner condition."""
+    from velesdb_spark.velesql.extraction import extract_metadata_filter
+
+    meta = _cmp("category", 1)
+    assert extract_metadata_filter(meta) is meta
+    assert extract_metadata_filter(_sim("embedding", 0.8)) is None
+    assert extract_metadata_filter(ast.VectorSearch(ast.Param("v"))) is None
+    assert extract_metadata_filter(
+        ast.VectorFusedSearch((ast.Param("v"),))) is None
+    # AND with similarity: the metadata side survives, unwrapped
+    got = extract_metadata_filter(ast.And((_sim("embedding", 0.8), meta)))
+    assert got is meta
+    # AND both metadata: both kept
+    got = extract_metadata_filter(ast.And((_cmp("a", 1), _cmp("b", 2))))
+    assert isinstance(got, ast.And) and len(got.conditions) == 2
+    # AND both similarity: nothing remains
+    assert extract_metadata_filter(
+        ast.And((_sim("e1", 0.8), _sim("e2", 0.9)))) is None
+    # OR both metadata: kept
+    got = extract_metadata_filter(ast.Or((_cmp("a", 1), _cmp("b", 2))))
+    assert isinstance(got, ast.Or) and len(got.conditions) == 2
+    # OR with similarity: the whole disjunction drops (FLAG-13 asymmetry)
+    assert extract_metadata_filter(
+        ast.Or((_sim("embedding", 0.8), _cmp("category", 1)))) is None
+    # NOT metadata survives; NOT similarity drops
+    got = extract_metadata_filter(ast.Not(_cmp("deleted", 1)))
+    assert isinstance(got, ast.Not)
+    assert extract_metadata_filter(ast.Not(_sim("embedding", 0.8))) is None
