@@ -538,3 +538,21 @@ def test_extract_metadata_filter():
     got = extract_metadata_filter(ast.Not(_cmp("deleted", 1)))
     assert isinstance(got, ast.Not)
     assert extract_metadata_filter(ast.Not(_sim("embedding", 0.8))) is None
+
+
+def test_agent_memory_recall_dim_mismatch(spark):
+    """agent/memory_tests.rs test_semantic_dimension_mismatch +
+    test_dimension_mismatch_on_existing_collection: both the WRITE side
+    (remember, already guarded) and the READ side (recall query vector)
+    reject a wrong-dim vector eagerly — zip_with would otherwise score
+    every row NULL silently."""
+    from velesdb_spark.agent import AgentMemory
+
+    mem = AgentMemory(spark, dimension=4)
+    with pytest.raises(ValueError, match="dimension"):
+        mem.remember("semantic", [{"id": 1, "vector": [1.0, 0.0]}])
+    mem.remember("semantic", [{"id": 2, "vector": [1.0, 0.0, 0.0, 0.0]}])
+    with pytest.raises(ValueError, match="dimensions"):
+        mem.recall("semantic", [1.0, 0.0], 5)
+    # the right dim still recalls
+    assert mem.recall("semantic", [1.0, 0.0, 0.0, 0.0], 5).count() == 1

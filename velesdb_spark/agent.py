@@ -64,10 +64,17 @@ class AgentMemory:
 
     def recall(self, layer: str, vector: Sequence[float], k: int = 10,
                now: Optional[float] = None) -> DataFrame:
-        """Vector recall over non-expired rows (exact k-NN)."""
+        """Vector recall over non-expired rows (exact k-NN). The query
+        vector is dim-validated eagerly (agent/memory_tests.rs
+        test_semantic_dimension_mismatch) — zip_with on a mismatched
+        query would otherwise score every row NULL silently."""
         from velesdb_spark.operators import topk
 
         coll = self._layer(layer)
+        if coll.dimension is not None and len(vector) != coll.dimension:
+            raise ValueError(
+                f"query vector has {len(vector)} dimensions, memory layer "
+                f"{layer!r} expects {coll.dimension}")
         return topk.knn(self._alive(layer, now), vector, k, coll.metric,
                         coll.vector_col, coll.id_col)
 
