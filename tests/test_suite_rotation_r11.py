@@ -556,3 +556,84 @@ def test_agent_memory_recall_dim_mismatch(spark):
         mem.recall("semantic", [1.0, 0.0], 5)
     # the right dim still recalls
     assert mem.recall("semantic", [1.0, 0.0, 0.0, 0.0], 5).count() == 1
+
+
+# ------------------------------------------------------------------
+# config_tests.rs (18) — VelesConfig parity (velesdb_spark/config.py)
+# ------------------------------------------------------------------
+
+def test_search_mode_table():
+    """config_tests.rs: ef_search per mode; default is Balanced."""
+    from velesdb_spark.config import SearchMode
+
+    assert SearchMode.ef_search(SearchMode.FAST) == 64
+    assert SearchMode.ef_search(SearchMode.BALANCED) == 128
+    assert SearchMode.ef_search(SearchMode.ACCURATE) == 256
+    assert SearchMode.ef_search(SearchMode.PERFECT) >= 2 ** 62
+    assert SearchMode.default() == SearchMode.BALANCED
+
+
+def test_config_defaults_and_effective_ef():
+    """config_tests.rs: default values; effective_ef_search from mode or
+    explicit override."""
+    from velesdb_spark.config import VelesConfig
+
+    c = VelesConfig()
+    assert c.search.default_mode == "balanced"
+    assert c.search.ef_search is None
+    assert c.search.max_results == 1000
+    assert c.search.query_timeout_ms == 30000
+    assert c.storage.storage_mode == "mmap"
+    assert c.logging.level == "info"
+    assert c.effective_ef_search() == 128
+    c.search.ef_search = 300
+    assert c.effective_ef_search() == 300
+    c.validate()  # defaults validate clean
+
+
+def test_config_toml_roundtrip():
+    """config_tests.rs: minimal TOML (defaults fill in), full TOML,
+    invalid mode rejected, to_toml -> from_toml round-trips."""
+    from velesdb_spark.config import ConfigError, VelesConfig
+
+    c = VelesConfig.from_toml('[search]\ndefault_mode = "fast"\n')
+    assert c.search.default_mode == "fast"
+    assert c.search.max_results == 1000  # default filled
+    full = VelesConfig.from_toml(
+        '[search]\ndefault_mode = "accurate"\nef_search = 200\n'
+        'max_results = 50\n[hnsw]\nm = 16\nef_construction = 150\n'
+        '[storage]\nstorage_mode = "memory"\n[server]\nport = 9000\n'
+        '[logging]\nlevel = "debug"\n')
+    assert full.search.ef_search == 200 and full.hnsw.m == 16
+    full.validate()
+    with pytest.raises(ConfigError):
+        VelesConfig.from_toml('[search]\ndefault_mode = "warp"\n')
+    back = VelesConfig.from_toml(full.to_toml())
+    assert back == full
+
+
+def test_config_validate_rules():
+    """config_tests.rs: the exact validation ranges and key names."""
+    from velesdb_spark.config import ConfigError, VelesConfig
+
+    def expect(key, mutate):
+        c = VelesConfig()
+        mutate(c)
+        with pytest.raises(ConfigError, match=key):
+            c.validate()
+
+    expect("search.ef_search", lambda c: setattr(c.search, "ef_search", 8))
+    expect("search.ef_search", lambda c: setattr(c.search, "ef_search", 5000))
+    expect("search.max_results", lambda c: setattr(c.search, "max_results", 0))
+    expect("search.max_results",
+           lambda c: setattr(c.search, "max_results", 20000))
+    expect("hnsw.m", lambda c: setattr(c.hnsw, "m", 2))
+    expect("hnsw.m", lambda c: setattr(c.hnsw, "m", 256))
+    expect("hnsw.ef_construction",
+           lambda c: setattr(c.hnsw, "ef_construction", 50))
+    expect("limits.max_dimensions",
+           lambda c: setattr(c.limits, "max_dimensions", 0))
+    expect("server.port", lambda c: setattr(c.server, "port", 80))
+    expect("storage.storage_mode",
+           lambda c: setattr(c.storage, "storage_mode", "cloud"))
+    expect("logging.level", lambda c: setattr(c.logging, "level", "loud"))
