@@ -403,3 +403,178 @@ def test_json_connector_behaviors(spark, tmp_path):
     with pytest.raises(ValueError, match="array_path"):
         read_json_vectors(spark, str(p5), name="json_nopath",
                           array_path="data.vectors")
+
+
+# ------------------------------------------------------------ mongodb
+
+
+class _MongoFake:
+    """Atlas Data API fake: find pages by skip/limit; aggregate counts."""
+
+    def __init__(self, docs):
+        self.docs = docs
+        self.log = []
+
+    def __call__(self, method, url, headers, body):
+        self.log.append((method, url, headers, body))
+        if url.endswith("/action/aggregate"):
+            return {"documents": [{"total": len(self.docs)}]}
+        assert url.endswith("/action/find")
+        skip, limit = body["skip"], body["limit"]
+        return {"documents": self.docs[skip:skip + limit]}
+
+
+def _mdoc(i, **extra):
+    return {"_id": {"$oid": f"oid{i:04d}"}, "embedding": [float(i), 0.5],
+            "title": f"t{i}", **extra}
+
+
+def test_mongodb_find_pagination_and_request_shape(spark):
+    """mongodb_tests.rs: camelCase find body (dataSource/database/
+    collection/skip/limit), api-key header, {url}/action/{action} URL;
+    ObjectId ids unwrap; payload skips _id + vector; count() via the
+    $count aggregate."""
+    docs = [_mdoc(i) for i in range(5)]
+    t = _MongoFake(docs)
+    src = S.MongoDBScrollSource(
+        "https://data.mongodb-api.com/app/x/endpoint/data/v1/", "key1",
+        "mydb", "vectors", page_size=2, transport=t)
+    got = list(src.pages())
+    assert [len(p) for p in got] == [2, 2, 1]
+    flat = [p for page in got for p in page]
+    assert flat[0]["id"] == "oid0000"
+    assert flat[0]["vector"] == [0.0, 0.5]
+    assert flat[0]["payload"] == {"title": "t0"}
+    method, url, headers, body = t.log[0]
+    assert method == "POST"
+    assert url == ("https://data.mongodb-api.com/app/x/endpoint/data/v1"
+                   "/action/find")
+    assert headers["api-key"] == "key1"
+    assert body["dataSource"] == "mongodb-atlas"
+    assert body["database"] == "mydb" and body["collection"] == "vectors"
+    assert src.count() == 5
+    # resume from a stored skip
+    assert [p["id"] for page in src.pages(skip=4) for p in page] \
+        == ["oid0004"]
+
+
+def test_mongodb_parse_and_extract_rules():
+    """mongodb_tests.rs parse_vector/extract_id/extract_payload rules:
+    missing/non-array vectors error; string ids verbatim, $oid unwraps,
+    missing id -> 'unknown'; payload_fields whitelists; a filter rides
+    the find body."""
+    src = S.MongoDBScrollSource("http://m", "k", "db", "c",
+                                payload_fields=["title"],
+                                filter={"kind": "doc"},
+                                transport=lambda *a: {"documents": []})
+    with pytest.raises(ValueError, match="not found"):
+        src._parse_vector({"title": "x"})
+    with pytest.raises(ValueError, match="not an array"):
+        src._parse_vector({"embedding": "nope"})
+    with pytest.raises(ValueError, match="not a number"):
+        src._parse_vector({"embedding": [1.0, "x"]})
+    assert src._extract_id({"_id": "plain"}) == "plain"
+    assert src._extract_id({"_id": {"$oid": "abc"}}) == "abc"
+    assert src._extract_id({}) == "unknown"
+    assert src._extract_payload(
+        {"_id": 1, "embedding": [1.0], "title": "t", "junk": "x"}) \
+        == {"title": "t"}
+    # filter is serialized into the find request
+    t = _MongoFake([])
+    src2 = S.MongoDBScrollSource("http://m", "k", "db", "c",
+                                 filter={"kind": "doc"}, transport=t)
+    list(src2.pages())
+    assert t.log[0][3]["filter"] == {"kind": "doc"}
+
+
+# ------------------------------------------------------------ redis
+
+
+class _RedisFake:
+    """REST command-endpoint fake: FT.SEARCH pages by LIMIT off/num."""
+
+    def __init__(self, results):
+        self.results = results
+        self.log = []
+
+    def __call__(self, method, url, headers, body):
+        self.log.append((method, url, headers, body))
+        if url.endswith("/FT.INFO"):
+            return {"num_docs": len(self.results), "attributes": []}
+        assert url.endswith("/FT.SEARCH")
+        args = body["args"]
+        off, num = int(args[3]), int(args[4])
+        return {"results": self.results[off:off + num],
+                "total": len(self.results)}
+
+
+def test_redis_search_pagination_and_url_mapping(spark):
+    """redis_tests.rs: redis:// -> http:// (rediss:// -> https://), Bearer
+    auth from the password, FT.SEARCH args [index, query, LIMIT, off,
+    num, RETURN, 10], key-prefix stripping, payload skips the vector."""
+    results = [{"id": f"doc:{i}",
+                "extra_attributes": {"embedding": [float(i), 1.0],
+                                     "title": f"t{i}"}} for i in range(3)]
+    t = _RedisFake(results)
+    src = S.RedisScrollSource("redis://r:6379/", "idx", password="pw",
+                              page_size=2, transport=t)
+    assert src.api_url == "http://r:6379"
+    assert S.RedisScrollSource._build_api_url("rediss://r/") == "https://r"
+    got = [p for page in src.pages() for p in page]
+    assert [p["id"] for p in got] == ["0", "1", "2"]
+    assert got[0]["vector"] == [0.0, 1.0]
+    assert got[0]["payload"] == {"title": "t0"}
+    method, url, headers, body = t.log[0]
+    assert url == "http://r:6379/FT.SEARCH"
+    assert headers["Authorization"] == "Bearer pw"
+    assert body["args"][:2] == ["idx", "*"]
+    assert body["args"][2:5] == ["LIMIT", "0", "2"]
+    assert src.info()["num_docs"] == 3
+    # a filter replaces the match-all query
+    src_f = S.RedisScrollSource("redis://r", "idx", filter="@kind:{doc}",
+                                transport=_RedisFake(results))
+    list(src_f.pages())
+
+
+def test_redis_vector_and_id_rules():
+    """redis_tests.rs parse_vector (array OR comma/space string),
+    extract_id prefix handling, extract_payload filtering."""
+    src = S.RedisScrollSource("redis://r", "idx",
+                              transport=lambda *a: {"results": []})
+    assert src._parse_vector({"embedding": [1, 2]}) == [1.0, 2.0]
+    assert src._parse_vector({"embedding": "1.5, 2.5"}) == [1.5, 2.5]
+    assert src._parse_vector({"embedding": "1.5 2.5"}) == [1.5, 2.5]
+    with pytest.raises(ValueError, match="not found"):
+        src._parse_vector({})
+    with pytest.raises(ValueError, match="Invalid vector"):
+        src._parse_vector({"embedding": "a b"})
+    with pytest.raises(ValueError, match="unsupported"):
+        src._parse_vector({"embedding": 7})
+    assert src._extract_id("doc:42") == "42"
+    assert src._extract_id("other:42") == "other:42"
+    pf = S.RedisScrollSource("redis://r", "idx", payload_fields=["a"],
+                             transport=lambda *a: {"results": []})
+    assert pf._extract_payload({"embedding": [1], "a": 1, "b": 2}) == {"a": 1}
+
+
+def test_migrate_mongodb_and_redis_land(spark):
+    """Both new connectors land through migrate_scroll with the standard
+    id-surrogate convention."""
+    mdocs = [_mdoc(i) for i in range(3)]
+    mcoll = S.migrate_mongodb(
+        spark, S.MongoDBScrollSource("http://m", "k", "db", "c",
+                                     page_size=2,
+                                     transport=_MongoFake(mdocs)),
+        name="from_mongo", dimension=2)
+    assert mcoll.count() == 3
+    assert mcoll.df.filter("orig_id = 'oid0001'").count() == 1
+
+    results = [{"id": f"doc:{i}",
+                "extra_attributes": {"embedding": [float(i)]}}
+               for i in range(4)]
+    rcoll = S.migrate_redis(
+        spark, S.RedisScrollSource("redis://r", "idx", page_size=3,
+                                   transport=_RedisFake(results)),
+        name="from_redis", dimension=1)
+    assert rcoll.count() == 4
+    assert {r.id for r in rcoll.df.select("id").collect()} == {0, 1, 2, 3}

@@ -380,6 +380,216 @@ class WeaviateScrollSource:
                 return
 
 
+class MongoDBScrollSource:
+    """Skip/limit pagination over MongoDB Atlas via the Data API
+    (connectors/mongodb.rs: POST {url}/action/find with camelCase body
+    {dataSource, database, collection, filter?, skip, limit}, api-key
+    header; mongodb_tests.rs pins the request shapes and the
+    parse/extract rules mirrored here)."""
+
+    def __init__(self, data_api_url: str, api_key: str, database: str,
+                 collection: str, vector_field: str = "embedding",
+                 id_field: str = "_id",
+                 payload_fields: Sequence[str] = (),
+                 filter: Optional[dict] = None,
+                 data_source: str = "mongodb-atlas", page_size: int = 500,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.base = data_api_url.rstrip("/")
+        self.api_key = api_key
+        self.database = database
+        self.collection = collection
+        self.vector_field = vector_field
+        self.id_field = id_field
+        self.payload_fields = list(payload_fields)
+        self.filter = filter
+        self.data_source = data_source
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    def _headers(self) -> dict:
+        return {"api-key": self.api_key}
+
+    def _build_url(self, action: str) -> str:
+        """mongodb.rs:110-115: {data_api_url}/action/{action}."""
+        return f"{self.base}/action/{action}"
+
+    def _parse_vector(self, doc: dict) -> list[float]:
+        """mongodb.rs:180-202: missing field / non-array / non-numeric
+        elements are extraction errors, never silent skips."""
+        if self.vector_field not in doc:
+            raise ValueError(
+                f"Vector field '{self.vector_field}' not found in document")
+        v = doc[self.vector_field]
+        if not isinstance(v, list):
+            raise ValueError(
+                f"Vector field '{self.vector_field}' is not an array")
+        try:
+            return [float(x) for x in v]
+        except (TypeError, ValueError):
+            raise ValueError("Vector element is not a number") from None
+
+    def _extract_id(self, doc: dict) -> str:
+        """mongodb.rs:205-219: strings verbatim; ObjectId {"$oid": ...}
+        unwraps; anything else stringifies; missing -> 'unknown'."""
+        v = doc.get(self.id_field)
+        if v is None:
+            return "unknown"
+        if isinstance(v, str):
+            return v
+        if isinstance(v, dict) and isinstance(v.get("$oid"), str):
+            return v["$oid"]
+        return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+
+    def _extract_payload(self, doc: dict) -> dict:
+        """mongodb.rs:222-243: id and vector fields skipped; a non-empty
+        payload_fields list whitelists."""
+        return {k: v for k, v in doc.items()
+                if k not in (self.id_field, self.vector_field)
+                and (not self.payload_fields or k in self.payload_fields)}
+
+    def pages(self, skip: int = 0) -> Iterator[list[dict]]:
+        """Yield find() pages of {"id", "vector", "payload"} dicts; pass
+        a stored ``skip`` to resume."""
+        url = self._build_url("find")
+        while True:
+            body = {"dataSource": self.data_source,
+                    "database": self.database,
+                    "collection": self.collection,
+                    "skip": skip, "limit": self.page_size}
+            if self.filter is not None:
+                body["filter"] = self.filter
+            resp = with_retry(
+                lambda: self.transport("POST", url, self._headers(), body),
+                self.retry, self.sleep)
+            docs = resp.get("documents", [])
+            if not docs:
+                return
+            yield [{"id": self._extract_id(d),
+                    "vector": self._parse_vector(d),
+                    "payload": self._extract_payload(d)} for d in docs]
+            if len(docs) < self.page_size:
+                return
+            skip += len(docs)
+
+    def count(self) -> int:
+        """mongodb.rs get_count: aggregate [{$count: "total"}]."""
+        body = {"dataSource": self.data_source, "database": self.database,
+                "collection": self.collection,
+                "pipeline": [{"$count": "total"}]}
+        resp = with_retry(
+            lambda: self.transport("POST", self._build_url("aggregate"),
+                                   self._headers(), body),
+            self.retry, self.sleep)
+        docs = resp.get("documents", [])
+        return int(docs[0]["total"]) if docs else 0
+
+
+class RedisScrollSource:
+    """Offset pagination over a Redis Stack RediSearch index via the
+    REST command endpoint (connectors/redis.rs: POST {api}/{command}
+    with {"args": [...]}; redis:// maps to http://, rediss:// to
+    https://; Bearer auth from the password; redis_tests.rs pins the
+    URL/vector/id/payload rules mirrored here)."""
+
+    def __init__(self, url: str, index: str, password: Optional[str] = None,
+                 vector_field: str = "embedding", key_prefix: str = "doc:",
+                 payload_fields: Sequence[str] = (),
+                 filter: Optional[str] = None, page_size: int = 500,
+                 transport: Transport = urllib_transport,
+                 retry: RetryConfig = RetryConfig(),
+                 sleep: Callable[[float], None] = time.sleep):
+        self.api_url = self._build_api_url(url)
+        self.index = index
+        self.password = password
+        self.vector_field = vector_field
+        self.key_prefix = key_prefix
+        self.payload_fields = list(payload_fields)
+        self.filter = filter
+        self.page_size = page_size
+        self.transport = transport
+        self.retry = retry
+        self.sleep = sleep
+
+    @staticmethod
+    def _build_api_url(redis_url: str) -> str:
+        """redis.rs:99-105: redis:// -> http://, rediss:// -> https://,
+        trailing slash stripped."""
+        return (redis_url.replace("redis://", "http://")
+                .replace("rediss://", "https://").rstrip("/"))
+
+    def _headers(self) -> dict:
+        return ({"Authorization": f"Bearer {self.password}"}
+                if self.password else {})
+
+    def _command(self, command: str, args: list) -> dict:
+        return with_retry(
+            lambda: self.transport("POST", f"{self.api_url}/{command}",
+                                   self._headers(),
+                                   {"args": [str(a) for a in args]}),
+            self.retry, self.sleep)
+
+    def _parse_vector(self, attrs: dict) -> list[float]:
+        """redis.rs:173-207: JSON array OR a comma/space-separated
+        string; missing field / bad elements are extraction errors."""
+        if self.vector_field not in attrs:
+            raise ValueError(
+                f"Vector field '{self.vector_field}' not found in document")
+        v = attrs[self.vector_field]
+        if isinstance(v, list):
+            try:
+                return [float(x) for x in v]
+            except (TypeError, ValueError):
+                raise ValueError("Vector element is not a number") from None
+        if isinstance(v, str):
+            parts = [p for p in v.replace(",", " ").split() if p]
+            try:
+                return [float(p) for p in parts]
+            except ValueError:
+                raise ValueError("Invalid vector element") from None
+        raise ValueError(
+            f"Vector field '{self.vector_field}' has unsupported format")
+
+    def _extract_id(self, key: str) -> str:
+        """redis.rs:210-215: strip the configured key prefix when
+        present."""
+        return key[len(self.key_prefix):] \
+            if key.startswith(self.key_prefix) else key
+
+    def _extract_payload(self, attrs: dict) -> dict:
+        return {k: v for k, v in attrs.items()
+                if k != self.vector_field
+                and (not self.payload_fields or k in self.payload_fields)}
+
+    def info(self) -> dict:
+        """FT.INFO {index} -> {num_docs, attributes}."""
+        return self._command("FT.INFO", [self.index])
+
+    def pages(self, offset: int = 0) -> Iterator[list[dict]]:
+        """Yield FT.SEARCH pages of {"id", "vector", "payload"} dicts."""
+        query = self.filter or "*"
+        while True:
+            args = [self.index, query, "LIMIT", offset, self.page_size,
+                    "RETURN", 10]
+            args.extend(self.payload_fields)
+            resp = self._command("FT.SEARCH", args)
+            results = resp.get("results", [])
+            if not results:
+                return
+            yield [{"id": self._extract_id(r["id"]),
+                    "vector": self._parse_vector(
+                        r.get("extra_attributes", {}) or {}),
+                    "payload": self._extract_payload(
+                        r.get("extra_attributes", {}) or {})}
+                   for r in results]
+            if len(results) < self.page_size:
+                return
+            offset += len(results)
+
+
 # ------------------------------------------------------------ landing
 
 @dataclass
@@ -489,3 +699,23 @@ def migrate_pinecone(spark: SparkSession, source: PineconeScrollSource,
                "payload": p.get("metadata")} for p in page]
              for page in source.pages())
     return migrate_scroll(spark, pages, name, metric, dimension, path)
+
+
+def migrate_mongodb(spark: SparkSession, source: MongoDBScrollSource,
+                    name: str = "imported", metric: str = "cosine",
+                    dimension: Optional[int] = None,
+                    path: Optional[str] = None, skip: int = 0):
+    """Stream a MongoDB Atlas collection into a Collection, one upsert
+    batch per Data-API find() page (resume from a stored ``skip``)."""
+    return migrate_scroll(spark, source.pages(skip=skip), name, metric,
+                          dimension, path)
+
+
+def migrate_redis(spark: SparkSession, source: RedisScrollSource,
+                  name: str = "imported", metric: str = "cosine",
+                  dimension: Optional[int] = None,
+                  path: Optional[str] = None, offset: int = 0):
+    """Stream a RediSearch index into a Collection, one upsert batch per
+    FT.SEARCH page (resume from a stored ``offset``)."""
+    return migrate_scroll(spark, source.pages(offset=offset), name, metric,
+                          dimension, path)
