@@ -637,3 +637,30 @@ def test_config_validate_rules():
     expect("storage.storage_mode",
            lambda c: setattr(c.storage, "storage_mode", "cloud"))
     expect("logging.level", lambda c: setattr(c.logging, "level", "loud"))
+
+
+def test_numpy_vector_inputs(spark):
+    """velesdb-python tests/test_velesdb.py numpy shapes: upsert accepts
+    numpy float32/float64 vectors (and numpy scalar payloads), mixed
+    numpy-and-list batches work, and search takes a numpy query
+    vector."""
+    import numpy as np
+
+    from velesdb_spark.database import Database
+
+    db = Database(spark)
+    c = db.create_collection("np_r11", dimension=3)
+    c.upsert([
+        {"id": 1, "vector": np.array([1.0, 0.0, 0.0], dtype=np.float32),
+         "score_field": np.float64(0.5)},
+        {"id": 2, "vector": np.array([0.0, 1.0, 0.0], dtype=np.float64),
+         "score_field": 0.25},
+        {"id": 3, "vector": [0.0, 0.0, 1.0], "score_field": 0.1},
+    ])
+    assert c.count() == 3
+    top = c.search(np.array([1.0, 0.0, 0.0], dtype=np.float64), 1).collect()
+    assert top[0]["id"] == 1
+    # numpy int ids coerce too
+    c.upsert([{"id": np.int64(4), "vector": [1.0, 1.0, 0.0],
+               "score_field": 0.0}])
+    assert c.count() == 4

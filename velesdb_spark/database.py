@@ -131,6 +131,8 @@ class Collection:
                 "not carry a vector (CollectionType::MetadataOnly, "
                 "types.rs:32-61); use upsert_metadata or a vector "
                 "collection")
+        if not isinstance(points, DataFrame):
+            points = [self._coerce_point(p) for p in points]
         new = points if isinstance(points, DataFrame) else \
             self.spark.createDataFrame(points)
         if self.metadata_only and self.vector_col in new.columns:
@@ -456,6 +458,24 @@ class Collection:
         return topk_ops.knn(self._score_df(), self._prep_query_vec(vector),
                             k, self.metric, self.vector_col, self.id_col,
                             filter_cond=filter_cond)
+
+    def _coerce_point(self, p: dict) -> dict:
+        """Bindings-parity input coercion (velesdb-python
+        tests/test_velesdb.py numpy shapes): vectors arrive as lists,
+        numpy float32/float64 arrays, or any iterable — normalize to
+        list[float] so Spark's type inference never sees numpy; numpy
+        scalars anywhere in the point unwrap via .item()."""
+        out = {}
+        for k, v in p.items():
+            if k == self.vector_col and v is not None:
+                out[k] = [float(x) for x in v]
+            elif hasattr(v, "tolist") and not isinstance(
+                    v, (str, bytes, dict, list, tuple)):
+                # numpy arrays -> lists, numpy scalars -> python scalars
+                out[k] = v.tolist()
+            else:
+                out[k] = v
+        return out
 
     def _reject_if_metadata_only(self, op: str) -> None:
         """Typed rejection (metadata_only_tests.rs: search on a
