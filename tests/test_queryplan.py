@@ -316,3 +316,25 @@ def test_vector_search_candidates_from_limit():
     p = QueryPlan.from_select(parse("SELECT * FROM e WHERE vector NEAR $v"))
     nodes = p.root if isinstance(p.root, list) else [p.root]
     assert isinstance(nodes[0], VectorSearchPlan)
+
+
+def test_collection_explain_json_format(spark):
+    """Collection.explain(format='json') returns the REST
+    /query/explain JSON shape: root node tree, estimated_cost_ms,
+    index_used, filter_strategy."""
+    from velesdb_spark.database import Collection
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                               "id bigint, vector array<double>")
+    coll = Collection(spark, "t", df=df)
+    j = json.loads(coll.explain(
+        "SELECT id FROM t WHERE vector NEAR [1.0, 0.0] LIMIT 5",
+        format="json"))
+    assert j["index_used"] == "Hnsw"
+    assert "estimated_cost_ms" in j and "root" in j
+    tags = [list(n)[0] for n in j["root"]["Sequence"]] \
+        if "Sequence" in j["root"] else [list(j["root"])[0]]
+    assert "VectorSearch" in tags
+    with pytest.raises(ValueError, match="json"):
+        coll.explain("SELECT id FROM t UNION SELECT id FROM t",
+                     format="json")

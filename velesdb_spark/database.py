@@ -1018,14 +1018,29 @@ class Collection:
         cols = [self.id_col] + (["score"] if "score" in out.columns else [])
         return out.select(*cols)
 
-    def explain(self, sql: str, params: Optional[dict] = None) -> str:
+    def explain(self, sql: str, params: Optional[dict] = None,
+                format: str = "text") -> str:
         """Translation-level plan tree (velesql/explain.rs node shapes) +
-        the Catalyst physical plan."""
+        the Catalyst physical plan. ``format='json'`` returns the
+        structured QueryPlan as the REST ``/query/explain`` endpoint's
+        JSON shape (externally-tagged nodes + estimated_cost_ms +
+        index_used + filter_strategy) for the Select/MATCH shapes the
+        reference plans."""
         from velesdb_spark.velesql import ast as _ast
 
         q = parse(sql)
         if not isinstance(q, _ast.Explain):
             q = _ast.Explain(q)
+        if format == "json":
+            from velesdb_spark.plans.queryplan import QueryPlan
+
+            inner = q.query
+            if isinstance(inner, _ast.Select):
+                return QueryPlan.from_select(inner).to_json()
+            if isinstance(inner, _ast.MatchQuery):
+                return QueryPlan.from_match(inner).to_json()
+            raise ValueError(
+                "format='json' supports SELECT and MATCH shapes")
         # translate's Explain branch assembles the plan text
         return translate(q, self._catalog(), params).collect()[0].plan
 
