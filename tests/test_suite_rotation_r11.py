@@ -664,3 +664,51 @@ def test_numpy_vector_inputs(spark):
     c.upsert([{"id": np.int64(4), "vector": [1.0, 1.0, 0.0],
                "score_field": 0.0}])
     assert c.count() == 4
+
+
+def test_bindings_e2e_complete(spark):
+    """velesdb-python tests/test_e2e_complete.py, compressed: multi-
+    collection create/list, full CRUD (insert, search, update, delete),
+    every distance metric, every storage mode, and a parameterized
+    VelesQL query over the same database — one user journey."""
+    import numpy as np
+
+    from velesdb_spark.database import Database
+
+    rng = np.random.default_rng(11)
+    db = Database(spark)
+    # create + list
+    for name in ("e2e_documents", "e2e_images", "e2e_users"):
+        db.create_collection(name, dimension=8)
+    assert {"e2e_documents", "e2e_images", "e2e_users"} \
+        <= set(db.list_collections())
+    # CRUD
+    col = db.get_collection("e2e_documents")
+    vecs = rng.standard_normal((12, 8)).astype("float32")
+    col.upsert([{"id": i + 1, "vector": vecs[i].tolist(), "tag": f"t{i}"}
+                for i in range(10)])
+    assert col.count() == 10
+    assert col.search(vecs[5].tolist(), 3).count() == 3
+    col.upsert([{"id": 1, "vector": vecs[11].tolist(), "tag": "updated"}])
+    assert col.get(1)["tag"] == "updated" and col.count() == 10
+    col.delete([1, 2, 3])
+    assert col.count() == 7
+    # every metric searches
+    for metric in ("cosine", "euclidean", "dot", "hamming", "jaccard"):
+        mc = db.create_collection(f"e2e_m_{metric}", dimension=8,
+                                  metric=metric)
+        mc.upsert([{"id": 1, "vector": vecs[0].tolist()},
+                   {"id": 2, "vector": vecs[1].tolist()}])
+        assert mc.search(vecs[0].tolist(), 2).count() == 2
+    # every storage mode round-trips (binary requires hamming/jaccard)
+    for mode, metric in (("full", "cosine"), ("sq8", "cosine"),
+                         ("binary", "hamming")):
+        sc_ = db.create_collection(f"e2e_s_{mode}", dimension=8,
+                                   metric=metric, storage_mode=mode)
+        sc_.upsert([{"id": i + 1, "vector": vecs[i].tolist()}
+                    for i in range(5)])
+        assert sc_.search(vecs[0].tolist(), 3).count() == 3
+    # parameterized VelesQL over the CRUD collection
+    rows = col.query("SELECT id FROM e2e_documents WHERE vector NEAR $v "
+                     "LIMIT 4", {"v": vecs[5].tolist()}).collect()
+    assert len(rows) == 4
