@@ -468,7 +468,14 @@ class Collection:
         out = {}
         for k, v in p.items():
             if k == self.vector_col and v is not None:
-                out[k] = [float(x) for x in v]
+                # element TYPES are preserved: raw 0/1 int vectors must
+                # stay ints (binary storage packs the inferred
+                # array<bigint> on write); only numpy wrappers unwrap
+                if hasattr(v, "tolist"):
+                    out[k] = v.tolist()
+                else:
+                    out[k] = [x.item() if hasattr(x, "item") else x
+                              for x in v]
             elif hasattr(v, "tolist") and not isinstance(
                     v, (str, bytes, dict, list, tuple)):
                 # numpy arrays -> lists, numpy scalars -> python scalars
