@@ -16,6 +16,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from velesdb_spark.functions.arraylit import double_array_lit
 
 # ----------------------------------------------------------------- helpers
 
@@ -1519,7 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bits = F.transform(F.col("embedding"),
                            lambda x: F.when(x > 0, 1.0).otherwise(0.0))
         scored = df.withColumn(
-            "score", hamming_distance(bits, F.array(*[F.lit(b) for b in qbits])))
+            "score", hamming_distance(bits, double_array_lit(qbits)))
         return (scored.orderBy(F.asc("score"), F.asc("vec_id")).limit(10)
                 .select("vec_id", F.col("score").cast("long").alias("score")))
 
@@ -1532,7 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scored = df.withColumn(
             "score",
             jaccard_similarity(F.col("embedding"),
-                               F.array(*[F.lit(float(x)) for x in QV4])))
+                               double_array_lit(QV4)))
         return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
                 .select("vec_id", F.round("score", 6).alias("score")))
 
@@ -2574,7 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), 50, 10, "text", "doc_id")
             .select(F.col("_id").alias("doc_id"), "chunk_idx", "chunk_text")
             .withColumn("_cos", cosine_similarity(
-                emb, F.array(*[F.lit(float(x)) for x in qv])))
+                emb, double_array_lit(qv)))
             .withColumn("_tf", F.size(F.filter(
                 F.split("chunk_text", " "), lambda t: t.isin(terms)))))
         vtop = scored.orderBy(F.desc("_cos"), "doc_id", "chunk_idx") \
@@ -3654,6 +3655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # computed 3x). Stage it: one grouped aggregate, reused by every
         # leg — the cached frame is the SMALL per-key side (one row per
         # customer), never the fact table, so the idiom survives 100 TB.
+        # (r11 optimization round: localCheckpoint was tried as a
+        # zero-cache-reuse alternative and measured slower — the forced
+        # RDD conversion + separate materialization job cost more than
+        # the staged columnar cache.)
         per_cust = stage(orders.groupBy("o_custkey").agg(
             F.max(F.when(F.col("o_totalprice") > 250000.0, 1)
                   .otherwise(0)).alias("has250"),
@@ -3694,13 +3699,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("count_zero").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
 
-        q200 = orders.filter(F.col("o_totalprice") > 200000.0) \
-            .select(F.col("o_custkey").alias("_ck"),
-                    F.col("o_orderkey").alias("_ok"))
-        cin = orders.join(
-            q200,
-            (orders["o_custkey"] == F.col("_ck"))
-            & (orders["o_orderkey"] == F.col("_ok")), "left_semi") \
+        # corr_in leg: originally orders LEFT SEMI JOIN (orders WHERE
+        # o_totalprice > 200000) ON (o_custkey, o_orderkey) — a self
+        # semi-join whose key includes o_orderkey, the orders PRIMARY KEY.
+        # A row matches iff ITSELF passes the filter (uniqueness of
+        # o_orderkey means no other row can supply the match), so the
+        # semi-join is exactly the filter — the PK-aware self-join
+        # elimination Catalyst cannot do because it has no uniqueness
+        # metadata (guide §8: use what the optimizer does not know).
+        # Removes one orders scan + one broadcast exchange; value-identical
+        # (same predicate on the same rows), proven by the unchanged
+        # DuckDB oracle hash at sf0.001/sf0.01/sf1.
+        cin = orders.filter(F.col("o_totalprice") > 200000.0) \
             .select(F.lit("corr_in").alias("kind"),
                     F.col("o_orderkey").alias("ckey"))
 
@@ -3741,7 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deq = sq8_dequantize(sq8_quantize(F.col("embedding")))
         scored = df.withColumn(
             "score",
-            cosine_similarity(deq, F.array(*[F.lit(float(x)) for x in QV1])))
+            cosine_similarity(deq, double_array_lit(QV1)))
         return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
                 .select("vec_id", F.round("score", 6).alias("score")))
 
@@ -3763,7 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deq = f16_unpack_udf()(f16_pack_udf()(F.col("embedding")))
         scored = df.withColumn(
             "score",
-            cosine_similarity(deq, F.array(*[F.lit(float(x)) for x in QV1])))
+            cosine_similarity(deq, double_array_lit(QV1)))
         return (scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
                 .select("vec_id", F.round("score", 6).alias("score")))
 
@@ -3810,7 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                           packed_hamming)
 
         df = _t(s, d, "embeddings")
-        qv = binary_quantize(F.array(*[F.lit(float(x)) for x in QV2]), 64)
+        qv = binary_quantize(double_array_lit(QV2), 64)
         scored = df.withColumn(
             "score",
             packed_hamming(binary_quantize(F.col("embedding"), 64), qv))

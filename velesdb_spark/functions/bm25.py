@@ -657,9 +657,11 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
         # pass the array index as the second argument
         return lambda x: x == F.lit(term)
 
-    for i, t in enumerate(terms):
-        base = base.withColumn(
-            f"_tf{i}", F.size(F.filter(F.col("_toks"), _eq(t))))
+    # one withColumns call: each withColumn in a loop re-analyzes the
+    # whole plan (eager per-Dataset analysis), quadratic in term count
+    base = base.withColumns({
+        f"_tf{i}": F.size(F.filter(F.col("_toks"), _eq(t)))
+        for i, t in enumerate(terms)})
     # Persist the post-tokenize tf projection: BOTH the corpus-stats
     # aggregate (broadcast side) and the scoring pass consume it, and
     # unpersisted the regexp tokenize — the dominant cost — runs twice.

@@ -125,9 +125,11 @@ def staged_score(df, vector_col: str, query, metric: str,
     """
     import math
 
+    from velesdb_spark.functions.arraylit import double_array_lit
+
     metric = metric.lower()
     q = [float(x) for x in query]
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = double_array_lit(q)
     a = _as_double(F.col(vector_col))
     if metric == "cosine":
         qn2 = 0.0

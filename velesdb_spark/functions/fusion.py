@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from velesdb_spark.functions.arraylit import double_array_lit
+
 RRF_K = 60
 
 
@@ -311,7 +313,7 @@ def mmr_rerank(emb: DataFrame, query_vec, k: int = 5, pool: int = 40,
         raise ValueError("need k >= 1 and pool >= k")
     from velesdb_spark.functions.distance import metric_score
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     cand = (emb.select(F.col(id_col), F.col(vec_col),
                        metric_score(F.col(vec_col), qcol, "cosine")
                        .alias("rel"))

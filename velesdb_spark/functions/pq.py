@@ -45,6 +45,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from velesdb_spark.functions.similarity import LSH_SEED, _kmeans_np
+from velesdb_spark.functions.arraylit import (double_array_lit,
+                                               double_matrix_lit)
 
 # JVM-literal path bound: m * ksub element_at/argmin terms stay small
 # enough for codegen; above this the codebooks move into an Arrow UDF
@@ -103,7 +105,7 @@ def _encode_expr(vec: Column, codebooks: np.ndarray) -> Column:
         scores = []
         for c in codebooks[j]:
             dot = F.aggregate(
-                F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                F.zip_with(sub, double_array_lit(c),
                            lambda a, b: a.cast("double") * b),
                 F.lit(0.0), lambda acc, x: acc + x)
             scores.append(-2.0 * dot + float(c @ c))
@@ -157,7 +159,7 @@ def _adc_expr(codes: Column, table: np.ndarray) -> Column:
     m, ksub = table.shape
     out = F.lit(0.0)
     for j in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in table[j]])
+        lut = double_array_lit(table[j])
         out = out + F.element_at(lut, F.element_at(codes, j + 1) + F.lit(1))
     return out
 
@@ -256,9 +258,7 @@ class PqIndex:
         m, ksub, dsub = self.codebooks.shape
         parts = []
         for j in range(m):
-            cb = F.array(*[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in self.codebooks[j]])
+            cb = double_matrix_lit(self.codebooks[j])
             parts.append(F.element_at(cb, F.element_at(F.col("_codes"),
                                                        j + 1) + F.lit(1)))
         return self.codes.select(
@@ -294,8 +294,7 @@ def residual_expr(vec: Column, centroids: np.ndarray,
     array-of-arrays indexed by the assigned list (JVM, fine for the
     ≤EXPR_NLIST_MAX tier Spark plans tolerate; a larger nlist would move
     this into the same Arrow closure as _encode_gemm)."""
-    cent = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent = double_matrix_lit(centroids)
     cvec = F.element_at(cent, F.col(list_col) + F.lit(1))
     return F.zip_with(vec, cvec, lambda a, b: a.cast("double") - b)
 

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from velesdb_spark.functions.arraylit import double_array_lit
+
 from velesdb_spark.functions.distance import cosine_similarity, metric_score
 from velesdb_spark.operators.topk import vector_lit
 
@@ -67,7 +69,7 @@ def hyperplane_bucket(vec: Column, dim: int, nbits: int = DEFAULT_NBITS,
     bucket = F.lit(0)
     for i in range(nbits):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in planes[i]]),
+            F.zip_with(vec, double_array_lit(planes[i]),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -161,7 +163,7 @@ def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
     scores = []
     for c in centroids:
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+            F.zip_with(vec, double_array_lit(c),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x)
         scores.append(-2.0 * dot + float(c @ c))
@@ -302,7 +304,7 @@ def _nprobe_lists_expr(vec: Column, centroids: np.ndarray,
     entries = []
     for i, c in enumerate(centroids):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+            F.zip_with(vec, double_array_lit(c),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x)
         entries.append(F.struct(

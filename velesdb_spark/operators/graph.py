@@ -32,6 +32,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from velesdb_spark.functions.arraylit import double_array_lit
+
 from velesdb_spark.velesql import ast
 
 DEFAULT_MAX_DEPTH = 3
@@ -123,6 +125,16 @@ def bfs(edges: DataFrame, start_ids: DataFrame | Sequence[int],
                         salt=salt,
                         broadcast_frontier=bcast and depth == 1).select(
                 "start_id", F.col("_next").alias("_node")).distinct()
+            # note (r11 optimization round): every non-final level has TWO
+            # consumers — the union feeding the min-depth aggregate and the
+            # next level's expansion — and Catalyst does not reuse the
+            # exchange across them, so the level's join+distinct chain
+            # re-executes once per remaining level. Materializing the level
+            # (localCheckpoint, lazy) was tried and MEASURED SLOWER at
+            # every tested scale: the forced RDD conversion plans the
+            # subtree eagerly and the checkpoint job serializes the level
+            # before the union job can start, costing more than the
+            # recomputed (start_id,node)-only subtree. Left recomputed.
             levels.append(nxt.withColumn("depth", F.lit(depth)))
             frontier = nxt.select("start_id", F.col("_node").alias("_cur"))
         alll = levels[0]
@@ -373,7 +385,7 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
             vec = tr.value(sim.vector)
             score = metric_score(
                 F.col(fld),
-                F.array(*[F.lit(float(x)) for x in vec]), "cosine")
+                double_array_lit(vec), "cosine")
             start = start.filter(
                 similarity_passes(score, sim.op, sim.threshold, "cosine"))
     cur = start.select(F.col(id_col).alias(f"_b_{aliases[0]}"))
@@ -579,7 +591,7 @@ def _match_where(cond, resolve, tr) -> Column:
     if isinstance(cond, ast.Similarity):
         vec = tr.value(cond.vector)
         score = metric_score(resolve(cond.field_name),
-                             F.array(*[F.lit(float(x)) for x in vec]), "cosine")
+                             double_array_lit(vec), "cosine")
         return similarity_passes(score, cond.op, cond.threshold, "cosine")
     raise ValueError(f"unsupported MATCH WHERE condition: {cond!r}")
 

@@ -10,10 +10,11 @@ Scale design:
   per-partition partial top-k merged on the driver: no full sort, no shuffle
   of the scored set.
 - Query batches: queries are broadcast (they are small), scored JVM-side in
-  one pass over the collection, then reduced with a per-partition partial
-  top-k (mapInPandas over only (qid,id,score) scalars — Arrow-batched, no
-  vectors cross the Python boundary) before the final tiny per-query merge.
-  Total shuffle: ≤ numPartitions·Q·k rows instead of N·Q.
+  one pass over the collection, then ranked with a row_number window whose
+  ``rn <= k`` filter Spark plans as WindowGroupLimit with a *Partial* stage
+  below the exchange (SPARK-37099): the per-partition partial top-k runs
+  inside the JVM, so the shuffle still carries ≤ numPartitions·Q·k rows
+  instead of N·Q and nothing crosses the Python boundary.
 - Filtered k-NN: the filter is applied BEFORE top-k — exact, unlike the
   reference's 4× over-fetch + post-filter (collection/search/vector.rs:164-239),
   and cheaper (predicate pushdown prunes the scan).
@@ -38,7 +39,9 @@ BATCH_LITERAL_BUDGET = 8192
 
 
 def vector_lit(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    from velesdb_spark.functions.arraylit import double_array_lit
+
+    return double_array_lit(vec)
 
 
 def with_score(df: DataFrame, query_vector: Sequence[float], metric: str = "cosine",
@@ -168,10 +171,11 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
     if len(qrows) * len(qrows[0][1]) <= BATCH_LITERAL_BUDGET:
         # Small batches: ONE scan scoring every query as a staged column
         # (queries ride as plan literals — fine while Q·dim stays small),
-        # exploded to skinny (qid, id, score) rows, then the per-partition
-        # partial top-k. One job instead of Q sequential TakeOrdered jobs
-        # (~Q× lower latency), and the shuffle still carries at most
-        # partitions·Q·k rows — vectors never leave the scan.
+        # exploded to skinny (qid, id, score) rows, then the JVM-side
+        # partial top-k (WindowGroupLimit). One job instead of Q
+        # sequential TakeOrdered jobs (~Q× lower latency), and the
+        # shuffle still carries at most partitions·Q·k rows — vectors
+        # never leave the scan.
         from velesdb_spark.functions.distance import doc_norm2, staged_score
 
         scored = base
@@ -196,10 +200,9 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         long = (scored.select(F.col(id_col), F.explode(pairs).alias("_p"))
                 .select(F.col("_p.qid").alias("qid"), id_col,
                         F.col("_p.score").alias("score")))
-        reduced = _partial_topk(long, k, metric, id_col)
         w = Window.partitionBy("qid") \
             .orderBy(*_best_order("score", metric, id_col))
-        return (reduced.withColumn("_rn", F.row_number().over(w))
+        return (long.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= k).drop("_rn"))
     qdf = spark.createDataFrame(qrows, "qid bigint, _qvec array<double>")
     scored = (
@@ -207,33 +210,12 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         .withColumn("score", metric_score(F.col(vector_col), F.col("_qvec"), metric))
         .select("qid", F.col(id_col).alias(id_col), "score")
     )
-    reduced = _partial_topk(scored, k, metric, id_col)
     w = Window.partitionBy("qid").orderBy(*_best_order("score", metric, id_col))
     return (
-        reduced.withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
-
-
-def _partial_topk(scored: DataFrame, k: int, metric: str, id_col: str) -> DataFrame:
-    """Per-partition partial top-k over (qid, id, score) via Arrow batches."""
-    hib = higher_is_better(metric)
-    schema = scored.schema
-
-    def reducer(batches):
-        import pandas as pd
-
-        # Streaming reduction: running top-k per qid, O(Q·k + batch) memory
-        best = None
-        for b in batches:
-            cur = b if best is None else pd.concat([best, b], ignore_index=True)
-            cur = cur.sort_values(["score", id_col], ascending=[not hib, True])
-            best = cur.groupby("qid", sort=False).head(k)
-        if best is not None:
-            yield best
-
-    return scored.mapInPandas(reducer, schema=schema)
 
 
 def similarity_filter(df: DataFrame, query_vector: Sequence[float], op: str,

@@ -22,6 +22,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from velesdb_spark.functions.arraylit import double_array_lit
+
 from velesdb_spark.functions import fusion as fusion_mod
 from velesdb_spark.functions.distance import (
     higher_is_better,
@@ -335,7 +337,7 @@ class Translator:
                 score = metric_score(
                     _col(st.info.vector_col if item.expr.field_name == "vector"
                          else item.expr.field_name),
-                    F.array(*[F.lit(float(x)) for x in vec]),
+                    double_array_lit(vec),
                     st.info.metric,
                 )
                 # Direction is metric-aware (ordering.rs:146-163): for
@@ -824,7 +826,7 @@ class _SearchState:
                 vec = self.info.query_vec_transform(vec)
             name = self._next("sim")
             field = self.info.vector_col if cond.field_name == "vector" else cond.field_name
-            qlit = F.array(*[F.lit(float(x)) for x in vec])
+            qlit = double_array_lit(vec)
             scol = _col(field)
             if self.qmode == "int8":
                 # WITH (quantization='int8'): single-phase approximate
@@ -845,7 +847,7 @@ class _SearchState:
             if self.info.query_vec_transform is not None:
                 vec = self.info.query_vec_transform(vec)
             name = self._next("near")
-            qlit = F.array(*[F.lit(float(x)) for x in vec])
+            qlit = double_array_lit(vec)
             vcol = self.info.vector_col
             if self.qmode in ("int8", "dual"):
                 from velesdb_spark.functions.quantization import (
@@ -1031,7 +1033,7 @@ class _SearchState:
             base = base.withColumn(
                 name,
                 metric_score(_col(info.vector_col),
-                             F.array(*[F.lit(float(x)) for x in vec]), info.metric),
+                             double_array_lit(vec), info.metric),
             )
             names.append(name)
         strategy = spec.strategy
