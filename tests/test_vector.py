@@ -452,3 +452,53 @@ def test_mmr_first_pick_quantized(spark):
     out = mmr_rerank(emb, q, k=2, pool=3, lam=0.7)
     got = [r.vec_id for r in out.orderBy("rank").collect()]
     assert got[0] == 2, got
+
+
+def test_knn_batch_plan_has_no_python_nodes(spark):
+    """r11 optimization contract: the mapInPandas partial top-k was
+    removed because Spark plans the row_number()<=k filter as
+    WindowGroupLimit with a Partial mode below the exchange — the
+    per-partition reduction runs in the JVM. Pin both facts so a
+    refactor can't silently reintroduce the Python boundary or lose
+    the partial group-limit."""
+    from velesdb_spark.operators import topk as tk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(40)],
+        "id bigint, vector array<double>")
+    out = tk.knn_batch(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], 3,
+                       "cosine", "vector", "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_double_array_lit_bit_identical_and_fallback(spark):
+    """arraylit fast path (one parsed SQL expression) must be
+    bit-identical to the per-element builder — repr() round-trips
+    doubles exactly and Spark's double parser is correctly rounding —
+    and non-finite values must fall back rather than fail."""
+    import math
+    import random
+
+    from velesdb_spark.functions.arraylit import (double_array_lit,
+                                                  long_array_lit)
+
+    rng = random.Random(3)
+    vals = ([rng.uniform(-1e3, 1e3) for _ in range(64)]
+            + [0.0, -0.0, 1e-308, -1.7976931348623157e308, 123456.789e-40])
+    fast = spark.range(1).select(double_array_lit(vals).alias("v")).first().v
+    slow = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("v")).first().v
+    assert all(math.copysign(1, a) == math.copysign(1, b) and a == b
+               for a, b in zip(fast, slow))
+    # non-finite: falls back to the per-element path, same values
+    nf = [1.0, float("inf"), float("-inf"), float("nan")]
+    got = spark.range(1).select(double_array_lit(nf).alias("v")).first().v
+    assert got[0] == 1.0 and math.isinf(got[1]) and math.isinf(got[2]) \
+        and math.isnan(got[3])
+    # long variant
+    ls = [0, -1, 2**62, -2**62]
+    got = spark.range(1).select(long_array_lit(ls).alias("v")).first().v
+    assert got == ls
