@@ -148,3 +148,18 @@ def test_near_dups_pigeonhole_at_other_band_widths(spark):
             for a, b in itertools.combinations(sorted(hashes), 2)
             if bin(hashes[a] ^ hashes[b]).count("1") <= max_h)
         assert got == want, (n_bands, max_h)
+
+
+def test_near_dups_decode_staged_once(spark):
+    """r11 optimization contract: the banded self-join's two sides must
+    read the staged (id, dhash) cache, not re-run the image decode —
+    un-staged, the MapInPandas hashing pipeline executed once per join
+    side. Both join inputs must be InMemoryTableScans over one shared
+    relation."""
+    rows = [(i, bytearray(synth_png(i % 3)[0])) for i in range(9)]
+    media = spark.createDataFrame(rows, "id long, content binary")
+    out = dhash_near_dups(dhash_images(media))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") >= 2, plan
+    from velesdb_spark.functions.staging import release_staged
+    release_staged()

@@ -224,3 +224,18 @@ def test_perplexity_property_vs_naive(spark, corpora, k):
     for i, (n, nll, _) in want.items():
         assert got[i][0] == n, (i, corpora)
         assert got[i][1] == pytest.approx(nll, abs=1e-9), (i, corpora)
+
+
+def test_dsir_log_ratio_stages_the_multiset_once(spark, docs_df):
+    """r11 optimization contract: both model-scoring passes of
+    dsir_log_ratio consume ONE staged per-doc bigram multiset (the
+    tokenize+explode+aggregate corpus pass) instead of re-deriving it
+    per model — the optimized plan must reference the cached relation
+    on both branches."""
+    from velesdb_spark.functions.lm import dsir_log_ratio
+
+    out = dsir_log_ratio(docs_df, docs_df.limit(4))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") >= 2, plan
+    from velesdb_spark.functions.staging import release_staged
+    release_staged()

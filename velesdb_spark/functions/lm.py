@@ -152,10 +152,27 @@ def perplexity(score_df: DataFrame, bigram_counts: DataFrame,
     """
     if k <= 0:
         raise ValueError(f"add-k smoothing needs k > 0, got {k}")
-    dg = (_with_bigrams(score_df, text_col)
-          .select(F.col(id_col), F.explode(_BIGRAMS).alias("p"))
-          .select(id_col, "p.w1", "p.w2")
-          .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
+    dg = _doc_bigram_multiset(score_df, text_col, id_col)
+    return _perplexity_from_multiset(dg, score_df, bigram_counts,
+                                     context_counts, vocab, id_col, k)
+
+
+def _doc_bigram_multiset(score_df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """Per-doc bigram multiset (id, w1, w2, m) — the tokenize+explode+
+    aggregate half of perplexity scoring, factored out so callers that
+    score the SAME documents under several models (dsir_log_ratio) can
+    stage it once instead of re-deriving it per model."""
+    return (_with_bigrams(score_df, text_col)
+            .select(F.col(id_col), F.explode(_BIGRAMS).alias("p"))
+            .select(id_col, "p.w1", "p.w2")
+            .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")))
+
+
+def _perplexity_from_multiset(dg: DataFrame, score_df: DataFrame,
+                              bigram_counts: DataFrame,
+                              context_counts: DataFrame, vocab: DataFrame,
+                              id_col: str, k: float) -> DataFrame:
     scored = (dg.join(bigram_counts, ["w1", "w2"], "left")
               .join(context_counts, ["w1"], "left")
               .crossJoin(F.broadcast(vocab)))
@@ -199,12 +216,23 @@ def dsir_log_ratio(raw: DataFrame, target: DataFrame,
     model trainings (corpus-scan aggregates into vocab-bounded tables),
     two scoring passes, one id-equi join — everything JVM-side.
     """
+    from velesdb_spark.functions.staging import stage
+
     bc_t, cc_t, v_t = train_bigram_lm(target, text_col)
     bc_r, cc_r, v_r = train_bigram_lm(raw, text_col)
-    under_t = (perplexity(raw, bc_t, cc_t, v_t, text_col, id_col, k)
+    # BOTH scoring passes consume the identical per-doc bigram multiset
+    # of ``raw``; un-staged, the tokenize+explode+aggregate corpus pass
+    # runs once per model (plan-observed: two Generate-over-raw
+    # subtrees). Stage it: one corpus pass, two vocab-bounded joins. The
+    # staged frame is the aggregated (id, w1, w2, m) triples — already
+    # shuffle-reduced, never the raw text.
+    dg = stage(_doc_bigram_multiset(raw, text_col, id_col))
+    under_t = (_perplexity_from_multiset(dg, raw, bc_t, cc_t, v_t,
+                                         id_col, k)
                .select(id_col, "n_bigrams",
                        F.col("avg_nll").alias("_nll_t")))
-    under_r = (perplexity(raw, bc_r, cc_r, v_r, text_col, id_col, k)
+    under_r = (_perplexity_from_multiset(dg, raw, bc_r, cc_r, v_r,
+                                         id_col, k)
                .select(id_col, F.col("avg_nll").alias("_nll_r")))
     return (under_t.join(under_r, [id_col])
             .select(id_col, "n_bigrams",

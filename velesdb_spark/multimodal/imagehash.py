@@ -115,6 +115,16 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3,
             f"(got {max_hamming} >= {n_bands}); raise n_bands")
     width = 64 // n_bands
     mask = (1 << width) - 1
+    # Stage the (id, dhash) projection: BOTH sides of the banded
+    # self-join derive from it, and when ``hashes`` comes straight from
+    # dhash_images the un-staged plan re-runs the WHOLE image decode
+    # (ArrowEvalPython + MapInPandas) once per side — plan-observed: 2
+    # MapInPandas nodes for one corpus. The staged frame is 16 bytes/row
+    # (id + 64-bit hash), never the image bytes — decode once, join on
+    # the proxy (staged_shingles idiom).
+    from velesdb_spark.functions.staging import stage
+
+    hashes = stage(hashes.select(F.col(id_col), F.col(hash_col)))
     banded = hashes.select(
         F.col(id_col), F.col(hash_col),
         F.explode(F.array(*[
