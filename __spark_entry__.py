@@ -1751,8 +1751,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("n_regionkey") + 2000000).alias("dst"),
                 F.lit("IN_REGION").alias("label")))
         )
+        from velesdb_spark.functions.staging import stage
         from velesdb_spark.velesql.translator import Catalog
 
+        # MATCH execution consumes nodes 3-11x (start filter, per-hop
+        # target filter, per-alias hydration) and edges once per hop /
+        # traversal level; unstaged, each consumer re-runs the 3-table
+        # union from parquet (plan audit: scan_max_per_table 11-21 for
+        # the match family). Both are narrow fixed-width projections —
+        # the graph working set — so persist once and let every consumer
+        # read the 3-column rows back.
+        nodes = stage(nodes)
+        edges = stage(edges)
         cat = Catalog()
         cat.register("nodes", nodes)
         cat.register("edges", edges)
@@ -3112,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _search_eval(s, d):
         from velesdb_spark import metrics as M
         from velesdb_spark.functions.bm25 import bm25_scan_search, tokenize
+        from velesdb_spark.functions.staging import stage
         from pyspark.sql import Window
 
         docs = _t(s, d, "documents")
@@ -3120,13 +3131,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form moves everything to one partition — wrong pattern to copy)
         w = Window.partitionBy("qid").orderBy(
             F.desc("_bm25_score"), F.asc("doc_id"))
-        results = top.withColumn("qid", F.lit(1)) \
-            .withColumn("rank", F.row_number().over(w)) \
-            .select("qid", F.col("doc_id").alias("id"), "rank")
+        # stage both metric inputs: results is ≤20 rows and truth is the
+        # (qid,id) relevance set — without the persist, the recall/MRR and
+        # NDCG branches each re-run the FULL bm25 scoring pipeline and the
+        # corpus tokenize-filter re-executes once per consuming aggregate
+        # (4 parquet scans of documents in the unstaged plan)
+        results = stage(top.withColumn("qid", F.lit(1))
+                        .withColumn("rank", F.row_number().over(w))
+                        .select("qid", F.col("doc_id").alias("id"), "rank"))
         toks = tokenize(F.col("text"))
-        truth = docs.filter(F.array_contains(toks, "spark")
-                            & F.array_contains(toks, "join")) \
-            .select(F.lit(1).alias("qid"), F.col("doc_id").alias("id"))
+        truth = stage(docs.filter(F.array_contains(toks, "spark")
+                                  & F.array_contains(toks, "join"))
+                      .select(F.lit(1).alias("qid"),
+                              F.col("doc_id").alias("id")))
         rpm = M.recall_precision_mrr_df(results, truth)
         nd = M.ndcg_binary_df(results, truth, 20)
         return (rpm.join(nd, "qid")

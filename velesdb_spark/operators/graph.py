@@ -285,9 +285,20 @@ def triangles(edges: DataFrame, src: str = "src",
     stages are plain equi-join shuffles on node ids carrying ids+degrees
     only; no adjacency list ever materializes on one executor.
     """
-    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
-                      F.greatest(F.col(src), F.col(dst)).alias("b"))
-         .filter(F.col("a") < F.col("b")).distinct())
+    from velesdb_spark.functions.staging import stage
+
+    # e is consumed three times (deg twice + ed once) and o three times
+    # (left wedge leg, right wedge leg, closing edge); without staging,
+    # Catalyst re-executes the whole canonicalize-distinct and the two
+    # degree joins once per consumer — the audit showed the upstream edge
+    # derivation repeated ~12x in one plan. Both staged frames are
+    # fixed-width long projections (e: 2 longs/edge, o: 3 longs/edge),
+    # the GraphX-style spill-backed working set of the algorithm —
+    # recomputing them costs 3x the shuffle joins OF the fact table,
+    # strictly worse at any scale than reading the 24-byte rows back.
+    e = stage(edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                           F.greatest(F.col(src), F.col(dst)).alias("b"))
+              .filter(F.col("a") < F.col("b")).distinct())
     deg = (e.select(F.col("a").alias("id"))
            .unionByName(e.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count("*").alias("deg")))
@@ -297,10 +308,10 @@ def triangles(edges: DataFrame, src: str = "src",
                            F.col("deg").alias("db")), "b"))
     fwd = (F.col("da") < F.col("db")) | \
         ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    o = ed.select(
+    o = stage(ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"))
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv")))
     left = o.select("u", "v", "dv")
     right = o.select(F.col("u"), F.col("v").alias("w"),
                      F.col("dv").alias("dw"))
