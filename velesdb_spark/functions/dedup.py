@@ -606,9 +606,16 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         nbits = nbits if nbits is not None else auto_b
         tables = tables if tables is not None else auto_t
         d = dim or len(df.select(vector_col).first()[0])
+        from velesdb_spark.functions.staging import stage
+
         # (id, table, bucket) postings: one Arrow matmul computes all T
-        # signatures, posexplode fans them out; one row per (vector, table)
-        posted = (df.select(
+        # signatures, posexplode fans them out; one row per (vector, table).
+        # Staged: BOTH sides of the bucket self-join consume the postings,
+        # and unpersisted each side re-runs the Arrow signature matmul over
+        # the full corpus (plan-observed: 2x ArrowEvalPython per union
+        # branch). The staged frame is three longs per (vector, table) —
+        # the banded-LSH working set, never the vectors.
+        posted = stage(df.select(
             F.col(id_col).alias("_id"),
             multi_table_buckets(F.col(vector_col), d, nbits, tables)
             .alias("_sig"))
