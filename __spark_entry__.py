@@ -1181,19 +1181,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .filter(F.col("r_name") == "EUROPE")
                         .select("n_nationkey", "n_name")),
                         F.col("s_nationkey") == F.col("n_nationkey")))
+        # r11 optimization: the decorrelated min-cost used to be a
+        # groupBy + equality join BACK onto eur_cost, so the lineitem
+        # supply aggregate (the expensive subtree) executed twice and
+        # eur_supp joined twice (plan audit: lineitem scanned 2x, 8
+        # exchanges). MIN(cost) OVER (PARTITION BY l_partkey) + filter
+        # computes the same per-part minimum in ONE pass over a single
+        # eur_cost derivation — min-over-identical-set, tie rows kept by
+        # both forms, so values are identical (oracle-proven). eur_supp
+        # now joins once, carrying its output columns through the window.
+        from pyspark.sql import Window
+
         eur_cost = supply.join(
-            eur_supp.select(F.col("s_suppkey").alias("_sk")),
-            F.col("l_suppkey") == F.col("_sk"))
-        min_cost = (eur_cost.groupBy(F.col("l_partkey").alias("_pk"))
-                    .agg(F.min("cost").alias("min_cost")))
+            eur_supp.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"))
         parts = (_t(s, d, "part")
                  .filter(F.col("p_size") == 15)
                  .select("p_partkey", "p_name"))
+        w = Window.partitionBy("l_partkey")
         return (eur_cost
                 .join(parts, F.col("l_partkey") == F.col("p_partkey"))
-                .join(min_cost, (F.col("l_partkey") == F.col("_pk"))
-                      & (F.col("cost") == F.col("min_cost")))
-                .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+                .withColumn("_min_cost", F.min("cost").over(w))
+                .filter(F.col("cost") == F.col("_min_cost"))
                 .select("s_acctbal", "s_name", "n_name", "p_partkey",
                         "p_name", F.round("cost", 6).alias("cost"))
                 .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
