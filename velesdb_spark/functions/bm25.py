@@ -415,8 +415,15 @@ class IncrementalBm25Index:
         postings = src_postings.persist()
         doc_lengths = src.doc_lengths.persist()
         try:
+            # repartition on the bucket key before the partitionBy write:
+            # without it every upstream task writes a sliver into every
+            # bucket directory (buckets x tasks files — 256 at 8 buckets
+            # on local[32]); with it each bucket is one task's single
+            # well-sized file, and a query's per-term bucket read opens
+            # 1 file instead of tasks-many (guide §6 file sizing)
             (postings.withColumn("_tb",
                                  term_bucket_expr(F.col("term"), buckets))
+             .repartition(buckets, F.col("_tb"))
              .write.mode("overwrite").partitionBy("_tb")
              .parquet(f"{base}/postings"))
             doc_lengths.write.mode("overwrite").parquet(f"{base}/doc_lengths")
