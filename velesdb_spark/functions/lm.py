@@ -102,7 +102,19 @@ def model_from_counts(counts: DataFrame,
                       ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     """(bigram_counts, context_counts, vocab) views over one count
     table — all vocab-bounded, all hanging off the table's single
-    aggregation exchange."""
+    aggregation exchange.
+
+    The count table is STAGED here: its three views land in different
+    spots of a scoring plan (two joins + a broadcast crossJoin) where
+    Catalyst plans three independent copies of the corpus
+    tokenize+explode+aggregate (plan-observed on lm_perplexity: the
+    documents scan repeated 3x, 0 ReusedExchange). Persisting the
+    vocab-bounded table — size independent of corpus length — makes the
+    corpus pass run once, which is the operator's documented scale
+    contract."""
+    from velesdb_spark.functions.staging import stage
+
+    counts = stage(counts)
     bigram_counts = counts.filter(F.col("w2").isNotNull())
     context_counts = bigram_counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"))
