@@ -3712,12 +3712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("not_exists").alias("kind"),
                     F.col("s_suppkey").alias("ckey"))
 
-        avg_t = per_cust.select("o_custkey", "avg_price")
-        sc = (orders.join(avg_t, "o_custkey")
-              .filter(F.col("o_totalprice") > F.col("avg_price"))
-              .select(F.lit("scalar").alias("kind"),
-                      F.col("o_orderkey").alias("ckey")))
-
         qual300 = per_cust.filter(F.col("has300") == 1).select("o_custkey")
         cnt = customer.join(
             qual300,
@@ -3725,23 +3719,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("count_zero").alias("kind"),
                     F.col("c_custkey").alias("ckey"))
 
-        # corr_in leg: originally orders LEFT SEMI JOIN (orders WHERE
-        # o_totalprice > 200000) ON (o_custkey, o_orderkey) — a self
-        # semi-join whose key includes o_orderkey, the orders PRIMARY KEY.
-        # A row matches iff ITSELF passes the filter (uniqueness of
-        # o_orderkey means no other row can supply the match), so the
-        # semi-join is exactly the filter — the PK-aware self-join
-        # elimination Catalyst cannot do because it has no uniqueness
-        # metadata (guide §8: use what the optimizer does not know).
-        # Removes one orders scan + one broadcast exchange; value-identical
-        # (same predicate on the same rows), proven by the unchanged
-        # DuckDB oracle hash at sf0.001/sf0.01/sf1.
-        cin = orders.filter(F.col("o_totalprice") > 200000.0) \
-            .select(F.lit("corr_in").alias("kind"),
-                    F.col("o_orderkey").alias("ckey"))
+        # scalar + corr_in legs from ONE orders pass (r11): both emit
+        # o_orderkey rows under row-local predicates, so a 2-slot flag
+        # array + explode + null filter yields exactly the union of the
+        # two filtered scans from a single scan (orders scans for the
+        # whole gate: 3 -> 2 including the staged per_cust build).
+        # - scalar: o_totalprice > per-customer avg — needs the avg_t
+        #   join; per_cust aggregates the SAME orders, so every row
+        #   joins back exactly once (row-preserving).
+        # - corr_in: originally orders LEFT SEMI JOIN (orders WHERE
+        #   o_totalprice > 200000) ON (o_custkey, o_orderkey) — a self
+        #   semi-join whose key includes o_orderkey, the orders PRIMARY
+        #   KEY. A row matches iff ITSELF passes the filter, so the
+        #   semi-join is exactly the row-local predicate (the PK-aware
+        #   elimination Catalyst cannot do without uniqueness metadata;
+        #   proven value-identical against the unchanged DuckDB oracle
+        #   at sf0.001/sf0.01/sf1 in the r11 build continuation).
+        avg_t = per_cust.select("o_custkey", "avg_price")
+        sc_cin = (orders.join(avg_t, "o_custkey")
+                  .select(F.col("o_orderkey").alias("ckey"),
+                          F.explode(F.array(
+                              F.when(F.col("o_totalprice")
+                                     > F.col("avg_price"),
+                                     F.lit("scalar")),
+                              F.when(F.col("o_totalprice") > 200000.0,
+                                     F.lit("corr_in")))).alias("kind"))
+                  .filter(F.col("kind").isNotNull())
+                  .select("kind", "ckey"))
 
-        return (ex.unionByName(nex).unionByName(sc).unionByName(cnt)
-                .unionByName(cin))
+        return (ex.unionByName(nex).unionByName(sc_cin)
+                .unionByName(cnt))
 
     q["correlated_subquery"] = _correlated
 
