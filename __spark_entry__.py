@@ -3693,12 +3693,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.avg("o_totalprice").alias("avg_price")))
         customer = _t(s, d, "customer").select("c_custkey")
 
-        qual250 = per_cust.filter(F.col("has250") == 1).select("o_custkey")
-        ex = customer.join(
-            qual250,
-            customer["c_custkey"] == qual250["o_custkey"], "left_semi") \
-            .select(F.lit("exists").alias("kind"),
-                    F.col("c_custkey").alias("ckey"))
+        # exists + count_zero legs from ONE customer pass (r11 round-1
+        # follow-up, "not yet optimized" #4): the semi (has250) and anti
+        # (has300) probes against the SAME staged per_cust become one
+        # LEFT join carrying both flags, and the same 2-slot flag-array
+        # explode used for the orders legs below emits the union of the
+        # two filtered scans. Equivalence: per_cust is grouped by
+        # o_custkey (unique key), so the left join is row-preserving;
+        # semi == (has250 = 1), anti == (no match OR has300 = 0), i.e.
+        # coalesce(has300, 0) = 0. Customer scans 2 -> 1, probe joins
+        # 2 -> 1. Proven value-identical against the unchanged DuckDB
+        # oracle at sf0.001/sf0.01/sf1.
+        cust_flags = customer.join(
+            per_cust.select("o_custkey", "has250", "has300"),
+            customer["c_custkey"] == F.col("o_custkey"), "left")
+        ex_cnt = (cust_flags
+                  .select(F.col("c_custkey").alias("ckey"),
+                          F.explode(F.array(
+                              F.when(F.col("has250") == 1,
+                                     F.lit("exists")),
+                              F.when(F.coalesce(F.col("has300"),
+                                                F.lit(0)) == 0,
+                                     F.lit("count_zero")))).alias("kind"))
+                  .filter(F.col("kind").isNotNull())
+                  .select("kind", "ckey"))
 
         # this one shape runs through the TRANSLATOR's decorrelation
         # (advisor r6: the gate must exercise subquery_optimizer parity,
@@ -3711,13 +3729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s.s_nationkey AND n_regionkey = 0) LIMIT 100000") \
             .select(F.lit("not_exists").alias("kind"),
                     F.col("s_suppkey").alias("ckey"))
-
-        qual300 = per_cust.filter(F.col("has300") == 1).select("o_custkey")
-        cnt = customer.join(
-            qual300,
-            customer["c_custkey"] == qual300["o_custkey"], "left_anti") \
-            .select(F.lit("count_zero").alias("kind"),
-                    F.col("c_custkey").alias("ckey"))
 
         # scalar + corr_in legs from ONE orders pass (r11): both emit
         # o_orderkey rows under row-local predicates, so a 2-slot flag
@@ -3747,8 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .filter(F.col("kind").isNotNull())
                   .select("kind", "ckey"))
 
-        return (ex.unionByName(nex).unionByName(sc_cin)
-                .unionByName(cnt))
+        return ex_cnt.unionByName(nex).unionByName(sc_cin)
 
     q["correlated_subquery"] = _correlated
 

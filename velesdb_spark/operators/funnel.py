@@ -33,6 +33,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.staging import stage
+
 
 def funnel(events: DataFrame, steps: Sequence[str], on: str = "ts",
            by: str = "user_id", type_col: str = "event_type",
@@ -71,6 +73,14 @@ def _greedy_from(events: DataFrame, steps: Sequence[str], on: str,
             continue
         stepdf = events.filter(F.col(type_col) == step)
         if acc is not None:
+            # acc is consumed twice this iteration (the step filter-join
+            # below AND the chain join after the aggregate); unstaged,
+            # Catalyst re-plans the whole accumulated chain — and its
+            # upstream event scans — once per consumer. acc is the tiny
+            # per-key step table (one row per key still in the funnel),
+            # so staging it keeps the operator at one events scan per
+            # step (r11 optimization round).
+            acc = stage(acc)
             stepdf = stepdf.join(acc.select(by, f"t{i - 1}"), on=by)
             prev = F.col(f"t{i - 1}")
             cond = F.col(on) > prev if strict_increase \

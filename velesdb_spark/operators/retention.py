@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.staging import stage
+
 __all__ = ["cohort_retention"]
 
 WEEK_US = 7 * 86_400 * 1_000_000
@@ -35,11 +37,20 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts",
         raise ValueError(f"bucket_us must be positive, got {bucket_us}")
     bucket = F.expr(
         f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_us)}L")
-    activity = (events
-                .select(F.col(user_col).alias("_u"),
-                        bucket.alias("_b"))
-                .distinct())
-    cohorts = activity.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    # activity feeds both the cohort derivation and the cells join, and
+    # cohorts feeds both the cells join and the sizes aggregate; Catalyst
+    # plans each consumer independently (0 ReusedExchange), re-running
+    # the events scan + dedup shuffle per branch. Both frames are the
+    # SMALL fixed-width working set — two longs per distinct
+    # (user, bucket) pair, one row per user — never the event stream, so
+    # staging them keeps the operator one-scan at any scale (r11
+    # optimization round, same class as the lm.py/dedup.py fixes).
+    activity = stage(events
+                     .select(F.col(user_col).alias("_u"),
+                             bucket.alias("_b"))
+                     .distinct())
+    cohorts = stage(
+        activity.groupBy("_u").agg(F.min("_b").alias("_cohort")))
     cells = (activity.join(cohorts, "_u")
              .groupBy(F.col("_cohort"),
                       (F.col("_b") - F.col("_cohort")).alias("k"))
