@@ -1249,8 +1249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bit-exact in both engines, no FP-boundary row can flip. Scale
     # shape: the grand (total, count) is a 1-row broadcast over the
     # per-part aggregate; the per-part aggregate is map-combinable
-    # on l_partkey.
+    # on l_partkey. per_part (one (long,long) row per part) feeds both
+    # the grand total and the filter join — staged so the
+    # lineitem⋈supplier pipeline runs once, not once per consumer.
     def _tpch_q11(s, d):
+        from velesdb_spark.functions.staging import stage
         cents = (F.round(F.col("l_extendedprice") * 100)
                  .cast("bigint") * F.col("l_quantity").cast("bigint"))
         eur = (_t(s, d, "nation")
@@ -1264,8 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .join(F.broadcast(eur),
                     F.col("s_nationkey") == F.col("n_nationkey"))
               .select(F.col("l_partkey"), cents.alias("cents")))
-        per_part = (li.groupBy("l_partkey")
-                    .agg(F.sum("cents").alias("value_cents")))
+        per_part = stage(li.groupBy("l_partkey")
+                         .agg(F.sum("cents").alias("value_cents")))
         total = per_part.agg(F.sum("value_cents").alias("total_cents"),
                              F.count("*").alias("n_parts"))
         return (per_part.join(F.broadcast(total))
@@ -1312,10 +1315,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # name prefix; suppliers restricted to EUROPE). Quantities are
     # integer-valued doubles, so both the per-pair and per-part sums
     # are exact and the 0.3× threshold is one deterministic multiply —
-    # no cross-engine FP boundary. Scale shape: per-pair and per-part
-    # aggregates share the same date+part-pruned scan; the qualifying
-    # supplier set is a semi-join into the (small) supplier dim.
+    # no cross-engine FP boundary (exactness also makes the per-part
+    # total computable as a window sum OVER the per-pair sums —
+    # regrouping integer-valued doubles is bit-exact). Scale shape:
+    # ONE date+part-pruned scan feeds the per-pair aggregate; the
+    # per-part total is a window over that small aggregate (no second
+    # fact scan, no join-back); the qualifying supplier set is a
+    # semi-join into the (small) supplier dim.
     def _tpch_q20(s, d):
+        from pyspark.sql import Window
         lo = F.lit("1996-01-01").cast("timestamp")
         hi = F.lit("1997-01-01").cast("timestamp")
         red = (_t(s, d, "part")
@@ -1329,10 +1337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .select("l_partkey", "l_suppkey", "l_quantity"))
         per_pair = (li.groupBy("l_partkey", "l_suppkey")
                     .agg(F.sum("l_quantity").alias("pair_qty")))
-        per_part = (li.groupBy(F.col("l_partkey").alias("_pk"))
-                    .agg(F.sum("l_quantity").alias("part_qty")))
         excess = (per_pair
-                  .join(per_part, F.col("l_partkey") == F.col("_pk"))
+                  .withColumn("part_qty",
+                              F.sum("pair_qty")
+                              .over(Window.partitionBy("l_partkey")))
                   .filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
                   .select("l_suppkey").distinct())
         eur = (_t(s, d, "nation")

@@ -1119,23 +1119,40 @@ class _SearchState:
         # must still reconstruct (comparisons against NULL are never
         # true), so compare on a worst-sentinel coalesce instead
         sentinel = F.lit(float("-inf") if hib else float("inf"))
+        # The tiny derived frames (per-component top-C lists, the pooled
+        # id set, the pooled rows' component scores — all ≤ m·C rows of
+        # fixed width) are each consumed by several branches below;
+        # unstaged, Catalyst re-plans every consumer's upstream and the
+        # full scored relation is scanned once PER RE-DERIVATION (~17
+        # scans for m=2). Staging them leaves one scored pass per
+        # component top-C, one pooled-score hydration, one
+        # rank-reconstruction pass per component, and the final hydrate.
+        from velesdb_spark.functions.staging import stage
+
         lists, pool = [], None
         for n in names:
             top = base.select(idc, n).orderBy(*order(n)).limit(pool_c)
             # bounded window: input is the ≤pool_c-row top list above
             w = Window.orderBy(*order(n))
-            lists.append(top.withColumn(n + "_rk", F.row_number().over(w))
-                         .select(idc, n + "_rk"))
+            lists.append(stage(
+                top.withColumn(n + "_rk", F.row_number().over(w))
+                .select(idc, n + "_rk")))
             ids = lists[-1].select(idc)
             pool = ids if pool is None else pool.union(ids)
-        pool = pool.distinct()
+        pool = stage(pool.distinct())
+        # one scored pass hydrates every pooled id's coalesced component
+        # scores; per-component thresholds below slice this cache instead
+        # of re-scanning the scored relation
+        pool_scores = stage(
+            base.select(idc, *[F.coalesce(F.col(n), sentinel)
+                               .alias(n + "_cs") for n in names])
+            .join(F.broadcast(pool), idc))
         ranks = pool
         for n, known in zip(names, lists):
-            thr = (base.select(F.col(idc).alias("_tid"),
-                               F.coalesce(F.col(n), sentinel).alias("_ts"))
-                   .join(F.broadcast(
-                       pool.join(known.select(idc), idc, "left_anti")
-                       .select(F.col(idc).alias("_tid"))), "_tid"))
+            thr = (pool_scores
+                   .join(known.select(idc), idc, "left_anti")
+                   .select(F.col(idc).alias("_tid"),
+                           F.col(n + "_cs").alias("_ts")))
             sc = base.select(F.col(idc).alias("_sid"),
                              F.coalesce(F.col(n), sentinel).alias("_ss"))
             better = F.col("_ss") > F.col("_ts") if hib \
