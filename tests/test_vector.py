@@ -502,3 +502,78 @@ def test_double_array_lit_bit_identical_and_fallback(spark):
     ls = [0, -1, 2**62, -2**62]
     got = spark.range(1).select(long_array_lit(ls).alias("v")).first().v
     assert got == ls
+
+
+def test_staged_score_sql_fastpath_identity(spark):
+    """The one-shot SQL fast paths in distance.py (staged_score /
+    doc_norm2 / staged_scores_batch build their aggregate+zip_with trees
+    as ONE parsed expression — ~100x fewer py4j round-trips per score)
+    must be bit-identical in values AND canonically identical in
+    analyzed plan to the Column-HOF builders they replace, for every
+    metric that takes the fast path."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from velesdb_spark.functions import distance as D
+    from velesdb_spark.functions.arraylit import double_array_lit
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))  # zero-norm doc row
+    df = spark.createDataFrame(rows, "id bigint, vector array<double>") \
+        .selectExpr("id", "cast(vector as array<float>) as vector")
+    q = [rng.uniform(-2, 2) for _ in range(16)]
+
+    def bits(vals):
+        return [struct.pack("<d", v) for v in vals]
+
+    # analyzed-plan identity for the core dot aggregate
+    old_dot = F.aggregate(
+        F.zip_with(D._as_double(F.col("vector")), double_array_lit(q),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    from velesdb_spark.functions.arraylit import double_array_sql
+
+    new_dot = F.expr(D._dot_sql("`vector`", double_array_sql(q)))
+    canon = lambda d: (d._jdf.queryExecution().analyzed()
+                       .canonicalized().toString())
+    assert canon(df.select(old_dot.alias("v"))) == \
+        canon(df.select(new_dot.alias("v")))
+
+    # value identity (bit-exact) per metric vs the generic Column form
+    for metric in ("cosine", "dot", "euclidean"):
+        fast = D.staged_score(df, "vector", q, metric, "s") \
+            .orderBy("id").select("s").collect()
+        generic = df.select(
+            "id", D.metric_score(F.col("vector"), double_array_lit(q),
+                                 metric).alias("s")) \
+            .orderBy("id").select("s").collect()
+        assert bits([r.s for r in fast]) == bits([r.s for r in generic]), metric
+
+    # batch scorer == per-query staged_score loop, bit-exact
+    q2 = [rng.uniform(-2, 2) for _ in range(16)]
+    base = df.withColumn("_n2", D.doc_norm2("vector"))
+    batch = D.staged_scores_batch(base, "vector", [q, q2], "cosine",
+                                  ["s0", "s1"], norm2_col="_n2") \
+        .orderBy("id").select("s0", "s1").collect()
+    loop = D.staged_score(
+        D.staged_score(base, "vector", q, "cosine", "s0", norm2_col="_n2"),
+        "vector", q2, "cosine", "s1", norm2_col="_n2") \
+        .orderBy("id").select("s0", "s1").collect()
+    assert bits([r.s0 for r in batch]) == bits([r.s0 for r in loop])
+    assert bits([r.s1 for r in batch]) == bits([r.s1 for r in loop])
+
+    # non-identifier column name forces the Column-HOF fallback; it must
+    # produce the same bits as the fast path did on the plain name
+    weird = df.withColumnRenamed("vector", "vec col")
+    got = D.staged_score(weird, "vec col", q, "cosine", "s") \
+        .orderBy("id").select("s").collect()
+    fast_plain = D.staged_score(df, "vector", q, "cosine", "s") \
+        .orderBy("id").select("s").collect()
+    assert bits([r.s for r in got]) == bits([r.s for r in fast_plain])
+    # non-finite query elements fall back without failing
+    nf = D.staged_score(df, "vector", [float("nan")] * 16, "dot", "s") \
+        .limit(1).select("s").collect()
+    assert len(nf) == 1

@@ -23,6 +23,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def double_array_sql(values: Sequence[float]) -> str | None:
+    """SQL text of an ARRAY<DOUBLE> literal, for composing into larger
+    one-shot ``F.expr`` strings (score expressions build the whole
+    aggregate/zip_with tree as ONE parsed expression instead of dozens
+    of py4j calls). None when a non-finite element means there is no SQL
+    literal form — callers fall back to the Column builders."""
+    xs = [float(x) for x in values]
+    if not xs or not all(math.isfinite(x) for x in xs):
+        return None
+    return "array(" + ",".join(repr(x) + "D" for x in xs) + ")"
+
+
 def double_array_lit(values: Sequence[float]) -> Column:
     """ARRAY<DOUBLE> literal. ``repr(float)`` is Python's shortest
     exact-round-trip form and Spark's double parser is correctly
@@ -30,8 +42,9 @@ def double_array_lit(values: Sequence[float]) -> Column:
     xs = [float(x) for x in values]
     if not xs:
         return F.array().cast("array<double>")
-    if all(math.isfinite(x) for x in xs):
-        return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+    sql = double_array_sql(xs)
+    if sql is not None:
+        return F.expr(sql)
     return F.array(*[F.lit(x) for x in xs])
 
 

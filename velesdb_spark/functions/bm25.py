@@ -659,16 +659,18 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
     # stats-dominated and the interleaved A/B was a wash (mins favored
     # array_remove, medians-under-load the HOF) — keeping the
     # allocation-free original.
-    def _eq(term):
-        # single-arg lambda only: a 2-arg lambda would make F.filter
-        # pass the array index as the second argument
-        return lambda x: x == F.lit(term)
+    def _tf(term):
+        # one-shot SQL fast path: the F.filter lambda costs ~40 py4j
+        # round-trips per term to build; parsing the same tree from one
+        # string is one. Tokens are lowercased alnum so the escaped
+        # literal is exact; same lambda variable name, same EqualTo tree.
+        esc = term.replace("\\", "\\\\").replace("'", "\\'")
+        return F.expr(f"size(filter(_toks, x -> x = '{esc}'))")
 
     # one withColumns call: each withColumn in a loop re-analyzes the
     # whole plan (eager per-Dataset analysis), quadratic in term count
     base = base.withColumns({
-        f"_tf{i}": F.size(F.filter(F.col("_toks"), _eq(t)))
-        for i, t in enumerate(terms)})
+        f"_tf{i}": _tf(t) for i, t in enumerate(terms)})
     # Persist the post-tokenize tf projection: BOTH the corpus-stats
     # aggregate (broadcast side) and the scoring pass consume it, and
     # unpersisted the regexp tokenize — the dominant cost — runs twice.

@@ -36,6 +36,49 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# --- one-shot SQL expression builders (driver latency, guide §5) --------
+# The Python higher-order-function API (F.aggregate / F.zip_with with
+# lambdas) constructs the expression tree object-by-object over py4j:
+# one dim-64 cosine score is ~100 JVM round-trips, ~0.2 s of pure driver
+# time per query construction at bench scale. Parsing the SAME tree from
+# one SQL string is a single round-trip. The text spells exactly what the
+# Column form builds (CAST, same lambda variable names, 0.0D double
+# literals), so analyzed plans and values are identical — pinned by
+# tests/test_vector.py::test_staged_score_sql_fastpath_identity.
+
+_IDENT_RE = None
+
+
+def _ident_sql(name: str) -> str | None:
+    """Backtick-quoted SQL identifier, or None when the column name is
+    not a plain identifier (those callers keep the Column builders)."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    return f"`{name}`" if _IDENT_RE.match(name) else None
+
+
+def _vec_double_sql(vcol_sql: str) -> str:
+    return f"transform({vcol_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(vcol_sql: str, arr_sql: str) -> str:
+    return (f"aggregate(zip_with({_vec_double_sql(vcol_sql)}, {arr_sql}, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+
+def _norm2_sql(vcol_sql: str) -> str:
+    return (f"aggregate({_vec_double_sql(vcol_sql)}, 0.0D, "
+            f"(acc, x) -> acc + x * x)")
+
+
+def _euclid2_sql(vcol_sql: str, arr_sql: str) -> str:
+    return (f"aggregate(zip_with({_vec_double_sql(vcol_sql)}, {arr_sql}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Σ a_i·b_i via zip_with + aggregate (no UDF)."""
     return F.aggregate(
@@ -102,6 +145,9 @@ def doc_norm2(vector_col: str) -> Column:
     """Σ x², the query-independent half of a cosine score — compute it
     ONCE per row and pass its column name to staged_score(norm2_col=...)
     when scoring the same rows against many queries (knn_batch)."""
+    vsql = _ident_sql(vector_col)
+    if vsql is not None:
+        return F.expr(_norm2_sql(vsql))
     return F.aggregate(_as_double(F.col(vector_col)), F.lit(0.0),
                        lambda acc, x: acc + x * x)
 
@@ -125,12 +171,20 @@ def staged_score(df, vector_col: str, query, metric: str,
     """
     import math
 
-    from velesdb_spark.functions.arraylit import double_array_lit
+    from velesdb_spark.functions.arraylit import (double_array_lit,
+                                                  double_array_sql)
 
     metric = metric.lower()
     q = [float(x) for x in query]
-    qlit = double_array_lit(q)
-    a = _as_double(F.col(vector_col))
+    # one-shot SQL fast path (see the builders above): same tree, one
+    # py4j round-trip instead of ~100 per aggregate
+    vsql = _ident_sql(vector_col)
+    asql = double_array_sql(q)
+    fast = vsql is not None and asql is not None
+
+    def _lit_q():
+        return double_array_lit(q)
+
     if metric == "cosine":
         qn2 = 0.0
         for x in q:
@@ -138,10 +192,17 @@ def staged_score(df, vector_col: str, query, metric: str,
         qn = math.sqrt(qn2)
         if qn == 0.0:
             return df.withColumn(score_col, F.lit(0.0))
-        dot = F.aggregate(F.zip_with(a, qlit, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
+        if fast:
+            dot = F.expr(_dot_sql(vsql, asql))
+        else:
+            dot = F.aggregate(
+                F.zip_with(_as_double(F.col(vector_col)), _lit_q(),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
         if norm2_col is None:
-            n2 = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+            n2 = (F.expr(_norm2_sql(vsql)) if fast
+                  else F.aggregate(_as_double(F.col(vector_col)), F.lit(0.0),
+                                   lambda acc, x: acc + x * x))
             staged = df.withColumns({"_dot": dot, "_n2": n2})
             n2ref, drops = F.col("_n2"), ["_dot", "_n2"]
         else:
@@ -152,18 +213,107 @@ def staged_score(df, vector_col: str, query, metric: str,
             F.col("_dot") / (F.sqrt(n2ref) * F.lit(qn)))
         return staged.withColumn(score_col, out).drop(*drops)
     if metric in ("dot", "dotproduct", "dot_product"):
-        dot = F.aggregate(F.zip_with(a, qlit, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
+        if fast:
+            return df.withColumn(score_col, F.expr(_dot_sql(vsql, asql)))
+        dot = F.aggregate(
+            F.zip_with(_as_double(F.col(vector_col)), _lit_q(),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
         return df.withColumn(score_col, dot)
     if metric in ("euclidean", "l2"):
+        if fast:
+            return df.withColumn(
+                score_col, F.sqrt(F.expr(_euclid2_sql(vsql, asql))))
         d2 = F.aggregate(
-            F.zip_with(a, qlit, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(_as_double(F.col(vector_col)), _lit_q(),
+                       lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
         return df.withColumn(score_col, F.sqrt(d2))
     # hamming/jaccard compare raw elements — the generic form already
     # runs one aggregate per component with no casts
     return df.withColumn(
-        score_col, metric_score(F.col(vector_col), qlit, metric))
+        score_col, metric_score(F.col(vector_col), _lit_q(), metric))
+
+
+def staged_scores_batch(df, vector_col: str, queries, metric: str,
+                        names, norm2_col: str = None):
+    """Score the same rows against MANY literal query vectors with at
+    most two eager-analyzed projections total.
+
+    Dataset ops analyze eagerly, so the per-query staged_score loop paid
+    2-3 analysis passes per query over a plan that grows by one
+    dim-sized expression tree each time (quadratic in batch size at the
+    driver). Here every query's row-level aggregate lands in ONE
+    withColumns (one analysis), the final arithmetic in a second, and
+    the helper columns drop in one call — scores are column-for-column
+    identical to the staged_score loop (same expression trees).
+
+    ``names[i]`` is the output score column for ``queries[i]``. For
+    cosine, pass ``norm2_col`` (a doc_norm2 column) so ‖doc‖² is shared
+    across the batch exactly like the per-query path.
+    """
+    import math
+
+    metric = metric.lower()
+    qlists = [[float(x) for x in q] for q in queries]
+    if metric == "cosine":
+        if norm2_col is None:
+            raise ValueError("staged_scores_batch(cosine) needs norm2_col")
+        dots, finals, drops = {}, {}, []
+        for name, q in zip(names, qlists):
+            qn = math.sqrt(sum(x * x for x in q))
+            if qn == 0.0:
+                finals[name] = F.lit(0.0)
+                continue
+            dcol = f"_dot{name}"
+            drops.append(dcol)
+            dots[dcol] = _literal_dot(vector_col, q)
+            finals[name] = F.when(
+                F.sqrt(F.col(norm2_col)) == 0.0, F.lit(0.0)).otherwise(
+                F.col(dcol) / (F.sqrt(F.col(norm2_col)) * F.lit(qn)))
+        out = df.withColumns(dots) if dots else df
+        return out.withColumns(finals).drop(*drops)
+    if metric in ("dot", "dotproduct", "dot_product"):
+        return df.withColumns({
+            name: _literal_dot(vector_col, q)
+            for name, q in zip(names, qlists)})
+    if metric in ("euclidean", "l2"):
+        return df.withColumns({
+            name: F.sqrt(_literal_euclid2(vector_col, q))
+            for name, q in zip(names, qlists)})
+    from velesdb_spark.functions.arraylit import double_array_lit
+
+    return df.withColumns({
+        name: metric_score(F.col(vector_col), double_array_lit(q), metric)
+        for name, q in zip(names, qlists)})
+
+
+def _literal_dot(vector_col: str, q) -> Column:
+    """Σ vec_i·q_i against a literal query (fast path when expressible
+    as one SQL string, Column HOFs otherwise)."""
+    from velesdb_spark.functions.arraylit import (double_array_lit,
+                                                  double_array_sql)
+
+    vsql, asql = _ident_sql(vector_col), double_array_sql(q)
+    if vsql is not None and asql is not None:
+        return F.expr(_dot_sql(vsql, asql))
+    return F.aggregate(
+        F.zip_with(_as_double(F.col(vector_col)), double_array_lit(q),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _literal_euclid2(vector_col: str, q) -> Column:
+    from velesdb_spark.functions.arraylit import (double_array_lit,
+                                                  double_array_sql)
+
+    vsql, asql = _ident_sql(vector_col), double_array_sql(q)
+    if vsql is not None and asql is not None:
+        return F.expr(_euclid2_sql(vsql, asql))
+    return F.aggregate(
+        F.zip_with(_as_double(F.col(vector_col)), double_array_lit(q),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def metric_score(a: Column, b: Column, metric: str) -> Column:

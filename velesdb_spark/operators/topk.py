@@ -176,7 +176,8 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         # sequential TakeOrdered jobs (~Q× lower latency), and the
         # shuffle still carries at most partitions·Q·k rows — vectors
         # never leave the scan.
-        from velesdb_spark.functions.distance import doc_norm2, staged_score
+        from velesdb_spark.functions.distance import (doc_norm2,
+                                                      staged_scores_batch)
 
         scored = base
         n2col = None
@@ -185,15 +186,16 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
             # shared by every query's score instead of Q copies
             n2col = "_docn2"
             scored = scored.withColumn(n2col, doc_norm2(vector_col))
-        cols = []
-        for i, (qid, vec) in enumerate(qrows):
-            # positional column names: duplicate qids each keep their own
-            # score column (their scores then rank together under one
-            # qid partition, exactly like the broadcast path)
-            name = f"_s_{i}"
-            scored = staged_score(scored, vector_col, vec, metric, name,
-                                  norm2_col=n2col)
-            cols.append((qid, name))
+        # positional column names: duplicate qids each keep their own
+        # score column (their scores then rank together under one
+        # qid partition, exactly like the broadcast path). All Q scores
+        # land in one two-projection batch (driver analysis is eager per
+        # Dataset op; the per-query staged_score loop re-analyzed the
+        # growing literal-heavy plan 2-3 times per query).
+        cols = [(qid, f"_s_{i}") for i, (qid, _) in enumerate(qrows)]
+        scored = staged_scores_batch(
+            scored, vector_col, [vec for _, vec in qrows], metric,
+            [name for _, name in cols], norm2_col=n2col)
         pairs = F.array(*[
             F.struct(F.lit(qid).cast("bigint").alias("qid"),
                      F.col(name).alias("score")) for qid, name in cols])

@@ -40,6 +40,17 @@ def get_spark(app_name: str = "velesdb-spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark's DataFrame-context debugging (SPARK-47274) wraps EVERY
+        # DataFrame/Column API call with ~4 extra py4j round-trips
+        # (getActiveSession + a conf RPC + JVM origin set/clear) to record
+        # the Python call site for error messages. At sf0.1 the bench's
+        # wall time is ~35% driver-side plan construction, and this
+        # wrapper alone is 20-45% of that (measured: bm25_topk build
+        # 0.365 -> 0.205 s, hybrid_rrf 0.598 -> 0.415 s, min-of-5
+        # interleaved). Static conf — must be set before the JVM starts;
+        # errors lose only the Python-side call-site line, not the
+        # message or SQLSTATE.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if not infer_generate_filters:
         # InferFiltersFromGenerate synthesizes size(e)>0 from every
