@@ -969,15 +969,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # join is AQE-decided: supplier scales with sf, so only the
     # provably-1-row side gets a forced broadcast.
     def _tpch_q15(s, d):
+        from velesdb_spark.functions.staging import stage
+
         lo = F.lit("1996-01-01").cast("timestamp")
         hi = F.lit("1996-07-01").cast("timestamp")
-        rev = (_t(s, d, "lineitem")
-               .filter((F.col("l_shipdate") >= lo)
-                       & (F.col("l_shipdate") < hi))
-               .groupBy("l_suppkey")
-               .agg(F.round(F.sum(F.col("l_extendedprice")
-                                  * (1 - F.col("l_discount"))), 4)
-                    .alias("total_revenue")))
+        # rev (one row per supplier — the small working set) feeds BOTH
+        # the 1-row max aggregate and the filter join-back; unstaged,
+        # the date-pruned lineitem aggregate re-planned per consumer
+        # (lineitem scanned 2x — r11: 2 -> 1)
+        rev = stage(_t(s, d, "lineitem")
+                    .filter((F.col("l_shipdate") >= lo)
+                            & (F.col("l_shipdate") < hi))
+                    .groupBy("l_suppkey")
+                    .agg(F.round(F.sum(F.col("l_extendedprice")
+                                       * (1 - F.col("l_discount"))), 4)
+                         .alias("total_revenue")))
         mx = rev.agg(F.max("total_revenue").alias("mx"))
         return (rev.join(F.broadcast(mx),
                          F.col("total_revenue") == F.col("mx"))
@@ -1067,15 +1073,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantities sum exactly in doubles, so avg is one IEEE division in
     # both engines.
     def _tpch_q17(s, d):
+        # window-avg instead of aggregate + join-back (r11, same class
+        # as the tpch_q2/q20 rewrites): the per-part avg-quantity
+        # subquery re-scanned the FULL lineitem (it aggregated every
+        # part, then the join kept the Brand#3 ones). p_partkey is the
+        # part PK, so the inner join keeps every lineitem row of a
+        # qualifying part exactly once — AVG(l_quantity) OVER
+        # (PARTITION BY l_partkey) on the joined frame sees exactly the
+        # original per-part row multiset. Bit-exact: l_quantity is
+        # integer-valued, so the sum inside AVG is order-independent
+        # (exact integer arithmetic in doubles) and thr is identical.
+        # lineitem scans 2 -> 1.
+        from pyspark.sql import Window
+
         li = _t(s, d, "lineitem").select("l_partkey", "l_quantity",
                                          "l_extendedprice")
-        avg_q = (li.groupBy("l_partkey")
-                 .agg((0.2 * F.avg("l_quantity")).alias("thr"))
-                 .withColumnRenamed("l_partkey", "_pk"))
         brand = _t(s, d, "part").filter(F.col("p_brand") == "Brand#3") \
             .select("p_partkey")
+        w = Window.partitionBy("l_partkey")
         return (li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
-                .join(avg_q, F.col("l_partkey") == F.col("_pk"))
+                .withColumn("thr", 0.2 * F.avg("l_quantity").over(w))
                 .filter(F.col("l_quantity") < F.col("thr"))
                 .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
                      .alias("avg_yearly")))
@@ -1745,28 +1762,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _t(s, d, "customer")
         nat = _t(s, d, "nation")
         reg = _t(s, d, "region")
+        # selectExpr: each string parses in ONE py4j round-trip to the
+        # same trees the Column builders made (same int-literal adds,
+        # same aliases) — the graph catalog is rebuilt per query call,
+        # so its construction cost is bench-visible (guide §5)
         nodes = (
-            cust.select(F.col("c_custkey").alias("id"),
-                        F.array(F.lit("Customer")).alias("labels"),
-                        F.col("c_name").alias("name"))
-            .union(nat.select((F.col("n_nationkey") + 1000000).alias("id"),
-                              F.array(F.lit("Nation")).alias("labels"),
-                              F.col("n_name").alias("name")))
-            .union(reg.select((F.col("r_regionkey") + 2000000).alias("id"),
-                              F.array(F.lit("Region")).alias("labels"),
-                              F.col("r_name").alias("name")))
+            cust.selectExpr("c_custkey AS id",
+                            "array('Customer') AS labels",
+                            "c_name AS name")
+            .union(nat.selectExpr("n_nationkey + 1000000 AS id",
+                                  "array('Nation') AS labels",
+                                  "n_name AS name"))
+            .union(reg.selectExpr("r_regionkey + 2000000 AS id",
+                                  "array('Region') AS labels",
+                                  "r_name AS name"))
         )
         edges = (
-            cust.select(
-                F.monotonically_increasing_id().alias("id"),
-                F.col("c_custkey").alias("src"),
-                (F.col("c_nationkey") + 1000000).alias("dst"),
-                F.lit("IN_NATION").alias("label"))
-            .union(nat.select(
-                F.monotonically_increasing_id().alias("id"),
-                (F.col("n_nationkey") + 1000000).alias("src"),
-                (F.col("n_regionkey") + 2000000).alias("dst"),
-                F.lit("IN_REGION").alias("label")))
+            cust.selectExpr(
+                "monotonically_increasing_id() AS id",
+                "c_custkey AS src",
+                "c_nationkey + 1000000 AS dst",
+                "'IN_NATION' AS label")
+            .union(nat.selectExpr(
+                "monotonically_increasing_id() AS id",
+                "n_nationkey + 1000000 AS src",
+                "n_regionkey + 2000000 AS dst",
+                "'IN_REGION' AS label"))
         )
         from velesdb_spark.functions.staging import stage
         from velesdb_spark.velesql.translator import Catalog
@@ -2781,9 +2802,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sentinel. (The exact side is itself hash-gated vs DuckDB by the
     # count_distinct gate.)
     def _approx_distinct(s, d):
-        g = (_t(s, d, "orders").groupBy("o_orderpriority")
-             .agg(F.approx_count_distinct("o_custkey", 0.02).alias("ap"),
-                  F.countDistinct("o_custkey").alias("ex")))
+        from velesdb_spark.functions.staging import stage
+
+        # g (one row per priority, 5 rows) feeds BOTH the deviation
+        # filter and the sentinel count; unstaged, Catalyst re-plans the
+        # whole countDistinct aggregate (an Expand doubling the orders
+        # scan) once per consumer (r11: orders scans 2 -> 1)
+        g = stage(_t(s, d, "orders").groupBy("o_orderpriority")
+                  .agg(F.approx_count_distinct("o_custkey", 0.02).alias("ap"),
+                       F.countDistinct("o_custkey").alias("ex")))
         bad = g.filter(F.abs(F.col("ap") - F.col("ex"))
                        > F.col("ex") * 0.05) \
             .select(F.col("o_orderpriority").alias("tag"),
@@ -2842,10 +2869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that every returned item's count is the true count and there are
     # exactly k of them.
     def _top_tokens(s, d):
+        from velesdb_spark.functions.staging import stage
         from velesdb_spark.functions.text_analysis import top_tokens
 
         docs = _t(s, d, "documents")
-        top = top_tokens(docs, "text", 20)
+        # the 20-row top list feeds BOTH the exact-count join and the
+        # sentinel count; unstaged, the corpus tokenize+agg+top-k
+        # pipeline re-planned per consumer (documents scans 3 -> 2,
+        # the remaining 2 = approx vs exact differential, by design)
+        top = stage(top_tokens(docs, "text", 20))
         toks = docs.select(F.explode(
             F.split(F.lower(F.col("text")), r"\s+")).alias("token")) \
             .filter(F.length("token") > 0)

@@ -194,3 +194,25 @@ def test_infer_generate_filters_escape_hatch(spark):
             raise RuntimeError("boom")
     assert _INFER_GENERATE_RULE in spark.conf.get(
         "spark.sql.optimizer.excludedRules", "")
+
+
+def test_rrf_pooled_single_recon_pass_contract(spark, gate_queries):
+    """apply_rrf_pooled (translator.py): rank reconstruction for ALL m
+    fusion components must run as ONE scored pass joined against the
+    component-tagged threshold union — exactly one
+    BroadcastNestedLoopJoin in the physical plan (the per-component loop
+    planned m of them, each re-scanning the scored relation). Guards the
+    r11 merge so a refactor can't silently reintroduce the m passes."""
+    import re
+
+    from velesdb_spark.functions.staging import release_staged
+
+    try:
+        df = gate_queries["near_fused_rrf"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+        assert len(bnlj) == 1, \
+            f"expected 1 unique BNLJ (merged recon pass), got {len(bnlj)}"
+    finally:
+        release_staged()

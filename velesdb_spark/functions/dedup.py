@@ -596,11 +596,40 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     'brute' = exact all-pairs self-join (O(N²) scores, JVM-side) — the
     oracle path, fine to ~10⁵ rows, never the default.
     """
-    from velesdb_spark.functions.distance import cosine_similarity
+    from velesdb_spark.functions.distance import (_as_double,
+                                                  cosine_similarity)
     from velesdb_spark.functions.similarity import multi_table_buckets
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    if method != "lsh":
+        # 'brute': all-pairs exact. Precompute the double cast and the norm ONCE
+        # per ROW (N) instead of per PAIR (N²/2). Unprojected, the
+        # generic cosine ran 5 interpreted HOF aggregates per pair — and
+        # the pushed threshold filter duplicated the WHOLE expression
+        # into the join condition (plan-observed), doubling it again.
+        # With per-side (_v double, _n norm) attributes the condition
+        # and projection re-evaluate only the single dot aggregate.
+        # Same expressions over the same data — values bit-identical
+        # (norm = SQRT(aggregate(transform(cast), acc+x²)) exactly as
+        # cosine_similarity spells it).
+        def side(idname, vname, nname):
+            s = df.select(F.col(id_col).alias(idname),
+                          _as_double(F.col(vector_col)).alias(vname))
+            return s.withColumn(nname, F.sqrt(F.aggregate(
+                F.col(vname), F.lit(0.0), lambda acc, x: acc + x * x)))
+
+        a2 = side("id_a", "_va", "_na")
+        b2 = side("id_b", "_vb", "_nb")
+        dot = F.aggregate(F.zip_with(F.col("_va"), F.col("_vb"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        cos = F.when((F.col("_na") == 0.0) | (F.col("_nb") == 0.0),
+                     F.lit(0.0)).otherwise(
+            dot / (F.col("_na") * F.col("_nb")))
+        return (a2.join(b2, F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
     if method == "lsh":
         auto_b, auto_t = lsh_params_for(threshold, target_recall)
         nbits = nbits if nbits is not None else auto_b
@@ -626,8 +655,6 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
         joined = cand.join(a, "id_a").join(b, "id_b")
-    else:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         joined.select(
             "id_a", "id_b",

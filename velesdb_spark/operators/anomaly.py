@@ -40,13 +40,20 @@ def robust_outliers(df: DataFrame, value_col: str, group_col: str,
     the score and group stats attached (med, mad, score columns)."""
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
-    med = (df.groupBy(group_col)
-           .agg(_median(value_col, approx, accuracy).alias("med")))
+    from velesdb_spark.functions.staging import stage
+
+    # med (one row per group) feeds BOTH the MAD derivation and the
+    # stats join; unstaged, Catalyst re-plans the exact-percentile
+    # aggregate — a full shuffle of the measure column — once per
+    # consumer (plan-observed: df scanned 4x instead of the inherent 3).
+    # Both staged frames are the |groups|-row working set.
+    med = stage(df.groupBy(group_col)
+                .agg(_median(value_col, approx, accuracy).alias("med")))
     mad = (df.join(med, group_col)
            .withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
            .groupBy(group_col)
            .agg(_median("_ad", approx, accuracy).alias("mad")))
-    stats = med.join(mad, group_col)
+    stats = stage(med.join(mad, group_col))
     scored = (df.join(F.broadcast(stats), group_col)
               .withColumn(
                   "score",

@@ -196,12 +196,25 @@ def knn_batch(df: DataFrame, queries: Iterable[tuple[int, Sequence[float]]],
         scored = staged_scores_batch(
             scored, vector_col, [vec for _, vec in qrows], metric,
             [name for _, name in cols], norm2_col=n2col)
-        pairs = F.array(*[
-            F.struct(F.lit(qid).cast("bigint").alias("qid"),
-                     F.col(name).alias("score")) for qid, name in cols])
-        long = (scored.select(F.col(id_col), F.explode(pairs).alias("_p"))
-                .select(F.col("_p.qid").alias("qid"), id_col,
-                        F.col("_p.score").alias("score")))
+        from velesdb_spark.functions.distance import _ident_sql
+
+        idsql = _ident_sql(id_col)
+        if idsql is not None:
+            # one parsed expression for the (qid, score) struct array —
+            # the F.struct/F.lit loop costs ~8 py4j round-trips per query
+            pairs_sql = "array(" + ",".join(
+                f"named_struct('qid', {int(qid)}L, 'score', `{name}`)"
+                for qid, name in cols) + ")"
+            long = (scored.selectExpr(idsql, f"explode({pairs_sql}) AS _p")
+                    .selectExpr("_p.qid AS qid", idsql,
+                                "_p.score AS score"))
+        else:
+            pairs = F.array(*[
+                F.struct(F.lit(qid).cast("bigint").alias("qid"),
+                         F.col(name).alias("score")) for qid, name in cols])
+            long = (scored.select(F.col(id_col), F.explode(pairs).alias("_p"))
+                    .select(F.col("_p.qid").alias("qid"), id_col,
+                            F.col("_p.score").alias("score")))
         w = Window.partitionBy("qid") \
             .orderBy(*_best_order("score", metric, id_col))
         return (long.withColumn("_rn", F.row_number().over(w))

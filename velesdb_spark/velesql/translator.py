@@ -1147,24 +1147,41 @@ class _SearchState:
             base.select(idc, *[F.coalesce(F.col(n), sentinel)
                                .alias(n + "_cs") for n in names])
             .join(F.broadcast(pool), idc))
+        # rank reconstruction: ONE scored pass for every component
+        # (r11 optimization round, not-yet #3 closed). Thresholds are
+        # tagged with their component index and unioned; the single scan
+        # emits every component's coalesced score as an array and the
+        # broadcast join condition picks the tagged component's element.
+        # The merged result (≤(m−1)·C fixed-width rows) is staged and
+        # per-component filters slice it — m column-pruned scored passes
+        # become one (scored passes for the whole query: 2m+2 → m+3).
+        thr_all = None
+        for i, (n, known) in enumerate(zip(names, lists)):
+            t = (pool_scores
+                 .join(known.select(idc), idc, "left_anti")
+                 .select(F.lit(i).alias("_tc"),
+                         F.col(idc).alias("_tid"),
+                         F.col(n + "_cs").alias("_ts")))
+            thr_all = t if thr_all is None else thr_all.unionByName(t)
+        sc = base.select(
+            F.col(idc).alias("_sid"),
+            F.array(*[F.coalesce(F.col(n), sentinel) for n in names])
+            .alias("_ssv"))
+        ss = F.element_at(F.col("_ssv"), F.col("_tc") + 1)
+        better = ss > F.col("_ts") if hib else ss < F.col("_ts")
+        beats = better | ((ss == F.col("_ts"))
+                          & (F.col("_sid") < F.col("_tid")))
+        # every threshold is outside its component's top-C, so at least
+        # C rows beat it and the inner-join group always exists
+        recon_all = stage(
+            sc.join(F.broadcast(thr_all), beats)
+            .groupBy("_tc", "_tid")
+            .agg((F.count("*") + 1).alias("_rk")))
         ranks = pool
-        for n, known in zip(names, lists):
-            thr = (pool_scores
-                   .join(known.select(idc), idc, "left_anti")
-                   .select(F.col(idc).alias("_tid"),
-                           F.col(n + "_cs").alias("_ts")))
-            sc = base.select(F.col(idc).alias("_sid"),
-                             F.coalesce(F.col(n), sentinel).alias("_ss"))
-            better = F.col("_ss") > F.col("_ts") if hib \
-                else F.col("_ss") < F.col("_ts")
-            beats = better | ((F.col("_ss") == F.col("_ts"))
-                              & (F.col("_sid") < F.col("_tid")))
-            # every threshold is outside this component's top-C, so at
-            # least C rows beat it and the inner-join group always exists
-            recon = (sc.join(F.broadcast(thr), beats)
-                     .groupBy("_tid")
-                     .agg((F.count("*") + 1).alias(n + "_rk"))
-                     .select(F.col("_tid").alias(idc), n + "_rk"))
+        for i, (n, known) in enumerate(zip(names, lists)):
+            recon = (recon_all.filter(F.col("_tc") == i)
+                     .select(F.col("_tid").alias(idc),
+                             F.col("_rk").alias(n + "_rk")))
             ranks = ranks.join(known.unionByName(recon), idc)
         fused = None
         for n in names:
