@@ -515,11 +515,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows_match. (The exact reference values are themselves hash-gated
     # against DuckDB's quantile_cont by percentile_price above.)
     def _pctl_approx(s, d):
-        g = (_t(s, d, "orders").groupBy("o_orderpriority")
-             .agg(F.expr("percentile_approx(o_totalprice, "
-                         "array(0.5, 0.9), 10000)").alias("ap"),
-                  F.expr("percentile(o_totalprice, "
-                         "array(0.5, 0.9))").alias("ex")))
+        from velesdb_spark.functions.staging import stage
+
+        # g (5 rows) feeds BOTH the deviation filter and the sentinel
+        # count; unstaged, the exact-percentile aggregate (unbounded
+        # per-group value map) re-planned per consumer (r11: orders
+        # scans 2 -> 1, same class as approx_distinct)
+        g = stage(_t(s, d, "orders").groupBy("o_orderpriority")
+                  .agg(F.expr("percentile_approx(o_totalprice, "
+                              "array(0.5, 0.9), 10000)").alias("ap"),
+                       F.expr("percentile(o_totalprice, "
+                              "array(0.5, 0.9))").alias("ex")))
         # 3% not 1%: percentile_approx returns a DATA value while
         # percentile() interpolates, so at small n the inter-sample gap
         # (~1.1% at n≈300, sf0.001) dominates the sketch error
