@@ -4008,10 +4008,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Positions 51+ are the individual variants and extra evidence, covered by
 # the committed tools/check_entry.py sweep each round.
 _GATE_ORDER = [
-    # ---- round-11 additions — first (reference-suite rotation:
-    # similarity / explain / json_path shapes)
-    "orderby_sim_default_desc", "explain_queryplan", "json_path_deep",
-    "graph_match_count",
+    # ---- FROZEN FIRST 50 (round-12): the driver's correctness gate runs
+    # exactly the first 50 entries, so reordering this prefix changes which
+    # queries get driver-level proof. The round-11 rotation evicted
+    # tpch_q4/q6/q10/q14 from the window (flagged as `queries_dropped` and
+    # the sole driver of the r11 "regressed" verdict); per the r11 VERDICT
+    # they are restored here, displacing the four NEWEST (round-11
+    # rotation) gates to positions 51-54 — the window holds exactly 50, so
+    # all 54 cannot fit; the displaced four stay covered by the committed
+    # tools/check_entry.py --strict sweep. Do NOT change the first 50 again
+    # in an optimization round.
+    "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14",
     # ---- round-10 additions (reference-suite rotation:
     # orderby_multi / with_options / validation_parity shapes)
     "orderby_sim_tiebreak", "orderby_sim_second",
@@ -4030,7 +4037,11 @@ _GATE_ORDER = [
     "decontam_report", "decontam_clean", "repetition_stats",
     "epoch_shuffle", "agg_params", "agg_params_grouped",
     "distinct_nulls", "groupby_nested_null",
-    "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14",
+    # ---- positions 51-54: the round-11 rotation gates, displaced from the
+    # driver window by the tpch_q4/q6/q10/q14 restoration above (r11
+    # VERDICT-sanctioned; strict-sweep covered like everything below)
+    "orderby_sim_default_desc", "explain_queryplan", "json_path_deep",
+    "graph_match_count",
     "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "ngram_jaccard_auto", "percentile_approx_price",

@@ -137,7 +137,17 @@ def main() -> None:
 
     # pinned measurement protocol: 3 runs per query, report the best (run 1
     # soaks per-query file-scan/codegen caches; best-of-3 strips host-load
-    # noise so round-over-round deltas are attributable); loadavg recorded
+    # noise so round-over-round deltas are attributable); loadavg recorded.
+    # Round-12 measurement-integrity fix (r11 VERDICT item 2a): staged
+    # intra-query intermediates are released BETWEEN reps (and therefore
+    # between queries), so the reported min never reads a MEMORY_AND_DISK
+    # cache built by an earlier rep or an earlier query sharing the same
+    # canonicalized plan (e.g. the graph catalog staged during
+    # graph_match_2hop previously stayed warm for graph_bfs). Every rep now
+    # pays its query's true staging cost. Numbers under the old protocol
+    # are kept in BENCH_LOCAL_r11_final2.json / BENCH_r11.json.
+    from velesdb_spark.functions.staging import release_staged
+
     RUNS = 3
     times: dict[str, float] = {}
     total = 0.0
@@ -152,19 +162,17 @@ def main() -> None:
             except Exception as exc:  # keep the harness alive; report it
                 print(f"bench query {name} failed: {exc}", file=sys.stderr)
                 dt = float("nan")
+                release_staged()
                 break
+            # outside the timed region: drop staged caches so the next rep
+            # recomputes from parquet (the warm-up Bm25Index for
+            # hybrid_rrf_indexed uses .cache(), not the staging registry,
+            # and is deliberately amortized — see "amortized" below)
+            release_staged()
             best = dt if best != best else min(best, dt)
         times[name] = round(best, 3)
         if best == best:
             total += best
-        if name == "hybrid_rrf_indexed":
-            # end of the text block: the bm25 scan-path queries stage a
-            # persisted tf projection (amortized across the best-of-3
-            # runs — deliberate, it mirrors the reference's index-reuse
-            # regime); release it here so the later graph/dedup queries
-            # run without those cache entries occupying executor memory.
-            from velesdb_spark.functions.staging import release_staged
-            release_staged()
 
     print(json.dumps({
         "metric": "total_headline_sec",
@@ -174,6 +182,10 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS,
         "agg": "min",
+        # queries timed against an index built+cached in warm-up (the
+        # reference's add/search amortization split) — r11 VERDICT item 2b
+        "amortized": ["hybrid_rrf_indexed"],
+        "staged_released_between_reps": True,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         **load_info,
     }))
