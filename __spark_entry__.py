@@ -1731,14 +1731,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from velesdb_spark.functions.fusion import fuse_hybrid_rrf
 
         emb = _t(s, d, "embeddings")
+        # selectExpr strings: same trees (string literal alias, column
+        # alias, round) in one parse round-trip each (guide §5)
         vres = tk.knn(emb, QV1, 20, "cosine", "embedding", "vec_id") \
-            .select(F.lit("v").alias("qid"), F.col("vec_id").alias("id"), "score")
+            .selectExpr("'v' AS qid", "vec_id AS id", "score")
         tres = bm25_scan_search(_t(s, d, "documents"), "spark query join", 20,
                                 id_col="doc_id", text_col="text") \
-            .select(F.lit("t").alias("qid"), F.col("doc_id").alias("id"),
-                    F.col("_bm25_score").alias("score"))
+            .selectExpr("'t' AS qid", "doc_id AS id",
+                        "_bm25_score AS score")
         fused = fuse_hybrid_rrf(vres.union(tres))
-        return fused.select(F.col("id"), F.round("score", 6).alias("score")) \
+        return fused.selectExpr("id", "round(score, 6) AS score") \
             .orderBy(F.desc("score"), F.asc("id")).limit(10)
 
     q["hybrid_rrf"] = _hybrid
@@ -3731,12 +3733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-cache-reuse alternative and measured slower — the forced
         # RDD conversion + separate materialization job cost more than
         # the staged columnar cache.)
+        # one-shot SQL expressions (guide §5): same CASE/agg trees as the
+        # Column builders, one parse round-trip each
         per_cust = stage(orders.groupBy("o_custkey").agg(
-            F.max(F.when(F.col("o_totalprice") > 250000.0, 1)
-                  .otherwise(0)).alias("has250"),
-            F.max(F.when(F.col("o_totalprice") > 300000.0, 1)
-                  .otherwise(0)).alias("has300"),
-            F.avg("o_totalprice").alias("avg_price")))
+            F.expr("max(CASE WHEN o_totalprice > 250000.0D THEN 1 "
+                   "ELSE 0 END) AS has250"),
+            F.expr("max(CASE WHEN o_totalprice > 300000.0D THEN 1 "
+                   "ELSE 0 END) AS has300"),
+            F.expr("avg(o_totalprice) AS avg_price")))
         customer = _t(s, d, "customer").select("c_custkey")
 
         # exists + count_zero legs from ONE customer pass (r11 round-1
@@ -3754,14 +3758,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             per_cust.select("o_custkey", "has250", "has300"),
             customer["c_custkey"] == F.col("o_custkey"), "left")
         ex_cnt = (cust_flags
-                  .select(F.col("c_custkey").alias("ckey"),
-                          F.explode(F.array(
-                              F.when(F.col("has250") == 1,
-                                     F.lit("exists")),
-                              F.when(F.coalesce(F.col("has300"),
-                                                F.lit(0)) == 0,
-                                     F.lit("count_zero")))).alias("kind"))
-                  .filter(F.col("kind").isNotNull())
+                  .selectExpr(
+                      "c_custkey AS ckey",
+                      "explode(array("
+                      "CASE WHEN has250 = 1 THEN 'exists' END, "
+                      "CASE WHEN coalesce(has300, 0) = 0 "
+                      "THEN 'count_zero' END)) AS kind")
+                  .filter("kind IS NOT NULL")
                   .select("kind", "ckey"))
 
         # this one shape runs through the TRANSLATOR's decorrelation
@@ -3773,8 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "SELECT s_suppkey FROM supplier AS s WHERE NOT EXISTS "
             "(SELECT n_nationkey FROM nation AS n WHERE n.n_nationkey = "
             "s.s_nationkey AND n_regionkey = 0) LIMIT 100000") \
-            .select(F.lit("not_exists").alias("kind"),
-                    F.col("s_suppkey").alias("ckey"))
+            .selectExpr("'not_exists' AS kind", "s_suppkey AS ckey")
 
         # scalar + corr_in legs from ONE orders pass (r11): both emit
         # o_orderkey rows under row-local predicates, so a 2-slot flag
@@ -3794,14 +3796,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   at sf0.001/sf0.01/sf1 in the r11 build continuation).
         avg_t = per_cust.select("o_custkey", "avg_price")
         sc_cin = (orders.join(avg_t, "o_custkey")
-                  .select(F.col("o_orderkey").alias("ckey"),
-                          F.explode(F.array(
-                              F.when(F.col("o_totalprice")
-                                     > F.col("avg_price"),
-                                     F.lit("scalar")),
-                              F.when(F.col("o_totalprice") > 200000.0,
-                                     F.lit("corr_in")))).alias("kind"))
-                  .filter(F.col("kind").isNotNull())
+                  .selectExpr(
+                      "o_orderkey AS ckey",
+                      "explode(array("
+                      "CASE WHEN o_totalprice > avg_price "
+                      "THEN 'scalar' END, "
+                      "CASE WHEN o_totalprice > 200000.0D "
+                      "THEN 'corr_in' END)) AS kind")
+                  .filter("kind IS NOT NULL")
                   .select("kind", "ckey"))
 
         return ex_cnt.unionByName(nex).unionByName(sc_cin)

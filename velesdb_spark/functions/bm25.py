@@ -638,6 +638,8 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
     inverted-index build exactly like the reference's add-time indexing
     (index/bm25.rs add/search split).
     """
+    import re as _re
+
     counts: dict[str, int] = {}
     for t in tokenize_py(query):
         counts[t] = counts.get(t, 0) + 1
@@ -645,6 +647,79 @@ def bm25_scan_scores(docs: DataFrame, query: str, id_col: str = "id",
         return docs.select(
             F.col(id_col), F.lit(0.0).alias("_bm25_score")).limit(0)
 
+    # One-shot SQL fast path (guide §5 — the r11 driver-latency class):
+    # the whole two-pass scan plan parses from a handful of expression
+    # strings instead of ~250 py4j round-trips of Column plumbing. The
+    # strings spell EXACTLY the trees the Column form below builds (same
+    # op order, same Python-folded constants via repr), so values are
+    # bit-identical — pinned by
+    # tests/test_bm25.py::test_scan_scores_sql_fastpath_identity.
+    # Guarded (ADVICE r11): only plain-identifier column names and terms
+    # made purely of tokenizer word chars qualify; anything else takes
+    # the Column fallback, so no input can reach SQL-literal splicing.
+    if (_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", id_col)
+            and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text_col)
+            and all(_re.fullmatch(r"[^\W_]+", t) for t in counts)):
+        return _scan_scores_sql(docs, counts, id_col, text_col)
+    return _scan_scores_columns(docs, counts, id_col, text_col)
+
+
+def _scan_scores_sql(docs: DataFrame, counts: dict,
+                     id_col: str, text_col: str) -> DataFrame:
+    """One-shot-SQL construction of the scan-path plan (fast path)."""
+    from velesdb_spark.functions.staging import stage
+
+    terms = list(counts)
+    # SQL string literals unescape '\p' to 'p' — double the backslashes
+    sql_re = TOKEN_SPLIT_RE.replace("\\", "\\\\")
+    base = (
+        docs.selectExpr(
+            f"{id_col} AS _doc_id",
+            f"filter(split(lower({text_col}), '{sql_re}'), "
+            "t -> octet_length(t) > 1) AS _toks")
+        .selectExpr("_doc_id", "_toks", "size(_toks) AS _dl")
+        .filter("_dl > 0")
+    )
+    tf_exprs = []
+    for i, t in enumerate(terms):
+        esc = t.replace("\\", "\\\\").replace("'", "\\'")
+        tf_exprs.append(f"size(filter(_toks, x -> x = '{esc}')) AS _tf{i}")
+    # projection drops _toks — the staged frame is (_doc_id, _dl, _tf*)
+    # ints only, same as the fallback (see its sizing comment)
+    base = stage(base.selectExpr("_doc_id", "_dl", *tf_exprs))
+
+    stats = base.agg(
+        F.expr("count(*) AS n_docs"), F.expr("avg(_dl) AS avgdl"),
+        *[F.expr(f"sum(cast((_tf{i} > 0) AS long)) AS _df{i}")
+          for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    # score: same left-assoc 0.0 + Σ CASE chain as the Column form; all
+    # constants are Python-folded first and spelled with repr so the
+    # parsed doubles are bit-identical (repr round-trips)
+    pieces = ["0.0D"]
+    for i, t in enumerate(terms):
+        qtf = repr(float(counts[t]))
+        idf = (f"ln((n_docs - _df{i} + 0.5D) / (_df{i} + 0.5D) + 1.0D)")
+        # NOTE the outer parens: * and / share precedence left-assoc, so
+        # without them "qtf * idf * a / b" would regroup the division and
+        # drift by 1-2 ULP from the Column form
+        sat = (f"((_tf{i} * {K1 + 1.0!r}D) / (_tf{i} + {K1!r}D * "
+               f"({1.0 - B!r}D + {B!r}D * _dl / avgdl)))")
+        pieces.append(
+            f"CASE WHEN _tf{i} > 0 THEN {qtf}D * {idf} * {sat} "
+            "ELSE 0.0D END")
+    score_sql = " + ".join(pieces)
+    return (
+        scored.withColumn("_bm25_score", F.expr(score_sql))
+        .filter("_bm25_score > 0.0D")
+        .selectExpr(f"_doc_id AS {id_col}", "_bm25_score")
+    )
+
+
+def _scan_scores_columns(docs: DataFrame, counts: dict,
+                         id_col: str, text_col: str) -> DataFrame:
+    """Column-builder form (fallback for exotic column names/terms; also
+    the identity-test anchor for the SQL fast path)."""
     base = (
         docs.select(F.col(id_col).alias("_doc_id"),
                     tokenize(F.col(text_col)).alias("_toks"))

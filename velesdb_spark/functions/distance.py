@@ -204,13 +204,21 @@ def staged_score(df, vector_col: str, query, metric: str,
                   else F.aggregate(_as_double(F.col(vector_col)), F.lit(0.0),
                                    lambda acc, x: acc + x * x))
             staged = df.withColumns({"_dot": dot, "_n2": n2})
-            n2ref, drops = F.col("_n2"), ["_dot", "_n2"]
+            n2name, drops = "_n2", ["_dot", "_n2"]
         else:
             # caller precomputed Σx² (doc_norm2) — reuse across queries
             staged = df.withColumn("_dot", dot)
-            n2ref, drops = F.col(norm2_col), ["_dot"]
-        out = F.when(F.sqrt(n2ref) == 0.0, F.lit(0.0)).otherwise(
-            F.col("_dot") / (F.sqrt(n2ref) * F.lit(qn)))
+            n2name, drops = norm2_col, ["_dot"]
+        n2sql = _ident_sql(n2name)
+        if n2sql is not None:
+            # one-shot SQL final (guide §5): same CASE/SQRT tree; qn via
+            # repr so the parsed double is bit-equal
+            out = F.expr(f"CASE WHEN SQRT({n2sql}) = 0.0D THEN 0.0D "
+                         f"ELSE `_dot` / (SQRT({n2sql}) * {qn!r}D) END")
+        else:
+            n2ref = F.col(n2name)
+            out = F.when(F.sqrt(n2ref) == 0.0, F.lit(0.0)).otherwise(
+                F.col("_dot") / (F.sqrt(n2ref) * F.lit(qn)))
         return staged.withColumn(score_col, out).drop(*drops)
     if metric in ("dot", "dotproduct", "dot_product"):
         if fast:
@@ -259,6 +267,7 @@ def staged_scores_batch(df, vector_col: str, queries, metric: str,
     if metric == "cosine":
         if norm2_col is None:
             raise ValueError("staged_scores_batch(cosine) needs norm2_col")
+        n2sql = _ident_sql(norm2_col)
         dots, finals, drops = {}, {}, []
         for name, q in zip(names, qlists):
             qn = math.sqrt(sum(x * x for x in q))
@@ -268,9 +277,17 @@ def staged_scores_batch(df, vector_col: str, queries, metric: str,
             dcol = f"_dot{name}"
             drops.append(dcol)
             dots[dcol] = _literal_dot(vector_col, q)
-            finals[name] = F.when(
-                F.sqrt(F.col(norm2_col)) == 0.0, F.lit(0.0)).otherwise(
-                F.col(dcol) / (F.sqrt(F.col(norm2_col)) * F.lit(qn)))
+            dsql = _ident_sql(dcol)
+            if n2sql is not None and dsql is not None:
+                # one-shot SQL (guide §5): same CASE/SQRT tree, one parse;
+                # qn spelled with repr so the parsed double is bit-equal
+                finals[name] = F.expr(
+                    f"CASE WHEN SQRT({n2sql}) = 0.0D THEN 0.0D "
+                    f"ELSE {dsql} / (SQRT({n2sql}) * {qn!r}D) END")
+            else:
+                finals[name] = F.when(
+                    F.sqrt(F.col(norm2_col)) == 0.0, F.lit(0.0)).otherwise(
+                    F.col(dcol) / (F.sqrt(F.col(norm2_col)) * F.lit(qn)))
         out = df.withColumns(dots) if dots else df
         return out.withColumns(finals).drop(*drops)
     if metric in ("dot", "dotproduct", "dot_product"):

@@ -337,10 +337,20 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 # --------------------------------------------------------------- MATCH
 
 
+def _is_ident(name: str) -> bool:
+    import re
+
+    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name))
+
+
 def _node_filter(nodes: DataFrame, pat: ast.NodePattern, value_of) -> DataFrame:
     out = nodes
     for lbl in pat.labels:
-        out = out.filter(F.array_contains(F.col("labels"), lbl))
+        if _is_ident(lbl):
+            # one-shot SQL (guide §5): same ArrayContains tree, one parse
+            out = out.filter(f"array_contains(labels, '{lbl}')")
+        else:
+            out = out.filter(F.array_contains(F.col("labels"), lbl))
     for name, val in pat.properties:
         v = value_of(val)
         if v is None:
@@ -445,10 +455,16 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
     needed = _referenced_aliases(q, bound, target_alias)
     out = cur
     for a in needed:
-        props = nodes.select(
-            F.col(id_col).alias(f"_b_{a}"),
-            *[F.col(c).alias(f"{a}__{c}") for c in nodes.columns if c != id_col],
-        )
+        cols = [c for c in nodes.columns if c != id_col]
+        if _is_ident(a) and _is_ident(id_col) and all(map(_is_ident, cols)):
+            # one-shot SQL aliases (guide §5): same trees, one parse each
+            props = nodes.selectExpr(
+                f"{id_col} AS _b_{a}", *[f"{c} AS {a}__{c}" for c in cols])
+        else:
+            props = nodes.select(
+                F.col(id_col).alias(f"_b_{a}"),
+                *[F.col(c).alias(f"{a}__{c}") for c in cols],
+            )
         out = out.join(props, on=f"_b_{a}", how="left")
 
     def resolve(name: str) -> Column:
@@ -518,15 +534,18 @@ def translate_match(q: ast.MatchQuery, catalog, params: Optional[dict] = None,
 
 def _rel_join(cur: DataFrame, e: DataFrame, src_col: str, dst_col: str,
               direction: str) -> DataFrame:
+    fast = _is_ident(src_col) and _is_ident(dst_col)
+
+    def _edge_sel(a: str, b: str) -> DataFrame:
+        if fast:  # same alias trees, one parse round-trip per column
+            return e.selectExpr(f"{a} AS {src_col}", f"{b} AS {dst_col}")
+        return e.select(F.col(a).alias(src_col), F.col(b).alias(dst_col))
+
     outs = []
     if direction in ("out", "both"):
-        outs.append(cur.join(
-            e.select(F.col("src").alias(src_col), F.col("dst").alias(dst_col)),
-            on=src_col, how="inner"))
+        outs.append(cur.join(_edge_sel("src", "dst"), on=src_col, how="inner"))
     if direction in ("in", "both"):
-        outs.append(cur.join(
-            e.select(F.col("dst").alias(src_col), F.col("src").alias(dst_col)),
-            on=src_col, how="inner"))
+        outs.append(cur.join(_edge_sel("dst", "src"), on=src_col, how="inner"))
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
